@@ -1,13 +1,231 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.RowFilters
+import graft.ops.RowFilters._
+import graft.ops.Writer
+import graft.sources.{Incremental, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every entry returns a DETERMINISTIC DataFrame (explicit ORDER BY,
+  * quantized floats, ms-quantized event timestamps) so the driver's
+  * DuckDB hash-compare is stable across engines.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_full_scan_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // q01 — full-scan grouped aggregate (load-then-aggregate path).
+  // Shape of TPC-H Q1: partial (map-side) aggregation then a single
+  // hash exchange on 2 low-cardinality keys — the optimal plan at
+  // any scale; no row ever leaves the executor unaggregated.
+  // ---------------------------------------------------------------
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------
+  // q02 — the reference's 8 row-filter operators compiled to Catalyst
+  // predicates (all of them reach the parquet scan as PushedFilters).
+  // ---------------------------------------------------------------
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val filters = Seq(
+      RowFilter("o_orderstatus", Eq, "O"),
+      RowFilter("o_orderdate", Ne, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      RowFilter("o_totalprice", Gt, 1000.0),
+      RowFilter("o_totalprice", Lt, 400000.0),
+      RowFilter("o_orderkey", Gte, 10L),
+      RowFilter("o_orderdate", Lte, java.sql.Timestamp.valueOf("2001-06-01 00:00:00")),
+      RowFilter("o_orderpriority", In, Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+      RowFilter("o_custkey", NotIn, Seq(1L, 2L, 3L)))
+    RowFilters(t(s, dir, "orders"), filters)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q03 — star join: fact tables join on their keys; every dimension
+  // is explicitly broadcast (region/nation/supplier are tiny at any
+  // SF), so the only shuffle is lineitem⋈orders⋈customer on keys.
+  // ---------------------------------------------------------------
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val nation = broadcast(t(s, dir, "nation"))
+    val region = broadcast(t(s, dir, "region"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q04 — cursor incremental extract: the watermark predicate is
+  // pushed into the scan (row-group skipping / partition pruning).
+  // ---------------------------------------------------------------
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Incremental
+      .extract(t(s, dir, "orders"), "o_orderdate",
+        initialValue = Some(java.sql.Timestamp.valueOf("1999-06-01 00:00:00")),
+        rowOrder = Some("asc"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  // ---------------------------------------------------------------
+  // q05 — dlt `merge` write disposition: destination rows whose PK
+  // appears in the batch are deleted, all batch rows inserted.
+  // One hash shuffle on the PK; no driver loops.
+  // ---------------------------------------------------------------
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is read as epoch-nanos long (see Tables.load)
+    val events = t(s, dir, "events")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+    val cutoff = lit(Tables.epochNs("2024-01-20T00:00:00Z"))
+    val existing = events.filter(col("ts") < cutoff)
+    val batch = events.filter(col("ts") >= cutoff)
+    Writer.merge(existing, batch, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("first_ms"),
+        max(col("ts_ms")).as("last_ms"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q06 — `replace` + `append` dispositions, summarized side by side.
+  // ---------------------------------------------------------------
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val existing = orders.filter(col("o_orderdate") < cutoff)
+    val batch = orders.filter(col("o_orderdate") >= cutoff)
+    val appended = Writer.append(existing, batch)
+    val replaced = Writer.replace(existing, batch)
+    def summarize(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(lit(label).as("disposition"), col("n_rows"), col("sum_price"))
+    summarize(appended, "append").unionByName(summarize(replaced, "replace"))
+      .orderBy("disposition")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_full_scan_agg" -> (q01 _),
+    "q02_filter_ops" -> (q02 _),
+    "q03_join_star" -> (q03 _),
+    "q04_incremental_cursor" -> (q04 _),
+    "q05_merge_upsert" -> (q05 _),
+    "q06_replace_append" -> (q06 _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_full_scan_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_ops" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IS NOT DISTINCT FROM 'O'
+        |  AND o_orderdate IS DISTINCT FROM TIMESTAMP '1995-01-01'
+        |  AND o_totalprice > 1000.0
+        |  AND o_totalprice < 400000.0
+        |  AND o_orderkey >= 10
+        |  AND o_orderdate <= TIMESTAMP '2001-06-01'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |  AND (o_custkey IS NULL OR o_custkey NOT IN (1, 2, 3))
+        |ORDER BY o_orderkey""".stripMargin,
+    "q03_join_star" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q04_incremental_cursor" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1999-06-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20'
+        |), batch AS (
+        |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+        |), merged AS (
+        |  SELECT * FROM existing
+        |  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM batch)
+        |  UNION ALL
+        |  SELECT * FROM batch
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(epoch_ms(ts)) AS first_ms,
+        |  max(epoch_ms(ts)) AS last_ms,
+        |  round(sum(value), 2) AS sum_value
+        |FROM merged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q06_replace_append" ->
+      """WITH existing AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        |), batch AS (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |)
+        |SELECT * FROM (
+        |  SELECT 'append' AS disposition, count(*) AS n_rows,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM (SELECT * FROM existing UNION ALL SELECT * FROM batch)
+        |  UNION ALL
+        |  SELECT 'replace' AS disposition, count(*) AS n_rows,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM batch
+        |)
+        |ORDER BY disposition""".stripMargin)
 }

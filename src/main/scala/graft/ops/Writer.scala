@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write dispositions — the reference's dlt `write_disposition`
+  * (`append` / `replace` / `merge`, datanika
+  * `services/upload_service.py:14`, per-table merge hints in
+  * `services/dlt_runner.py:341-349`).
+  *
+  * dlt `merge` semantics: destination rows whose primary key appears
+  * in the incoming batch are deleted, then ALL incoming rows are
+  * inserted (duplicates inside the batch are preserved unless
+  * deduplicated upstream). That is a pure relational expression:
+  * `existing ANTI-JOIN batch-keys  UNION ALL  batch` — one hash
+  * shuffle on the PK, no driver-side row loops, so it scales to any
+  * number of executors. With a transactional table format this maps
+  * to MERGE INTO; on raw parquet we rewrite via a staging dir.
+  */
+object Writer {
+
+  /** Logical merge: last batch wins per primary key. */
+  def merge(existing: DataFrame, batch: DataFrame, primaryKey: Seq[String]): DataFrame = {
+    require(primaryKey.nonEmpty, "merge requires a primary key")
+    val keys = batch.select(primaryKey.map(col): _*).distinct()
+    existing.join(keys, primaryKey, "left_anti").unionByName(batch)
+  }
+
+  /** Logical append: plain union-by-name. */
+  def append(existing: DataFrame, batch: DataFrame): DataFrame =
+    existing.unionByName(batch)
+
+  /** Logical replace: the batch is the new table. */
+  def replace(existing: DataFrame, batch: DataFrame): DataFrame = batch
+
+  /** Physical write honoring a disposition. `merge` reads the current
+    * table, merges, writes to a staging path, then swaps — parquet has
+    * no transactional MERGE, and writing over a path being read races.
+    */
+  def write(
+      spark: SparkSession,
+      batch: DataFrame,
+      path: String,
+      disposition: String,
+      primaryKey: Seq[String] = Nil): Unit = disposition match {
+    case "append"  => batch.write.mode("append").parquet(path)
+    case "replace" => batch.write.mode("overwrite").parquet(path)
+    case "merge" =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(path)
+      val merged =
+        if (fs.exists(target)) merge(spark.read.parquet(path), batch, primaryKey)
+        else batch
+      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(target, true)
+      fs.rename(staging, target)
+    case other => throw new IllegalArgumentException(s"Unknown write_disposition: $other")
+  }
+}
