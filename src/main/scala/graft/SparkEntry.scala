@@ -3,9 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.RowFilters
+import graft.ops.{IncrementalModel, RowFilters, SchemaContract, Snapshot, Writer}
 import graft.ops.RowFilters._
-import graft.ops.Writer
 import graft.sources.{Incremental, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -15,6 +14,12 @@ import graft.sources.{Incremental, Tables}
   * DuckDB hash-compare is stable across engines.
   */
 object SparkEntry {
+
+  /** Epoch-ms of a (possibly NTZ) timestamp column; session tz is UTC
+    * so the cast is value-preserving. Matches DuckDB's epoch_ms().
+    */
+  private def epochMs(c: org.apache.spark.sql.Column) =
+    unix_millis(c.cast("timestamp"))
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
@@ -142,13 +147,148 @@ object SparkEntry {
       .orderBy("disposition")
   }
 
+  // ---------------------------------------------------------------
+  // q07 — schema contract `columns: evolve`: a later batch arrives
+  // with a new column; union-by-name backfills nulls. No shuffle —
+  // evolve is a metadata operation plus a scan.
+  // ---------------------------------------------------------------
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val batch1 = orders.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val batch2 = orders.filter(col("o_orderdate") >= cutoff)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    SchemaContract.evolveUnion(batch1, batch2)
+      .groupBy(col("o_orderpriority").isNotNull.cast("int").as("has_new_col"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("has_new_col")
+  }
+
+  // ---------------------------------------------------------------
+  // q08 — contracts freeze / discard_value / discard_row against a
+  // drifted batch (new column + uncastable values), as metric rows.
+  // ---------------------------------------------------------------
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    import SchemaContract._
+    val orders = t(s, dir, "orders")
+    val targetCols = orders.columns.toSeq
+    // drift: new column `extra_flag` (non-null on even keys) + type
+    // drift on o_custkey (stringified, uncastable on keys % 3 == 0)
+    val drifted = orders
+      .withColumn("extra_flag",
+        when(col("o_orderkey") % 2 === 0, lit(1)).otherwise(lit(null).cast("int")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 3 === 0,
+          concat(col("o_custkey").cast("string"), lit("x")))
+          .otherwise(col("o_custkey").cast("string")))
+    val types = Map("o_custkey" -> org.apache.spark.sql.types.LongType)
+
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
+
+    val colsDiscardRow = metric("columns_discard_row_rows",
+      applyColumns(targetCols, drifted, DiscardRow))
+    val colsDiscardValue = s.range(1)
+      .select(lit("columns_discard_value_cols").as("metric"),
+        lit(applyColumns(targetCols, drifted, DiscardValue).columns.length.toLong).as("value"))
+    val typeDiscardValue = metric("data_type_discard_value_nulls",
+      applyTypes(types, drifted, DiscardValue).filter(col("o_custkey").isNull))
+    val typeDiscardRow = metric("data_type_discard_row_rows",
+      applyTypes(types, drifted, DiscardRow))
+    val freezeViolations = typeViolations(types, drifted)
+      .select(lit("freeze_violations").as("metric"),
+        col("o_custkey_violations").as("value"))
+
+    colsDiscardRow.unionByName(colsDiscardValue).unionByName(typeDiscardValue)
+      .unionByName(typeDiscardRow).unionByName(freezeViolations)
+      .orderBy("metric")
+  }
+
+  // ---------------------------------------------------------------
+  // q09 — dbt incremental materialization, merge strategy: existing
+  // model state + a newer batch, upserted on unique_key. One PK
+  // shuffle; the is_incremental watermark is pushed into the scan.
+  // ---------------------------------------------------------------
+  private def latestPerCustomer(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), epochMs(col("o_orderdate")).as("last_ms"),
+        col("o_totalprice").as("price"))
+  }
+
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val existing = latestPerCustomer(orders.filter(col("o_orderdate") < cutoff))
+    val batch = latestPerCustomer(orders.filter(col("o_orderdate") >= cutoff))
+    IncrementalModel.run(existing, batch, Seq("o_custkey"),
+        IncrementalModel.Merge)
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q10 — SCD2 snapshot, timestamp strategy, applied twice (state at
+  // 1998-01-01, then the current state).
+  // ---------------------------------------------------------------
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+    def state(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("u"),
+          col("o_totalprice").as("price"))
+    }
+    val s1 = state(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+    val s2 = state(orders)
+    val snap1 = Snapshot.timestamp(None, s1, Seq("k"), "u")
+    val snap2 = Snapshot.timestamp(Some(snap1), s2, Seq("k"), "u")
+    snap2.select(col("k"),
+      epochMs(col(Snapshot.ValidFrom)).as("valid_from_ms"),
+      epochMs(col(Snapshot.ValidTo)).as("valid_to_ms"),
+      col("price"),
+      col(Snapshot.ValidTo).isNull.cast("int").as("is_current"))
+      .orderBy("k", "valid_from_ms")
+  }
+
+  // ---------------------------------------------------------------
+  // q11 — SCD2 snapshot, check strategy (check_cols change
+  // detection), run stamps passed explicitly for reproducibility.
+  // ---------------------------------------------------------------
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(max("o_totalprice"), 2).as("max_price"))
+    val s1 = state(orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+    val s2 = state(orders)
+    val snap1 = Snapshot.check(None, s1, Seq("k"), Seq("n_orders", "max_price"), lit(100L))
+    val snap2 = Snapshot.check(Some(snap1), s2, Seq("k"), Seq("n_orders", "max_price"), lit(200L))
+    snap2.select(col("k"), col("n_orders"), col("max_price"),
+      col(Snapshot.ValidFrom).as("valid_from"),
+      col(Snapshot.ValidTo).as("valid_to"),
+      col(Snapshot.ValidTo).isNull.cast("int").as("is_current"))
+      .orderBy("k", "valid_from")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_agg" -> (q01 _),
     "q02_filter_ops" -> (q02 _),
     "q03_join_star" -> (q03 _),
     "q04_incremental_cursor" -> (q04 _),
     "q05_merge_upsert" -> (q05 _),
-    "q06_replace_append" -> (q06 _))
+    "q06_replace_append" -> (q06 _),
+    "q07_schema_evolve" -> (q07 _),
+    "q08_schema_freeze_discard" -> (q08 _),
+    "q09_incremental_model" -> (q09 _),
+    "q10_scd2_snapshot" -> (q10 _),
+    "q11_scd2_check" -> (q11 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_full_scan_agg" ->
@@ -227,5 +367,92 @@ object SparkEntry {
         |    round(sum(o_totalprice), 2) AS sum_price
         |  FROM batch
         |)
-        |ORDER BY disposition""".stripMargin)
+        |ORDER BY disposition""".stripMargin,
+    "q07_schema_evolve" ->
+      """WITH b1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |), b2 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |SELECT CAST(o_orderpriority IS NOT NULL AS INT) AS has_new_col,
+        |  count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_schema_freeze_discard" ->
+      """SELECT * FROM (
+        |  SELECT 'columns_discard_row_rows' AS metric,
+        |    count(*) AS value FROM orders WHERE o_orderkey % 2 <> 0
+        |  UNION ALL SELECT 'columns_discard_value_cols', 6
+        |  UNION ALL SELECT 'data_type_discard_value_nulls', count(*)
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT 'data_type_discard_row_rows', count(*)
+        |    FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL SELECT 'freeze_violations', count(*)
+        |    FROM orders WHERE o_orderkey % 3 = 0
+        |) ORDER BY metric""".stripMargin,
+    "q09_incremental_model" ->
+      """WITH e AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) AS last_ms, o_totalprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1
+        |), b AS (
+        |  SELECT o_custkey, epoch_ms(o_orderdate) AS last_ms, o_totalprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM e WHERE o_custkey NOT IN (SELECT o_custkey FROM b)
+        |  UNION ALL SELECT * FROM b
+        |) ORDER BY o_custkey""".stripMargin,
+    "q10_scd2_snapshot" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS u, o_totalprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01')
+        |  WHERE rn = 1
+        |), s2 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS u, o_totalprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders)
+        |  WHERE rn = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT s1.k AS k, epoch_ms(s1.u) AS valid_from_ms,
+        |    epoch_ms(s2.u) AS valid_to_ms, s1.price AS price, 0 AS is_current
+        |  FROM s1 JOIN s2 ON s1.k = s2.k WHERE s2.u > s1.u
+        |  UNION ALL
+        |  SELECT k, epoch_ms(u), NULL, price, 1 FROM s2
+        |) ORDER BY k, valid_from_ms""".stripMargin,
+    "q11_scd2_check" ->
+      """WITH s1 AS (
+        |  SELECT o_custkey AS k, count(*) AS n_orders,
+        |    round(max(o_totalprice), 2) AS max_price
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+        |), s2 AS (
+        |  SELECT o_custkey AS k, count(*) AS n_orders,
+        |    round(max(o_totalprice), 2) AS max_price
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT s1.k AS k, s1.n_orders AS n_orders, s1.max_price AS max_price,
+        |    100 AS valid_from, 200 AS valid_to, 0 AS is_current
+        |  FROM s1 JOIN s2 ON s1.k = s2.k
+        |  WHERE s1.n_orders IS DISTINCT FROM s2.n_orders
+        |     OR s1.max_price IS DISTINCT FROM s2.max_price
+        |  UNION ALL
+        |  SELECT s2.k, s2.n_orders, s2.max_price,
+        |    CASE WHEN s1.k IS NULL
+        |           OR s1.n_orders IS DISTINCT FROM s2.n_orders
+        |           OR s1.max_price IS DISTINCT FROM s2.max_price
+        |         THEN 200 ELSE 100 END,
+        |    NULL, 1
+        |  FROM s2 LEFT JOIN s1 ON s1.k = s2.k
+        |) ORDER BY k, valid_from""".stripMargin)
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD2 snapshots — the reference's dbt snapshots with `timestamp`
+  * and `check` strategies (datanika `services/dbt_project.py:529-580`:
+  * unique_key, strategy, updated_at, check_cols).
+  *
+  * A snapshot application is one full-outer join between the open
+  * slice of the history and the new state, keyed on `unique_key` —
+  * a single hash shuffle, no iteration. History columns follow dbt:
+  * `valid_from`, `valid_to` (NULL = current row).
+  *
+  * Scale note: the closed slice of the history is untouched (it is
+  * unioned back without a shuffle), so repeated snapshot runs on a
+  * 100 TB history only shuffle the open rows + the new state.
+  */
+object Snapshot {
+  val ValidFrom = "valid_from"
+  val ValidTo = "valid_to"
+
+  /** timestamp strategy: a key is "changed" when the new state's
+    * `updatedAt` is strictly newer; `valid_from` of a version is its
+    * own `updatedAt` (dbt semantics).
+    */
+  def timestamp(
+      existing: Option[DataFrame],
+      current: DataFrame,
+      uniqueKey: Seq[String],
+      updatedAt: String): DataFrame =
+    apply(existing, current, uniqueKey,
+      changed = (o, c) => c(updatedAt) > o(updatedAt),
+      newValidFrom = c => c(updatedAt),
+      closeAt = c => c(updatedAt))
+
+  /** check strategy: a key is "changed" when any of `checkCols`
+    * differs (null-safe); versions are stamped with the run
+    * timestamp `runTs` (dbt uses the snapshot run's now()— passed
+    * explicitly here so runs are reproducible).
+    */
+  def check(
+      existing: Option[DataFrame],
+      current: DataFrame,
+      uniqueKey: Seq[String],
+      checkCols: Seq[String],
+      runTs: Column): DataFrame =
+    apply(existing, current, uniqueKey,
+      changed = (o, c) => !(struct(checkCols.map(o): _*) <=> struct(checkCols.map(c): _*)),
+      newValidFrom = _ => runTs,
+      closeAt = _ => runTs)
+
+  private def apply(
+      existing: Option[DataFrame],
+      current: DataFrame,
+      uniqueKey: Seq[String],
+      changed: (String => Column, String => Column) => Column,
+      newValidFrom: (String => Column) => Column,
+      closeAt: (String => Column) => Column): DataFrame = {
+
+    val payload = current.columns.toSeq
+    existing match {
+      case None =>
+        val withFrom = current.withColumn(ValidFrom, newValidFrom(c => col(c)))
+        withFrom.withColumn(ValidTo,
+          lit(null).cast(withFrom.schema(ValidFrom).dataType))
+      case Some(hist) =>
+        val open = hist.filter(col(ValidTo).isNull)
+        val closed = hist.filter(col(ValidTo).isNotNull)
+
+        // presence markers survive the outer join even if payload
+        // columns are legitimately null
+        val o = open.withColumn("__o", lit(1)).alias("o")
+        val c = current.withColumn("__c", lit(1)).alias("c")
+        def oc(name: String): Column = col(s"o.$name")
+        def cc(name: String): Column = col(s"c.$name")
+        val joinCond = uniqueKey.map(k => oc(k) <=> cc(k)).reduce(_ && _)
+        val j = o.join(c, joinCond, "full_outer")
+
+        val isChanged = oc("__o").isNotNull && cc("__c").isNotNull && changed(oc, cc)
+
+        val keptOpen = j
+          .filter(oc("__o").isNotNull && (cc("__c").isNull || !isChanged))
+          .select(payload.map(oc) :+ oc(ValidFrom) :+ oc(ValidTo): _*)
+          .toDF(payload :+ ValidFrom :+ ValidTo: _*)
+        val closedOld = j
+          .filter(isChanged)
+          .select(payload.map(oc) :+ oc(ValidFrom) :+ closeAt(cc).as(ValidTo): _*)
+          .toDF(payload :+ ValidFrom :+ ValidTo: _*)
+        val newOpen = j
+          .filter(cc("__c").isNotNull && (oc("__o").isNull || isChanged))
+          .select(payload.map(cc) :+ newValidFrom(cc).as(ValidFrom)
+            :+ lit(null).cast(open.schema(ValidFrom).dataType).as(ValidTo): _*)
+          .toDF(payload :+ ValidFrom :+ ValidTo: _*)
+
+        closed.unionByName(keptOpen).unionByName(closedOld).unionByName(newOpen)
+    }
+  }
+}
