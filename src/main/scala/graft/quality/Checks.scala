@@ -1,0 +1,70 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generic data tests — the reference's dbt test set {not_null,
+  * unique, accepted_values, relationships} (datanika
+  * `services/transformation_service.py:148-188` validates the config;
+  * dbt executes them as SQL).
+  *
+  * Each check compiles to one aggregate over the table — a partial
+  * (map-side) aggregation followed by a scalar, so a check on a
+  * 100 TB table is a single scan with pushed-down projection of the
+  * tested column only.
+  *
+  * Violation counts follow dbt's SQL semantics:
+  *  - not_null: rows where col IS NULL
+  *  - unique: distinct values occurring more than once
+  *  - accepted_values: rows where col NOT IN (...) (nulls pass,
+  *    as in SQL NOT IN)
+  *  - relationships: non-null child values with no matching parent
+  */
+object Checks {
+
+  def notNull(df: DataFrame, column: String): DataFrame =
+    result("not_null", column, df.filter(col(column).isNull).agg(count(lit(1))))
+
+  def unique(df: DataFrame, column: String): DataFrame =
+    result("unique", column,
+      df.filter(col(column).isNotNull)
+        .groupBy(col(column)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).agg(count(lit(1))))
+
+  def acceptedValues(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    result("accepted_values", column,
+      df.filter(!col(column).isin(values: _*)).agg(count(lit(1))))
+
+  def relationships(df: DataFrame, column: String, to: DataFrame, field: String): DataFrame = {
+    // broadcast the parent keyset when it is a dimension; Catalyst
+    // will still pick SMJ if the parent side is huge
+    val parents = to.select(col(field).as(column)).distinct()
+    result("relationships", column,
+      df.filter(col(column).isNotNull)
+        .join(parents, Seq(column), "left_anti")
+        .agg(count(lit(1))))
+  }
+
+  private def result(check: String, column: String, agg: DataFrame): DataFrame =
+    agg.select(lit(check).as("check_name"), lit(column).as("column_name"),
+      col(agg.columns.head).cast("long").as("violations"))
+
+  /** Run a tests_config-shaped map (column -> tests), mirroring the
+    * reference's per-column config dict. Returns one row per check.
+    */
+  def run(df: DataFrame, config: Map[String, Seq[CheckSpec]]): DataFrame =
+    config.toSeq.sortBy(_._1).flatMap { case (column, specs) =>
+      specs.map {
+        case NotNull => notNull(df, column)
+        case Unique => unique(df, column)
+        case AcceptedValues(vs) => acceptedValues(df, column, vs)
+        case Relationships(to, field) => relationships(df, column, to, field)
+      }
+    }.reduce(_.unionByName(_))
+
+  sealed trait CheckSpec
+  case object NotNull extends CheckSpec
+  case object Unique extends CheckSpec
+  final case class AcceptedValues(values: Seq[Any]) extends CheckSpec
+  final case class Relationships(to: DataFrame, field: String) extends CheckSpec
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, IntegerType, StringType, StructField, StructType}
+
+/** Data catalog introspection — the reference's CatalogService
+  * (`services/catalog_service.py:14-48` walks schemas/tables/columns
+  * of a destination and upserts catalog entries).
+  *
+  * Schema metadata comes from the parquet footers (no data scan);
+  * row counts come from file metadata via `count()` on an unprojected
+  * scan, which Spark answers from footer statistics.
+  */
+object Catalog {
+  private val schema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("ordinal", IntegerType, nullable = false),
+    StructField("data_type", StringType, nullable = false),
+    StructField("nullable", StringType, nullable = false),
+    StructField("table_rows", LongType, nullable = false)))
+
+  def introspect(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
+    val rows = tables.sorted.flatMap { t =>
+      val df = Tables.load(spark, dir, t)
+      val n = df.count()
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        Row(t, f.name, i, f.dataType.simpleString, f.nullable.toString, n)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the events table.
+  *
+  * The reference schedules batch pipeline runs (APScheduler cron,
+  * datanika `services/scheduler_integration.py`); the Spark-native
+  * generalization is a continuously-running stream with event-time
+  * watermarks — same transforms, incremental execution.
+  *
+  * `tumblingAgg` is written against a generic DataFrame so the SAME
+  * code path serves batch (verify/oracle) and readStream inputs —
+  * batch/stream parity by construction.
+  */
+object Streams {
+
+  /** events.parquet schema with ts as epoch-ns long (see Tables.load). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory (file source). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+  }
+
+  /** Tumbling 1-hour aggregation; works on batch and streaming
+    * frames alike (needs an `event_time` timestamp column).
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("hour_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  // --- streaming sessionization (incremental twin of ops.Sessionize) ---
+
+  final case class Event(user_id: Long, ts: Long, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long,
+      startTs: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_id: Long,
+      n_events: Long, start_ms: Long, end_ms: Long, sum_value: Double)
+
+  /** flatMapGroupsWithState sessionizer: emits a session when the gap
+    * to the next event exceeds `gapNs` (or on timeout in production).
+    * State per user is O(1) — only the open session's aggregates.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Event], gapNs: Long)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evts, state: GroupState[SessionState]) =>
+          val sorted = evts.toSeq.sortBy(_.ts)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            if (st.n == 0L || e.ts - st.lastTs > gapNs) {
+              if (st.n > 0L)
+                closed += SessionOut(user, st.sessionId, st.n,
+                  st.startTs / 1000000L, st.lastTs / 1000000L, st.sum)
+              st = SessionState(st.sessionId + 1, e.ts, e.ts, 1L, e.value)
+            } else {
+              st = st.copy(lastTs = e.ts, n = st.n + 1, sum = st.sum + e.value)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}
