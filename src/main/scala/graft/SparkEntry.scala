@@ -98,6 +98,7 @@ object SparkEntry {
   // ---------------------------------------------------------------
   // q04 — cursor incremental extract: the watermark predicate is
   // pushed into the scan (row-group skipping / partition pruning).
+  // First run ⇒ closed range on initial_value (dlt semantics).
   // ---------------------------------------------------------------
   private def q04(s: SparkSession, dir: String): DataFrame =
     Incremental
@@ -169,6 +170,8 @@ object SparkEntry {
   // ---------------------------------------------------------------
   // q08 — contracts freeze / discard_value / discard_row against a
   // drifted batch (new column + uncastable values), as metric rows.
+  // All five metrics derive from SchemaContract.violationProbe — ONE
+  // aggregate scan of the batch, not one scan per contract mode.
   // ---------------------------------------------------------------
   private def q08(s: SparkSession, dir: String): DataFrame = {
     import SchemaContract._
@@ -185,24 +188,22 @@ object SparkEntry {
           .otherwise(col("o_custkey").cast("string")))
     val types = Map("o_custkey" -> org.apache.spark.sql.types.LongType)
 
-    def metric(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("value")).select(lit(name).as("metric"), col("value"))
+    // metadata-only: DiscardValue's surviving column count
+    val keptCols = applyColumns(targetCols, drifted, DiscardValue).columns.length.toLong
 
-    val colsDiscardRow = metric("columns_discard_row_rows",
-      applyColumns(targetCols, drifted, DiscardRow))
-    val colsDiscardValue = s.range(1)
-      .select(lit("columns_discard_value_cols").as("metric"),
-        lit(applyColumns(targetCols, drifted, DiscardValue).columns.length.toLong).as("value"))
-    val typeDiscardValue = metric("data_type_discard_value_nulls",
-      applyTypes(types, drifted, DiscardValue).filter(col("o_custkey").isNull))
-    val typeDiscardRow = metric("data_type_discard_row_rows",
-      applyTypes(types, drifted, DiscardRow))
-    val freezeViolations = typeViolations(types, drifted)
-      .select(lit("freeze_violations").as("metric"),
-        col("o_custkey_violations").as("value"))
-
-    colsDiscardRow.unionByName(colsDiscardValue).unionByName(typeDiscardValue)
-      .unionByName(typeDiscardRow).unionByName(freezeViolations)
+    violationProbe(targetCols, types, drifted)
+      .select(explode(array(
+        struct(lit("columns_discard_row_rows").as("metric"),
+          (col("total_rows") - col("unknown_value_rows")).as("value")),
+        struct(lit("columns_discard_value_cols").as("metric"),
+          lit(keptCols).as("value")),
+        struct(lit("data_type_discard_value_nulls").as("metric"),
+          col("type_failed_rows").as("value")),
+        struct(lit("data_type_discard_row_rows").as("metric"),
+          (col("total_rows") - col("type_failed_rows")).as("value")),
+        struct(lit("freeze_violations").as("metric"),
+          col("type_failed_rows").as("value")))).as("r"))
+      .select("r.*")
       .orderBy("metric")
   }
 
@@ -332,7 +333,7 @@ object SparkEntry {
     "q04_incremental_cursor" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
         |FROM orders
-        |WHERE o_orderdate > TIMESTAMP '1999-06-01'
+        |WHERE o_orderdate >= TIMESTAMP '1999-06-01'
         |ORDER BY o_orderkey""".stripMargin,
     "q05_merge_upsert" ->
       """WITH existing AS (

@@ -88,6 +88,36 @@ object SchemaContract {
   private def tryCast(c: String, dt: DataType): Column =
     expr(s"try_cast(`$c` AS ${dt.sql})")
 
+  private def castFailed(c: String, dt: DataType): Column =
+    col(c).isNotNull && tryCast(c, dt).isNull
+
+  /** Single-pass violation probe across BOTH contract entities: one
+    * aggregate (one scan) answering "how many rows carry values in
+    * unknown columns" (columns entity) and "how many rows have
+    * uncastable values" (data_type entity), plus the total. All
+    * discard/freeze outcome counts derive arithmetically from these
+    * three numbers — a 100 TB batch is probed in one scan, not one
+    * scan per contract mode.
+    */
+  def violationProbe(
+      targetCols: Seq[String],
+      types: Map[String, DataType],
+      incoming: DataFrame): DataFrame = {
+    val known = targetCols.toSet
+    val unknown = incoming.columns.filterNot(known.contains).toSeq
+    val carriesValue: Column =
+      if (unknown.isEmpty) lit(false)
+      else unknown.map(c => col(c).isNotNull).reduce(_ || _)
+    val casts = types.toSeq.filter { case (c, _) => incoming.columns.contains(c) }
+    val anyFailed: Column =
+      if (casts.isEmpty) lit(false)
+      else casts.map { case (c, dt) => castFailed(c, dt) }.reduce(_ || _)
+    incoming.agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(carriesValue, 1L).otherwise(0L)).as("unknown_value_rows"),
+      sum(when(anyFailed, 1L).otherwise(0L)).as("type_failed_rows"))
+  }
+
   private def castAll(df: DataFrame, casts: Seq[(String, DataType)]): DataFrame =
     casts.foldLeft(df) { case (d, (c, dt)) => d.withColumn(c, tryCast(c, dt)) }
 

@@ -65,35 +65,42 @@ object Snapshot {
         withFrom.withColumn(ValidTo,
           lit(null).cast(withFrom.schema(ValidFrom).dataType))
       case Some(hist) =>
-        val open = hist.filter(col(ValidTo).isNull)
-        val closed = hist.filter(col(ValidTo).isNotNull)
+        // ONE pass over the whole history: the join condition matches
+        // current rows against OPEN history rows only (valid_to IS
+        // NULL), so closed rows flow through as unmatched-left.
+        // Each joined row then emits 1 output row (pass-through /
+        // unchanged / brand-new) or 2 (changed: close old + open new)
+        // via a single explode — the join subtree is planned and
+        // executed exactly once per snapshot application.
+        val vfType = hist.schema(ValidFrom).dataType
 
         // presence markers survive the outer join even if payload
         // columns are legitimately null
-        val o = open.withColumn("__o", lit(1)).alias("o")
+        val o = hist.withColumn("__o", lit(1)).alias("o")
         val c = current.withColumn("__c", lit(1)).alias("c")
         def oc(name: String): Column = col(s"o.$name")
         def cc(name: String): Column = col(s"c.$name")
-        val joinCond = uniqueKey.map(k => oc(k) <=> cc(k)).reduce(_ && _)
+        val joinCond =
+          uniqueKey.map(k => oc(k) <=> cc(k)).reduce(_ && _) && oc(ValidTo).isNull
         val j = o.join(c, joinCond, "full_outer")
 
-        val isChanged = oc("__o").isNotNull && cc("__c").isNotNull && changed(oc, cc)
+        val isChanged = changed(oc, cc)
 
-        val keptOpen = j
-          .filter(oc("__o").isNotNull && (cc("__c").isNull || !isChanged))
-          .select(payload.map(oc) :+ oc(ValidFrom) :+ oc(ValidTo): _*)
-          .toDF(payload :+ ValidFrom :+ ValidTo: _*)
-        val closedOld = j
-          .filter(isChanged)
-          .select(payload.map(oc) :+ oc(ValidFrom) :+ closeAt(cc).as(ValidTo): _*)
-          .toDF(payload :+ ValidFrom :+ ValidTo: _*)
-        val newOpen = j
-          .filter(cc("__c").isNotNull && (oc("__o").isNull || isChanged))
-          .select(payload.map(cc) :+ newValidFrom(cc).as(ValidFrom)
-            :+ lit(null).cast(open.schema(ValidFrom).dataType).as(ValidTo): _*)
-          .toDF(payload :+ ValidFrom :+ ValidTo: _*)
+        def rec(vals: Seq[Column]): Column =
+          struct(vals.zip(payload :+ ValidFrom :+ ValidTo)
+            .map { case (v, n) => v.as(n) }: _*)
+        val oldAsIs = rec(payload.map(oc) :+ oc(ValidFrom) :+ oc(ValidTo))
+        val closedOld = rec(payload.map(oc) :+ oc(ValidFrom) :+ closeAt(cc))
+        val newOpen = rec(payload.map(cc) :+ newValidFrom(cc)
+          :+ lit(null).cast(vfType))
 
-        closed.unionByName(keptOpen).unionByName(closedOld).unionByName(newOpen)
+        j.select(explode(
+            when(cc("__c").isNull, array(oldAsIs))       // closed or departed
+              .when(oc("__o").isNull, array(newOpen))    // brand-new key
+              .when(isChanged, array(closedOld, newOpen))
+              .otherwise(array(oldAsIs)))                // unchanged open
+            .as("r"))
+          .select("r.*")
     }
   }
 }

@@ -46,16 +46,28 @@ object Writer {
     case "append"  => batch.write.mode("append").parquet(path)
     case "replace" => batch.write.mode("overwrite").parquet(path)
     case "merge" =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val target = new org.apache.hadoop.fs.Path(path)
+      import org.apache.hadoop.fs.Path
+      val target = new Path(path)
+      // path-scheme-aware FS (s3a:// target must not resolve against
+      // a file:// or hdfs:// defaultFS)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val merged =
         if (fs.exists(target)) merge(spark.read.parquet(path), batch, primaryKey)
         else batch
-      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+      val staging = new Path(path + ".staging")
       merged.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(target, true)
-      fs.rename(staging, target)
+      // swap via rename-aside: the old table survives until the new
+      // one is in place, so a crash mid-swap never loses the target
+      val old = new Path(path + ".old")
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadTarget = fs.exists(target)
+      if (hadTarget && !fs.rename(target, old))
+        throw new java.io.IOException(s"merge swap: rename $target -> $old failed")
+      if (!fs.rename(staging, target)) {
+        if (hadTarget) fs.rename(old, target) // restore
+        throw new java.io.IOException(s"merge swap: rename $staging -> $target failed")
+      }
+      if (hadTarget) fs.delete(old, true)
     case other => throw new IllegalArgumentException(s"Unknown write_disposition: $other")
   }
 }

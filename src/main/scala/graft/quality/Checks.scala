@@ -49,18 +49,61 @@ object Checks {
     agg.select(lit(check).as("check_name"), lit(column).as("column_name"),
       col(agg.columns.head).cast("long").as("violations"))
 
+  private val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("check_name",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("column_name",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("violations",
+      org.apache.spark.sql.types.LongType)))
+
   /** Run a tests_config-shaped map (column -> tests), mirroring the
     * reference's per-column config dict. Returns one row per check.
+    *
+    * Scan discipline: every not_null / accepted_values check across
+    * ALL columns compiles into ONE aggregate pass (conditional sums)
+    * — a 10-check config is one scan of the table, not 10. `unique`
+    * needs a per-column groupBy (one extra pass per unique-checked
+    * column) and `relationships` an anti-join per parent — those are
+    * irreducible shuffles, not extra scans of unrelated columns.
     */
-  def run(df: DataFrame, config: Map[String, Seq[CheckSpec]]): DataFrame =
-    config.toSeq.sortBy(_._1).flatMap { case (column, specs) =>
-      specs.map {
-        case NotNull => notNull(df, column)
+  def run(df: DataFrame, config: Map[String, Seq[CheckSpec]]): DataFrame = {
+    val ordered = config.toSeq.sortBy(_._1)
+
+    // (check_name, column, conditional-count expression) — fused scan
+    val scalar = ordered.flatMap { case (column, specs) =>
+      specs.collect {
+        case NotNull =>
+          ("not_null", column, sum(when(col(column).isNull, 1L).otherwise(0L)))
+        case AcceptedValues(vs) =>
+          ("accepted_values", column,
+            sum(when(!col(column).isin(vs: _*), 1L).otherwise(0L)))
+      }
+    }
+    val fused: Option[DataFrame] =
+      if (scalar.isEmpty) None
+      else {
+        val aggd = df.agg(scalar.head._3.as("c0"),
+          scalar.tail.zipWithIndex.map { case ((_, _, e), i) => e.as(s"c${i + 1}") }: _*)
+        val rows = scalar.zipWithIndex.map { case ((check, column, _), i) =>
+          struct(lit(check).as("check_name"), lit(column).as("column_name"),
+            coalesce(col(s"c$i"), lit(0L)).cast("long").as("violations"))
+        }
+        Some(aggd.select(explode(array(rows: _*)).as("r")).select("r.*"))
+      }
+
+    val grouped = ordered.flatMap { case (column, specs) =>
+      specs.collect {
         case Unique => unique(df, column)
-        case AcceptedValues(vs) => acceptedValues(df, column, vs)
         case Relationships(to, field) => relationships(df, column, to, field)
       }
-    }.reduce(_.unionByName(_))
+    }
+
+    (fused.toSeq ++ grouped)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), resultSchema))
+  }
 
   sealed trait CheckSpec
   case object NotNull extends CheckSpec

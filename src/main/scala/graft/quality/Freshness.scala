@@ -32,7 +32,11 @@ object Freshness {
       col("max_ms"),
       ((lit(asOfMs) - col("max_ms")) / 1000).cast("long").as("age_s"))
       .withColumn("status",
-        when(col("age_s") > errorAfterS, Error)
+        // a never-loaded source (max(loaded_at) IS NULL) is an error,
+        // matching dbt — without this branch every when() is false
+        // and an empty table silently passes
+        when(col("max_ms").isNull, Error)
+          .when(col("age_s") > errorAfterS, Error)
           .when(col("age_s") > warnAfterS, Warn)
           .otherwise(Pass))
   }

@@ -21,14 +21,26 @@ object Catalog {
     StructField("table_rows", LongType, nullable = false)))
 
   def introspect(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
-    val rows = tables.sorted.flatMap { t =>
-      val df = Tables.load(spark, dir, t)
-      val n = df.count()
-      df.schema.fields.zipWithIndex.map { case (f, i) =>
-        Row(t, f.name, i, f.dataType.simpleString, f.nullable.toString, n)
-      }
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
+    // Per-table row counts are independent Spark jobs — submit them
+    // concurrently from the driver (Spark's scheduler interleaves
+    // them) instead of a sequential loop; a 10k-table lake then runs
+    // at scheduler throughput, not sum-of-latencies. Each count() is
+    // answered from parquet footer statistics, not a data scan.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rows = Await.result(
+      Future.sequence(tables.sorted.map { t =>
+        Future {
+          val df = Tables.load(spark, dir, t)
+          val n = df.count()
+          df.schema.fields.zipWithIndex.map { case (f, i) =>
+            Row(t, f.name, i, f.dataType.simpleString, f.nullable.toString, n)
+          }.toSeq
+        }
+      }), Duration.Inf).flatten
+    val jrows = new java.util.ArrayList[Row]()
+    rows.foreach(jrows.add)
+    spark.createDataFrame(jrows, schema)
   }
 }

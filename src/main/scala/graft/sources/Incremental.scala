@@ -17,22 +17,30 @@ import org.apache.spark.sql.functions._
 object Incremental {
   final case class State(lastValue: Option[Any])
 
-  /** Rows strictly above the watermark (dlt's open interval on
-    * re-runs), ordered by the cursor if `row_order` was requested.
+  /** dlt range semantics: the FIRST run is closed on `initial_value`
+    * (>=, dlt fetches the initial row); subsequent runs resume
+    * strictly above the persisted `last_value` (rows equal to the
+    * watermark were already loaded and deduplicated by dlt's hash —
+    * re-expressed here as an open interval). `row_order` is a GLOBAL
+    * ordering of the extracted stream (dlt uses it for
+    * descending-cursor early termination) — a total orderBy, which
+    * Spark executes as one range-partitioned sort.
     */
   def extract(
       df: DataFrame,
       cursorPath: String,
       initialValue: Option[Any] = None,
+      lastValue: Option[Any] = None,
       rowOrder: Option[String] = None): DataFrame = {
     val cur: Column = col(cursorPath)
-    val bounded = initialValue match {
-      case Some(v) => df.filter(cur > lit(v))
-      case None    => df.filter(cur.isNotNull)
+    val bounded = (lastValue, initialValue) match {
+      case (Some(lv), _) => df.filter(cur > lit(lv))
+      case (None, Some(iv)) => df.filter(cur >= lit(iv))
+      case (None, None) => df.filter(cur.isNotNull)
     }
     rowOrder match {
-      case Some("asc")  => bounded.sortWithinPartitions(cur.asc)
-      case Some("desc") => bounded.sortWithinPartitions(cur.desc)
+      case Some("asc")  => bounded.orderBy(cur.asc)
+      case Some("desc") => bounded.orderBy(cur.desc)
       case Some(other)  => throw new IllegalArgumentException(s"row_order must be asc|desc, got $other")
       case None         => bounded
     }
@@ -44,5 +52,26 @@ object Incremental {
   def nextState(df: DataFrame, cursorPath: String): State = {
     val row = df.agg(max(col(cursorPath))).head()
     State(if (row.isNullAt(0)) None else Some(row.get(0)))
+  }
+
+  /** Persist the pipeline watermark between runs (dlt keeps pipeline
+    * state across invocations; here it is a one-row parquet in the
+    * cursor column's own type, so load round-trips losslessly).
+    */
+  def saveState(df: DataFrame, cursorPath: String, statePath: String): Unit =
+    df.agg(max(col(cursorPath)).as("last_value"))
+      .coalesce(1).write.mode("overwrite").parquet(statePath)
+
+  /** Load the persisted watermark; None when no state exists yet
+    * (first run) or the stored value is null.
+    */
+  def loadState(spark: org.apache.spark.sql.SparkSession, statePath: String): State = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) State(None)
+    else {
+      val row = spark.read.parquet(statePath).head()
+      State(if (row.isNullAt(0)) None else Some(row.get(0)))
+    }
   }
 }

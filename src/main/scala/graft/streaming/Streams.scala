@@ -55,33 +55,50 @@ object Streams {
   final case class SessionOut(user_id: Long, session_id: Long,
       n_events: Long, start_ms: Long, end_ms: Long, sum_value: Double)
 
-  /** flatMapGroupsWithState sessionizer: emits a session when the gap
-    * to the next event exceeds `gapNs` (or on timeout in production).
-    * State per user is O(1) — only the open session's aggregates.
+  /** flatMapGroupsWithState sessionizer with EVENT-TIME TIMEOUT: a
+    * user's open session is flushed when the watermark passes
+    * last-event + gap, so quiet users emit their final session and
+    * their state is dropped (bounded state store). Callers must set
+    * `withWatermark` on an `event_time` column upstream; per
+    * micro-batch the group's events are sorted (bounded by trigger
+    * size — late data beyond the watermark is already dropped), and
+    * state per user stays O(1): only the open session's aggregates.
     */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[Event], gapNs: Long)(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[SessionOut] = {
     import spark.implicits._
+    val gapMs = gapNs / 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, evts, state: GroupState[SessionState]) =>
-          val sorted = evts.toSeq.sortBy(_.ts)
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (e <- sorted) {
-            if (st.n == 0L || e.ts - st.lastTs > gapNs) {
-              if (st.n > 0L)
-                closed += SessionOut(user, st.sessionId, st.n,
-                  st.startTs / 1000000L, st.lastTs / 1000000L, st.sum)
-              st = SessionState(st.sessionId + 1, e.ts, e.ts, 1L, e.value)
-            } else {
-              st = st.copy(lastTs = e.ts, n = st.n + 1, sum = st.sum + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the open session is final
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.sessionId, st.n,
+              st.startTs / 1000000L, st.lastTs / 1000000L, st.sum))
+          } else {
+            val sorted = evts.toArray
+            java.util.Arrays.sort(sorted, Ordering.by((e: Event) => e.ts))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (e <- sorted) {
+              if (st.n == 0L || e.ts - st.lastTs > gapNs) {
+                if (st.n > 0L)
+                  closed += SessionOut(user, st.sessionId, st.n,
+                    st.startTs / 1000000L, st.lastTs / 1000000L, st.sum)
+                st = SessionState(st.sessionId + 1, e.ts, e.ts, 1L, e.value)
+              } else {
+                st = st.copy(lastTs = e.ts, n = st.n + 1, sum = st.sum + e.value)
+              }
             }
+            state.update(st)
+            if (st.n > 0L)
+              state.setTimeoutTimestamp(st.lastTs / 1000000L + gapMs)
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 }
