@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IncrementalModel, RowFilters, SchemaContract, Snapshot, Writer}
+import graft.ops.{IncrementalModel, RowFilters, SchemaContract, Sessionize, Snapshot, Writer}
 import graft.ops.RowFilters._
-import graft.sources.{Incremental, Tables}
+import graft.quality.{Checks, Freshness}
+import graft.sources.{Catalog, FileSource, Incremental, Tables}
+import graft.dag.Dag
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -278,6 +281,166 @@ object SparkEntry {
       .orderBy("k", "valid_from")
   }
 
+  // ---------------------------------------------------------------
+  // q12 — generic data tests not_null + unique (dbt test set). The
+  // not_null checks fuse into one scan; unique is one groupBy per
+  // tested column.
+  // ---------------------------------------------------------------
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    Checks.run(orders, Map(
+      "o_orderkey" -> Seq(Checks.NotNull, Checks.Unique),
+      "o_custkey" -> Seq(Checks.NotNull, Checks.Unique),
+      "o_orderstatus" -> Seq(Checks.NotNull)))
+      .orderBy("check_name", "column_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q13 — accepted_values + relationships (FK orphans). The parent
+  // keyset is distinct-projected; orphan counting is one anti-join.
+  // ---------------------------------------------------------------
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val lineitem = t(s, dir, "lineitem")
+    // restrict the parent set so orphans exist (post-1998 orders are
+    // "not yet loaded" parents)
+    val loadedOrders = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val onOrders = Checks.run(orders, Map(
+      "o_orderstatus" -> Seq(Checks.AcceptedValues(Seq("O", "F"))),
+      "o_custkey" -> Seq(Checks.Relationships(customer, "c_custkey"))))
+    val onLineitem = Checks.run(lineitem, Map(
+      "l_orderkey" -> Seq(Checks.Relationships(loadedOrders, "o_orderkey"))))
+    onOrders.unionByName(onLineitem).orderBy("check_name", "column_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q14 — source freshness: one max() aggregate per source vs
+  // warn_after/error_after, pinned as-of for reproducibility.
+  // ---------------------------------------------------------------
+  private val FreshAsOfMs = 1707955200000L // 2024-02-15T00:00:00Z
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val events = Freshness.check(t(s, dir, "events"), "events",
+      expr("ts div 1000000"), FreshAsOfMs, 20 * day, 30 * day)
+    val orders = Freshness.check(t(s, dir, "orders"), "orders",
+      epochMs(col("o_orderdate")), FreshAsOfMs, 7000 * day, 8500 * day)
+    val lineitem = Freshness.check(t(s, dir, "lineitem"), "lineitem",
+      epochMs(col("l_shipdate")), FreshAsOfMs, 3000 * day, 8000 * day)
+    events.unionByName(orders).unionByName(lineitem).orderBy("table_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q15 — CSV + JSON ingestion: round-trip two dims through csv/json
+  // files (written to a scratch dir), read them back through
+  // FileSource with explicit schemas, snake_case-normalize, join+agg.
+  // ---------------------------------------------------------------
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val scratch = s"/root/repo/target/scratch/q15_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val nation = t(s, dir, "nation")
+    val region = t(s, dir, "region")
+    nation.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$scratch/nation_csv")
+    region.coalesce(1).write.mode("overwrite").json(s"$scratch/region_json")
+    val nCsv = FileSource.normalizeColumns(
+      FileSource.read(s, "csv", s"$scratch/nation_csv", schema = Some(nation.schema)))
+    val rJson = FileSource.normalizeColumns(
+      FileSource.read(s, "json", s"$scratch/region_json", schema = Some(region.schema)))
+    nCsv.join(broadcast(rJson), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q16 — catalog introspection over every table in the dir
+  // (schema from parquet footers, counts from footer statistics).
+  // ---------------------------------------------------------------
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Catalog.introspect(s, dir, Tables.names)
+      .orderBy("table_name", "ordinal")
+
+  // ---------------------------------------------------------------
+  // q17 — the SQL-editor path: register all tables as views and run
+  // user SQL verbatim. The SAME string is the DuckDB oracle.
+  // ---------------------------------------------------------------
+  private val Q17Sql =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(Q17Sql)
+  }
+
+  // ---------------------------------------------------------------
+  // q18 — DAG of chained models (staging → fact → summary) built and
+  // topologically executed; the composed plan is ONE Catalyst tree,
+  // so the optimizer sees through model boundaries.
+  // ---------------------------------------------------------------
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val models = Seq(
+      Dag.Model("stg_orders", Nil,
+        _ => t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))),
+      Dag.Model("stg_lineitem", Nil,
+        _ => t(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")),
+      Dag.Model("fct_sales", Seq("stg_orders", "stg_lineitem"),
+        m => m("stg_lineitem")
+          .join(m("stg_orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))),
+      Dag.Model("summary", Seq("fct_sales"),
+        m => m("fct_sales")
+          .groupBy(col("n_items"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("revenue")), 2).as("total_rev"))))
+    Dag.run(models)("summary").orderBy("n_items")
+  }
+
+  // ---------------------------------------------------------------
+  // q19 — window functions: rank + running sum per customer. Both
+  // windows share one partitioning → a single Exchange+Sort.
+  // ---------------------------------------------------------------
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rk"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  // ---------------------------------------------------------------
+  // q20 — gap sessionization (30-min gap) over the events stream,
+  // batch form; the streaming twin shares the same semantics.
+  // ---------------------------------------------------------------
+  private val SessionGapNs = 1800L * 1000000000L
+
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Sessionize(t(s, dir, "events"), SessionGapNs)
+      .orderBy("user_id", "session_id")
+
+  // ---------------------------------------------------------------
+  // q21 — tumbling 1-hour window aggregation, batch/stream-parity
+  // shape (same tumblingAgg serves readStream inputs).
+  // ---------------------------------------------------------------
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    Streams.tumblingAgg(events).orderBy("hour_ms", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_full_scan_agg" -> (q01 _),
     "q02_filter_ops" -> (q02 _),
@@ -289,7 +452,17 @@ object SparkEntry {
     "q08_schema_freeze_discard" -> (q08 _),
     "q09_incremental_model" -> (q09 _),
     "q10_scd2_snapshot" -> (q10 _),
-    "q11_scd2_check" -> (q11 _))
+    "q11_scd2_check" -> (q11 _),
+    "q12_test_not_null_unique" -> (q12 _),
+    "q13_test_accepted_relationships" -> (q13 _),
+    "q14_source_freshness" -> (q14 _),
+    "q15_csv_json_ingest" -> (q15 _),
+    "q16_catalog_introspect" -> (q16 _),
+    "q17_sql_editor" -> (q17 _),
+    "q18_dag_topo_run" -> (q18 _),
+    "q19_window_funcs" -> (q19 _),
+    "q20_sessionize" -> (q20 _),
+    "q21_stream_tumbling" -> (q21 _))
 
   def oracleSql: Map[String, String] = Map(
     "q01_full_scan_agg" ->
@@ -455,5 +628,98 @@ object SparkEntry {
         |         THEN 200 ELSE 100 END,
         |    NULL, 1
         |  FROM s2 LEFT JOIN s1 ON s1.k = s2.k
-        |) ORDER BY k, valid_from""".stripMargin)
+        |) ORDER BY k, valid_from""".stripMargin,
+    "q12_test_not_null_unique" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null' AS check_name, 'o_orderkey' AS column_name,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS violations
+        |  FROM orders
+        |  UNION ALL SELECT 'not_null', 'o_custkey',
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'not_null', 'o_orderstatus',
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL SELECT 'unique', 'o_orderkey',
+        |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |      WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL SELECT 'unique', 'o_custkey',
+        |    (SELECT count(*) FROM (SELECT o_custkey FROM orders
+        |      WHERE o_custkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1))
+        |) ORDER BY check_name, column_name""".stripMargin,
+    "q13_test_accepted_relationships" ->
+      """SELECT * FROM (
+        |  SELECT 'accepted_values' AS check_name, 'o_orderstatus' AS column_name,
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS violations
+        |  FROM orders
+        |  UNION ALL SELECT 'relationships', 'o_custkey',
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'relationships', 'l_orderkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |        WHERE o_orderdate < TIMESTAMP '1998-01-01'))
+        |) ORDER BY check_name, column_name""".stripMargin,
+    "q14_source_freshness" ->
+      """WITH f AS (
+        |  SELECT 'events' AS table_name, max(epoch_ms(ts)) AS max_ms,
+        |    1728000 AS warn_s, 2592000 AS err_s FROM events
+        |  UNION ALL SELECT 'orders', max(epoch_ms(o_orderdate)),
+        |    604800000, 734400000 FROM orders
+        |  UNION ALL SELECT 'lineitem', max(epoch_ms(l_shipdate)),
+        |    259200000, 691200000 FROM lineitem
+        |)
+        |SELECT table_name, max_ms,
+        |  (1707955200000 - max_ms) // 1000 AS age_s,
+        |  CASE WHEN max_ms IS NULL THEN 'error'
+        |       WHEN (1707955200000 - max_ms) // 1000 > err_s THEN 'error'
+        |       WHEN (1707955200000 - max_ms) // 1000 > warn_s THEN 'warn'
+        |       ELSE 'pass' END AS status
+        |FROM f ORDER BY table_name""".stripMargin,
+    "q15_csv_json_ingest" ->
+      """SELECT r_name, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q17_sql_editor" -> Q17Sql,
+    "q18_dag_topo_run" ->
+      """WITH stg_orders AS (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |), fct AS (
+        |  SELECT o_custkey, count(*) AS n_items,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN stg_orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey
+        |)
+        |SELECT n_items, count(*) AS n_customers,
+        |  round(sum(revenue), 2) AS total_rev
+        |FROM fct GROUP BY n_items ORDER BY n_items""".stripMargin,
+    "q19_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS rk,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, rk""".stripMargin,
+    "q20_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_ns(ts)) // 1000000 AS start_ms,
+        |  max(epoch_ns(ts)) // 1000000 AS end_ms,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q21_stream_tumbling" ->
+      """SELECT (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS hour_ms,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin)
 }
