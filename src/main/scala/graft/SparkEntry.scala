@@ -462,7 +462,7 @@ object SparkEntry {
     "q18_dag_topo_run" -> (q18 _),
     "q19_window_funcs" -> (q19 _),
     "q20_sessionize" -> (q20 _),
-    "q21_stream_tumbling" -> (q21 _))
+    "q21_stream_tumbling" -> (q21 _)) ++ PipelineEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q01_full_scan_agg" ->
@@ -721,5 +721,6 @@ object SparkEntry {
     "q21_stream_tumbling" ->
       """SELECT (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS hour_ms,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin) ++
+    PipelineEntry.oracleSql
 }

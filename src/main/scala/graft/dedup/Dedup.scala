@@ -1,0 +1,292 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Document deduplication for LLM training-data pipelines: exact
+  * (content hash), MinHash+LSH (Broder'97 resemblance sketches with
+  * banding), SimHash (Charikar'02 via Manku et al.'s chunk
+  * pigeonhole), n-gram Jaccard (prefix-filter set-similarity join,
+  * Chaudhuri et al. SSJoin / Bayardo AllPairs), and embedding-cosine
+  * near-dup through random-hyperplane buckets.
+  *
+  * Scale contract shared by every operator here: NO all-pairs join
+  * ever materializes. Candidate generation is linear (per-row
+  * sketches + explode), pairing happens only inside hash buckets
+  * whose size is capped (`maxBucket` — a degenerate bucket, e.g. the
+  * empty document, would otherwise quadratically explode), and exact
+  * verification runs only on candidates. Every shuffle is keyed on
+  * bucket keys or doc ids, so a 1000-executor cluster partitions
+  * evenly.
+  */
+object Dedup {
+
+  // ----------------------------------------------------------------
+  // exact dedup — q22
+  // ----------------------------------------------------------------
+
+  /** One row per distinct content: the survivor (min id) and the
+    * multiplicity. Grouping key is xxhash64(content) so the shuffle
+    * carries 8-byte keys, not document bodies — at 100 TB the
+    * exchange is ~10⁻⁵ of the input. (A 64-bit collision across a
+    * trillion docs is possible; production pairs it with a
+    * length check, as here.)
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"),
+        length(col(textCol)).as("content_len"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  // ----------------------------------------------------------------
+  // shingles + MinHash — q23
+  // ----------------------------------------------------------------
+
+  /** Distinct word k-shingles, lowercased. Pure per-row expression
+    * work (no shuffle). Documents shorter than k words collapse to a
+    * single whole-document shingle.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** MinHash signature: element s is min over shingles of
+    * xxhash64(shingle, s) — the seed rides along as a hashed column,
+    * giving `numHashes` independent hash families without UDFs.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingles, sh => xxhash64(sh, s))))
+
+  /** LSH banding of a signature: array of (band_id, band_hash) where
+    * band_hash covers `rowsPerBand` consecutive signature slots.
+    */
+  def signatureBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array(Seq.tabulate(bands) { i =>
+      struct(lit(i).as("band_id"),
+        xxhash64(lit(i), slice(sig, i * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash"))
+    }: _*)
+
+  /** Near-duplicate pairs by MinHash-LSH, verified with exact Jaccard
+    * on the shingle sets. Returns (a, b, jaccard), a < b.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), shingleK).as("sh"))
+    val banded = base
+      .select(col("doc_id"),
+        explode(signatureBands(
+          minhashSignature(col("sh"), numHashes), bands, numHashes / bands))
+          .as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val capped = capBuckets(banded, Seq("band_id", "band_hash"), maxBucket)
+
+    val cand = bucketPairs(capped, Seq("band_id", "band_hash"))
+    verifyJaccard(cand, base, tau)
+  }
+
+  /** Drop rows in buckets larger than `maxBucket` — the salt/cap
+    * guard against degenerate keys. One windowed count over the
+    * bucket partitioning (same shuffle the pair join needs anyway).
+    */
+  private[dedup] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+  }
+
+  /** Within-bucket candidate pairs (a < b), deduplicated across
+    * buckets. The join is keyed on the bucket columns — never a
+    * cross join.
+    */
+  private[dedup] def bucketPairs(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col) :+ col("doc_id").as("a"): _*)
+      .join(df.select(keys.map(col) :+ col("doc_id").as("b"): _*), keys)
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+
+  private def verifyJaccard(cand: DataFrame, base: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= tau)
+      .select("a", "b", "jaccard")
+
+  // ----------------------------------------------------------------
+  // SimHash — q24
+  // ----------------------------------------------------------------
+
+  private val BitMasks: Seq[Long] = Seq.tabulate(64)(1L << _)
+
+  /** 64-bit SimHash over lowercased whitespace tokens: per token,
+    * each bit of xxhash64(token) votes ±1; fingerprint bit = sign of
+    * the tally. Entirely per-row `aggregate`/`zip_with` — no shuffle,
+    * no UDF. Disjoint-bit summation assembles the long without
+    * overflow (each addition touches one fresh bit).
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val masks = typedlit(BitMasks)
+    val tally = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, masks,
+        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(tally, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Near-duplicate pairs with Hamming distance ≤ `maxHamming`,
+    * found via the chunk pigeonhole (Manku/Jain/Sarma WWW'07): split
+    * the 64-bit fingerprint into `maxHamming + 1` chunks — any pair
+    * within distance d must agree on ≥ 1 chunk — bucket on
+    * (chunk_id, chunk_val), verify with bit_count(xor).
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    val chunks = maxHamming + 1
+    require(64 % chunks == 0, s"64 bits not divisible into $chunks chunks")
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+
+    val fps = docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("fp"))
+    val chunked = fps.select(col("doc_id"), col("fp"),
+      explode(array(Seq.tabulate(chunks) { i =>
+        struct(lit(i).as("chunk_id"),
+          shiftright(col("fp"), i * width).bitwiseAND(lit(mask)).as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("fp"), col("c.chunk_id"), col("c.chunk_val"))
+    val capped = capBuckets(chunked, Seq("chunk_id", "chunk_val"), maxBucket)
+
+    capped.select(col("chunk_id"), col("chunk_val"),
+        col("doc_id").as("a"), col("fp").as("fp_a"))
+      .join(capped.select(col("chunk_id"), col("chunk_val"),
+        col("doc_id").as("b"), col("fp").as("fp_b")), Seq("chunk_id", "chunk_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(fp_a ^ fp_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ----------------------------------------------------------------
+  // n-gram Jaccard via prefix filtering — q25
+  // ----------------------------------------------------------------
+
+  /** Distinct character n-grams. Per-row expression work only. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) <= n, array(t))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(t) - n + 1),
+        i => t.substr(i, lit(n)))))
+  }
+
+  /** Exact set-similarity self-join at Jaccard ≥ tau using PREFIX
+    * FILTERING (SSJoin/AllPairs/PPJoin): order every doc's gram set
+    * by ascending document frequency (any global total order is
+    * exact — no false negatives by the prefix-filter theorem;
+    * RARE-FIRST is what keeps candidate buckets small, since common
+    * grams then land in the non-joined suffix), keep only the first
+    * |S| - ceil(tau·|S|) + 1 grams, join on shared prefix grams,
+    * and verify candidates with exact Jaccard.
+    *
+    * Cost: one explode+groupBy for the df table, one join to rank,
+    * one groupBy to rebuild sorted sets, then bucket-keyed pairing —
+    * all linear in Σ|prefix|; never all-pairs.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tau: Double = 0.8,
+      maxBucket: Int = 200,
+      charGrams: Boolean = false): DataFrame = {
+    // word n-grams by default: their df distribution is Zipf-sparse
+    // (median df ≈ 1 here), so rare-first prefixes stay in small
+    // buckets; char n-grams (charGrams=true) suit CJK/no-whitespace
+    // corpora but are denser per doc.
+    val featurize: Column => Column =
+      if (charGrams) charNgrams(_, n) else wordShingles(_, n)
+    val base = docs.select(col(idCol).as("doc_id"),
+      featurize(col(textCol)).as("sh"))
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val vocab = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    // rebuild each doc's set sorted by (df asc, gram) — the global order
+    val sorted = exploded.join(vocab, "gram")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sorted"))
+    val prefix = sorted.select(col("doc_id"),
+      explode(slice(col("sorted"), lit(1),
+        greatest(size(col("sorted"))
+          - ceil(lit(tau) * size(col("sorted"))).cast("int") + 1, lit(1))))
+        .as("g"))
+      .select(col("doc_id"), col("g.gram").as("gram"))
+    val capped = capBuckets(prefix, Seq("gram"), maxBucket)
+    val cand = bucketPairs(capped, Seq("gram"))
+    verifyJaccard(cand, base, tau)
+  }
+
+  // ----------------------------------------------------------------
+  // embedding-cosine near-dup — q26
+  // ----------------------------------------------------------------
+
+  /** Cosine ≥ tau pairs through random-hyperplane LSH buckets:
+    * `bits`-bit sign code, split into `bands` (OR-amplified), exact
+    * cosine verification on bucket-mates only.
+    */
+  def embeddingPairs(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double = 0.95,
+      bits: Int = 16,
+      bands: Int = 2,
+      dim: Int = 64,
+      maxBucket: Int = 200): DataFrame = {
+    val planes = VectorOps.hyperplanes(bits, dim)
+    val coded = vecs.select(col(idCol).as("doc_id"), col(vecCol).as("v"),
+      explode(VectorOps.codeBands(
+        VectorOps.signCode(col(vecCol), planes), bits, bands)).as("b"))
+      .select(col("doc_id"), col("v"), col("b.band_id"), col("b.band_val"))
+    val capped = capBuckets(coded, Seq("band_id", "band_val"), maxBucket)
+
+    capped.select(col("band_id"), col("band_val"),
+        col("doc_id").as("a"), col("v").as("v_a"))
+      .join(capped.select(col("band_id"), col("band_val"),
+        col("doc_id").as("b"), col("v").as("v_b")), Seq("band_id", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorOps.cosine(col("v_a"), col("v_b")), 4).as("cos"))
+      .distinct()
+      .filter(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure `functions._`
+  * compositions (codegen'd, no UDFs), and all expressible in ANSI-ish
+  * SQL so the DuckDB oracle can reproduce them bit-for-bit:
+  * substring-occurrence counts use length/replace arithmetic (not
+  * engine-specific regex), and the rolling hash uses ascii(substr)
+  * with modular arithmetic that never overflows a signed 64-bit int.
+  */
+object TextAnalysis {
+
+  /** # of occurrences of literal `s` in `text` via replace-length
+    * arithmetic — identical semantics in every SQL engine.
+    */
+  def substrCount(text: Column, s: String): Column =
+    ((length(text) - length(replace(text, lit(s), lit("")))) / s.length)
+      .cast("long")
+
+  /** ' '-padded lowercase text, so word-boundary markers like
+    * " the " match at string edges too.
+    */
+  def padded(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  /** whitespace token count on single-space text:
+    * (#separators + 1) computed by replace-length arithmetic.
+    */
+  def wsTokenCount(text: Column): Column =
+    (length(trim(text)) - length(replace(trim(text), lit(" "), lit(""))) + 1)
+      .cast("long")
+
+  // ------------------------------------------------------------
+  // language ID — stopword-marker heuristic (q29)
+  // ------------------------------------------------------------
+
+  /** Marker stopwords per language. Deliberately tiny: the point is
+    * the *shape* of the operator (per-row marker scoring + argmax);
+    * production swaps in real n-gram profiles (e.g. CLD3-style).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die "),
+    "en" -> Seq(" the ", " a ", " and "),
+    "es" -> Seq(" el ", " y ", " la "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(m => substrCount(padded(text), m)).reduce(_ + _)
+
+  /** argmax over language scores; ties break alphabetically, zero
+    * everywhere → "und". Expressed as a CASE chain so the DuckDB
+    * oracle states the exact same decision procedure.
+    */
+  def predictedLang(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val zero = scores.map(_._2).reduce(_ + _) === 0
+    val cases = scores.zipWithIndex.map { case ((l, s), i) =>
+      val beatsAll = scores.zipWithIndex.collect {
+        case ((_, o), j) if j != i => if (j < i) s > o else s >= o
+      }.reduce(_ && _)
+      (l, beatsAll)
+    }
+    cases.foldRight(lit("und")) { case ((l, cond), e) => when(cond, lit(l)).otherwise(e) }
+      .pipe(c => when(zero, lit("und")).otherwise(c))
+  }
+
+  private implicit class Pipe[A](private val a: A) {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  // ------------------------------------------------------------
+  // quality score (q30)
+  // ------------------------------------------------------------
+
+  /** Stopword hits: en-marker occurrences (pipeline quality proxies
+    * are language-specific; this scores the dominant corpus lang).
+    */
+  def stopwordHits(text: Column): Column =
+    langScore(text, LangMarkers.toMap.apply("en"))
+
+  /** NOTE on rounding: the ratio/quality columns are deliberately
+    * UNROUNDED doubles. Both engines compute the identical IEEE-754
+    * value from the same integer inputs, whereas a final round(_, 4)
+    * is engine-specific at .xxxx5 boundaries (decimal HALF_UP vs
+    * scaled-multiply) and breaks oracle parity.
+    */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(split(lower(text), " "))).cast("double") /
+      size(split(lower(text), " "))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text).cast("double") / wsTokenCount(text)
+
+  /** Composite quality in [0,1]: length saturation, lexical
+    * diversity, stopword plausibility — the standard cheap filters
+    * (à la C4/Gopher rules) as one codegen'd expression.
+    */
+  def qualityScore(text: Column): Column =
+    least(wsTokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      distinctTokenRatio(text) * 0.3 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.2
+
+  // ------------------------------------------------------------
+  // token counting (q31)
+  // ------------------------------------------------------------
+
+  /** BPE-ish sub-token counts: runs of letters, runs of digits, and
+    * non-alphanumeric-non-space chars each count as one token —
+    * the classic pre-tokenizer split, counted without materializing
+    * the tokens.
+    */
+  def alphaRunCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))).cast("long")
+
+  def digitRunCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]+"), lit(0))).cast("long")
+
+  def punctCharCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+
+  def bpeIshCount(text: Column): Column =
+    alphaRunCount(text) + digitRunCount(text) + punctCharCount(text)
+
+  // ------------------------------------------------------------
+  // fingerprint (q32)
+  // ------------------------------------------------------------
+
+  /** Polynomial rolling hash over the character stream:
+    * h ← (31·h + ascii(cᵢ)) mod 1e9+7. The modulus keeps every
+    * intermediate < 2³⁵ (ANSI-safe); ascii() is engine-portable where
+    * xxhash64 is not, so the DuckDB oracle can verify fingerprints
+    * exactly. One per-row aggregate — no shuffle.
+    */
+  def rollingFingerprint(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L))
+}
