@@ -65,7 +65,7 @@ object PipelineEntry {
       .orderBy("a", "b")
 
   private def q25(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text", n = 3, tau = 0.8)
+    Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text", n = 4, tau = 0.8)
       .orderBy("a", "b")
 
   private def q26(s: SparkSession, dir: String): DataFrame =

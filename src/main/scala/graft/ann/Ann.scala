@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
+import graft.plans.Plans.barrier
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -54,10 +55,14 @@ object Ann {
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
     val planes = VectorOps.hyperplanes(bits, dim)
+    // barrier: the sign code (bits × dim multiply-adds per row) is
+    // computed once and the band explode fans out from the
+    // materialized sketch
     def banded(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(v),
-        explode(VectorOps.codeBands(
-          VectorOps.signCode(col(vecCol), planes), bits, bands)).as("b"))
+      barrier(df.select(col(idCol).as(id), col(vecCol).as(v),
+          VectorOps.codeBands(
+            VectorOps.signCode(col(vecCol), planes), bits, bands).as("bands")))
+        .select(col(id), col(v), explode(col("bands")).as("b"))
         .select(col(id), col(v), col("b.band_id"), col("b.band_val"))
 
     val c = banded(corpus, "neighbor_id", "nv")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
+import graft.plans.Plans.barrier
 
 /** Document deduplication for LLM training-data pipelines: exact
   * (content hash), MinHash+LSH (Broder'97 resemblance sketches with
@@ -57,13 +58,27 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** MinHash signature: element s is min over shingles of
-    * xxhash64(shingle, s) — the seed rides along as a hashed column,
-    * giving `numHashes` independent hash families without UDFs.
+  /** The 64-bit hashed, sorted feature set of a document — all
+    * candidate verification runs on these (8-byte elements shuffle
+    * and intersect far cheaper than shingle strings; Jaccard on
+    * hashed sets equals Jaccard on the sets w.h.p.).
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def hashedSet(features: Column): Column =
+    array_sort(array_distinct(transform(features, f => xxhash64(f))))
+
+  /** Exact Jaccard between two hashed sets. */
+  def setJaccard(a: Column, b: Column): Column =
+    round(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)), 4)
+
+  /** MinHash signature over a hashed feature set: element s is min
+    * over features of xxhash64(feature_hash, s) — the seed rides
+    * along as a hashed column, giving `numHashes` independent hash
+    * families without UDFs.
+    */
+  def minhashSignature(hashedFeatures: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, sh => xxhash64(sh, s))))
+      s => array_min(transform(hashedFeatures, h => xxhash64(h, s))))
 
   /** LSH banding of a signature: array of (band_id, band_hash) where
     * band_hash covers `rowsPerBand` consecutive signature slots.
@@ -76,7 +91,12 @@ object Dedup {
     }: _*)
 
   /** Near-duplicate pairs by MinHash-LSH, verified with exact Jaccard
-    * on the shingle sets. Returns (a, b, jaccard), a < b.
+    * on the (hashed) shingle sets. Returns (a, b, jaccard), a < b.
+    *
+    * The hashed set rides along through the band explode (the Spark
+    * MLlib MinHashLSH join shape), so verification needs NO join back
+    * to the corpus — collisions verify inline and only surviving
+    * (a, b, jaccard) triples are deduplicated.
     */
   def minhashLsh(
       docs: DataFrame,
@@ -87,19 +107,39 @@ object Dedup {
       bands: Int = 4,
       tau: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      wordShingles(col(textCol), shingleK).as("sh"))
-    val banded = base
-      .select(col("doc_id"),
-        explode(signatureBands(
-          minhashSignature(col("sh"), numHashes), bands, numHashes / bands))
-          .as("b"))
-      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-    val capped = capBuckets(banded, Seq("band_id", "band_hash"), maxBucket)
-
-    val cand = bucketPairs(capped, Seq("band_id", "band_hash"))
-    verifyJaccard(cand, base, tau)
+    // barrier: shingle sets + signatures are computed exactly once,
+    // then the band explode and the bucket self-join fan out from the
+    // materialized sketch (ids + hashes only — never document text)
+    val sketch = barrier(docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashes.wordShingleHashes(col(textCol), shingleK).as("hs"))
+      .withColumn("bands", signatureBands(
+        graft.functions.TextHashes.minhashSignature(col("hs"), numHashes),
+        bands, numHashes / bands)))
+    val banded = sketch
+      .select(col("doc_id"), col("hs"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("hs"), col("b.band_id"), col("b.band_hash"))
+    val capped = barrier(capBuckets(banded, Seq("band_id", "band_hash"), maxBucket))
+    verifiedBucketPairs(capped, Seq("band_id", "band_hash"), tau)
   }
+
+  /** Within-bucket pairs (a < b) carrying their hashed sets, verified
+    * inline with exact Jaccard ≥ tau, then deduplicated across
+    * buckets. A pair colliding in several buckets re-verifies per
+    * collision — cheaper than shuffling sets through a distinct, since
+    * survivors are sparse.
+    */
+  private def verifiedBucketPairs(df: DataFrame, keys: Seq[String], tau: Double): DataFrame =
+    df.select(keys.map(col) :+ col("doc_id").as("a") :+ col("hs").as("hs_a"): _*)
+      .join(df.select(keys.map(col) :+ col("doc_id").as("b") :+ col("hs").as("hs_b"): _*),
+        keys)
+      .filter(col("a") < col("b"))
+      // length filter (PPJoin): J ≥ τ requires τ·max(|A|,|B|) ≤ min —
+      // a scalar prune that skips the set intersection entirely
+      .filter(greatest(size(col("hs_a")), size(col("hs_b"))) * tau <=
+        least(size(col("hs_a")), size(col("hs_b"))))
+      .select(col("a"), col("b"), setJaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .distinct()
 
   /** Drop rows in buckets larger than `maxBucket` — the salt/cap
     * guard against degenerate keys. One windowed count over the
@@ -111,27 +151,6 @@ object Dedup {
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
   }
-
-  /** Within-bucket candidate pairs (a < b), deduplicated across
-    * buckets. The join is keyed on the bucket columns — never a
-    * cross join.
-    */
-  private[dedup] def bucketPairs(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.select(keys.map(col) :+ col("doc_id").as("a"): _*)
-      .join(df.select(keys.map(col) :+ col("doc_id").as("b"): _*), keys)
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-
-  private def verifyJaccard(cand: DataFrame, base: DataFrame, tau: Double): DataFrame =
-    cand
-      .join(base.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(base.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= tau)
-      .select("a", "b", "jaccard")
 
   // ----------------------------------------------------------------
   // SimHash — q24
@@ -175,15 +194,15 @@ object Dedup {
     val width = 64 / chunks
     val mask = if (width == 64) -1L else (1L << width) - 1
 
-    val fps = docs.select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("fp"))
+    val fps = barrier(docs.select(col(idCol).as("doc_id"),
+      graft.functions.TextHashes.simhash64(col(textCol)).as("fp")))
     val chunked = fps.select(col("doc_id"), col("fp"),
       explode(array(Seq.tabulate(chunks) { i =>
         struct(lit(i).as("chunk_id"),
           shiftright(col("fp"), i * width).bitwiseAND(lit(mask)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("fp"), col("c.chunk_id"), col("c.chunk_val"))
-    val capped = capBuckets(chunked, Seq("chunk_id", "chunk_val"), maxBucket)
+    val capped = barrier(capBuckets(chunked, Seq("chunk_id", "chunk_val"), maxBucket))
 
     capped.select(col("chunk_id"), col("chunk_val"),
         col("doc_id").as("a"), col("fp").as("fp_a"))
@@ -235,24 +254,33 @@ object Dedup {
     // buckets; char n-grams (charGrams=true) suit CJK/no-whitespace
     // corpora but are denser per doc.
     val featurize: Column => Column =
-      if (charGrams) charNgrams(_, n) else wordShingles(_, n)
-    val base = docs.select(col(idCol).as("doc_id"),
-      featurize(col(textCol)).as("sh"))
-    val exploded = base.select(col("doc_id"), explode(col("sh")).as("gram"))
-    val vocab = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
-    // rebuild each doc's set sorted by (df asc, gram) — the global order
-    val sorted = exploded.join(vocab, "gram")
+      if (charGrams) t => hashedSet(charNgrams(t, n))
+      else t => graft.functions.TextHashes.wordShingleHashes(t, n)
+    val base = barrier(docs.select(col(idCol).as("doc_id"),
+      featurize(col(textCol)).as("hs")))
+    val exploded = base.select(col("doc_id"), explode(col("hs")).as("gram"))
+    // document frequency via a window over the SAME exploded frame —
+    // not a groupBy+self-join, which would re-run the (relatively
+    // expensive) gram extraction once per join branch
+    val withDf = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("gram")))
+    // rebuild each doc's set sorted by (df asc, gram) — the global
+    // order — and re-derive the hash-sorted set from the same rows,
+    // so no join back to `base` is needed
+    val sorted = withDf
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sorted"))
-    val prefix = sorted.select(col("doc_id"),
-      explode(slice(col("sorted"), lit(1),
-        greatest(size(col("sorted"))
-          - ceil(lit(tau) * size(col("sorted"))).cast("int") + 1, lit(1))))
-        .as("g"))
-      .select(col("doc_id"), col("g.gram").as("gram"))
-    val capped = capBuckets(prefix, Seq("gram"), maxBucket)
-    val cand = bucketPairs(capped, Seq("gram"))
-    verifyJaccard(cand, base, tau)
+      .select(col("doc_id"),
+        array_sort(transform(col("sorted"), g => g.getField("gram"))).as("hs"),
+        slice(col("sorted"), lit(1),
+          greatest(size(col("sorted"))
+            - ceil(lit(tau) * size(col("sorted"))).cast("int") + 1, lit(1)))
+          .as("pref"))
+    val prefix = sorted.select(col("doc_id"), col("hs"),
+      explode(col("pref")).as("g"))
+      .select(col("doc_id"), col("hs"), col("g.gram").as("gram"))
+    val capped = barrier(capBuckets(prefix, Seq("gram"), maxBucket))
+    verifiedBucketPairs(capped, Seq("gram"), tau)
   }
 
   // ----------------------------------------------------------------
@@ -273,11 +301,12 @@ object Dedup {
       dim: Int = 64,
       maxBucket: Int = 200): DataFrame = {
     val planes = VectorOps.hyperplanes(bits, dim)
-    val coded = vecs.select(col(idCol).as("doc_id"), col(vecCol).as("v"),
-      explode(VectorOps.codeBands(
-        VectorOps.signCode(col(vecCol), planes), bits, bands)).as("b"))
+    val sketch = barrier(vecs.select(col(idCol).as("doc_id"), col(vecCol).as("v"),
+      VectorOps.codeBands(
+        VectorOps.signCode(col(vecCol), planes), bits, bands).as("bands")))
+    val coded = sketch.select(col("doc_id"), col("v"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("v"), col("b.band_id"), col("b.band_val"))
-    val capped = capBuckets(coded, Seq("band_id", "band_val"), maxBucket)
+    val capped = barrier(capBuckets(coded, Seq("band_id", "band_val"), maxBucket))
 
     capped.select(col("band_id"), col("band_val"),
         col("doc_id").as("a"), col("v").as("v_a"))

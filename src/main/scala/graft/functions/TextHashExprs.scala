@@ -1,0 +1,178 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot per-row sketch loops.
+  *
+  * The `functions._` higher-order-function versions (transform /
+  * aggregate / zip_with) evaluate an interpreted lambda per array
+  * element — fine for ad-hoc work, but a MinHash signature is
+  * numHashes × |shingles| lambda evaluations per document. These
+  * expressions run the same math as one tight JVM loop per row
+  * (~100× less overhead), which is what "custom Catalyst Expression
+  * beats a UDF beats Python" means in practice: typed InternalRow
+  * access, no boxing per element, and Spark's own XXH64.
+  *
+  * They evaluate via CodegenFallback — the loop body dominates, so
+  * codegen of the wrapper adds little; doGenCode would be the next
+  * step if profiles showed call overhead.
+  */
+object TextHashExprs {
+  private val Seed = 42L
+
+  /** Lowercase whitespace tokenization of a UTF8String, hashed to
+    * 64-bit per token. Skips empty tokens.
+    */
+  private[functions] def tokenHashes(s: UTF8String): Array[Long] = {
+    val str = s.toString.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      if (i > start)
+        out += XXH64.hashUTF8String(UTF8String.fromString(str.substring(start, i)), Seed)
+    }
+    out.toArray
+  }
+
+  private def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a
+    Arrays.sort(a)
+    var w = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(w - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == a.length) a else Arrays.copyOf(a, w)
+  }
+
+  /** Sorted distinct 64-bit hashes of word k-shingles — the hashed
+    * feature set used by MinHash-LSH and the n-gram Jaccard join.
+    * Shorter-than-k documents collapse to one whole-document shingle.
+    */
+  case class WordShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_word_shingle_hashes"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenHashes(input.asInstanceOf[UTF8String])
+      val m = toks.length - k + 1
+      val shingles =
+        if (m <= 0) {
+          // whole-document shingle
+          var h = Seed
+          var j = 0
+          while (j < toks.length) { h = XXH64.hashLong(toks(j), h); j += 1 }
+          Array(h)
+        } else {
+          val out = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            var h = Seed
+            var j = i
+            while (j < i + k) { h = XXH64.hashLong(toks(j), h); j += 1 }
+            out(i) = h
+            i += 1
+          }
+          out
+        }
+      new GenericArrayData(sortedDistinct(shingles))
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+      copy(child = c)
+  }
+
+  /** MinHash signature over a hashed feature set: slot s is
+    * min over features of xxh64(feature, seed = s).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_signature"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData].toLongArray()
+      val sig = new Array[Long](numHashes)
+      var s = 0
+      while (s < numHashes) {
+        var best = Long.MaxValue
+        var i = 0
+        while (i < hs.length) {
+          val h = XXH64.hashLong(hs(i), s.toLong)
+          if (h < best) best = h
+          i += 1
+        }
+        sig(s) = best
+        s += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash: each bit of each token hash votes ±1; the
+    * fingerprint bit is the tally's sign. One pass over tokens.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokenHashes(input.asInstanceOf[UTF8String])
+      val tally = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = toks(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (tally(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+}
+
+/** Column-facing wrappers for the native expressions. */
+object TextHashes {
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+  import TextHashExprs._
+
+  def wordShingleHashes(text: Column, k: Int): Column =
+    column(WordShingleHashes(expression(text), k))
+
+  def minhashSignature(hashedSet: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(hashedSet), numHashes))
+
+  def simhash64(text: Column): Column =
+    column(SimHash64(expression(text)))
+}
