@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
+import graft.dag.Dag
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.sources.Tables
+import graft.sources.{Database, Incremental, Tables}
 import graft.text.TextAnalysis
 
 /** q22–q33: the LLM-training-data operators (dedup, similarity, text
@@ -124,7 +125,89 @@ object PipelineEntry {
       .orderBy("mime")
   }
 
+  // ---------------------------------------------------------------
+  // q34 — full_database multi-table extraction with per-table config:
+  // orders gets a cursor bound, customer a row filter, nation rides
+  // plain; dispositions differ per table (merge/replace/append).
+  // ---------------------------------------------------------------
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val perTable = Map(
+      "orders" -> Database.TableConfig(
+        disposition = "merge", primaryKey = Seq("o_orderkey"),
+        cursor = Some("o_orderdate"),
+        initialValue = Some(java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))),
+      "customer" -> Database.TableConfig(
+        disposition = "replace",
+        filters = Seq(graft.ops.RowFilters.RowFilter(
+          "c_acctbal", graft.ops.RowFilters.Gt, 0.0))),
+      "nation" -> Database.TableConfig(disposition = "append"))
+    val frames = Database.extractAll(s, dir,
+      Seq("orders", "customer", "nation"), perTable)
+    frames.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          lit(perTable(name).disposition).as("disposition"))
+    }.reduce(_.unionByName(_)).orderBy("table_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q35 — DAG with mixed materializations: ephemeral staging, a
+  // persisted table, and an incremental model run TWICE (second batch
+  // merges into the persisted state on unique_key).
+  // ---------------------------------------------------------------
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val wh = s"/root/repo/target/scratch/q35_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    whPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whPath, true)
+
+    def models(cutLo: String, cutHi: String) = Seq(
+      Dag.Model("stg", Nil,
+        _ => t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit(cutLo).cast("timestamp") &&
+            col("o_orderdate") < lit(cutHi).cast("timestamp"))),
+      Dag.Model("cust_latest", Seq("stg"), m => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        m("stg").withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+            col("o_totalprice").as("last_price"))
+      }, Dag.Incremental(Seq("o_custkey"))),
+      Dag.Model("price_hist", Seq("stg"),
+        m => m("stg").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("sum_price")),
+        Dag.Table))
+
+    // run 1: history to 1999; run 2: the 1999+ batch merges in
+    Dag.runMaterialized(s, models("1900-01-01", "1999-01-01"), wh)
+    val second = Dag.runMaterialized(s, models("1999-01-01", "2100-01-01"), wh)
+    second("cust_latest")
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q36 — incremental state persistence round-trip: run 1 extracts
+  // the back-history and SAVES its watermark; run 2 LOADS the state
+  // and extracts strictly above it (dlt pipeline-state semantics).
+  // ---------------------------------------------------------------
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val statePath = s"/root/repo/target/scratch/q36_state_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val orders = t(s, dir, "orders")
+    val batch1 = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    Incremental.saveState(batch1, "o_orderdate", statePath)
+    val state = Incremental.loadState(s, statePath)
+    Incremental.extract(orders, "o_orderdate", lastValue = state.lastValue)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        unix_millis(min(col("o_orderdate")).cast("timestamp")).as("min_ms"),
+        unix_millis(max(col("o_orderdate")).cast("timestamp")).as("max_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_full_database" -> (q34 _),
+    "q35_materializations" -> (q35 _),
+    "q36_incremental_state" -> (q36 _),
     "q22_dedup_exact" -> (q22 _),
     "q23_dedup_minhash" -> (q23 _),
     "q24_dedup_simhash" -> (q24 _),
@@ -170,6 +253,41 @@ object PipelineEntry {
     "(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / len(string_split(lower(text), ' ')))"
 
   val oracleSql: Map[String, String] = Map(
+    "q34_full_database" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |    'replace' AS disposition FROM customer WHERE c_acctbal > 0.0
+        |  UNION ALL SELECT 'nation', count(*), 'append' FROM nation
+        |  UNION ALL SELECT 'orders', count(*), 'merge' FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        |) ORDER BY table_name""".stripMargin,
+    "q35_materializations" ->
+      """WITH b1 AS (
+        |  SELECT o_custkey, o_orderkey AS last_orderkey,
+        |    o_totalprice AS last_price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1
+        |), b2 AS (
+        |  SELECT o_custkey, o_orderkey AS last_orderkey,
+        |    o_totalprice AS last_price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM b1 WHERE o_custkey NOT IN (SELECT o_custkey FROM b2)
+        |  UNION ALL SELECT * FROM b2
+        |) ORDER BY o_custkey""".stripMargin,
+    "q36_incremental_state" ->
+      """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |  epoch_ms(min(o_orderdate)) AS min_ms,
+        |  epoch_ms(max(o_orderdate)) AS max_ms
+        |FROM orders
+        |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+        |                     WHERE o_orderdate < TIMESTAMP '1999-01-01')""".stripMargin,
     "q22_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

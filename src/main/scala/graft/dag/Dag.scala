@@ -1,6 +1,6 @@
 package graft.dag
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** DAG orchestration — the reference's dependency graph with
   * topological execution and cycle detection (datanika
@@ -15,10 +15,26 @@ import org.apache.spark.sql.DataFrame
   * reason a 12-model pipeline doesn't write 11 intermediate tables).
   */
 object Dag {
+
+  /** dbt materializations (reference `models/transformation.py:10-15`
+    * enumerates view / table / incremental / ephemeral / snapshot;
+    * snapshot is `graft.ops.Snapshot`, driven by its own config).
+    */
+  sealed trait Materialization
+  /** inlined into downstream plans; nothing persisted (dbt CTE inlining) */
+  case object Ephemeral extends Materialization
+  /** registered as a temp view; re-planned per reader */
+  case object View extends Materialization
+  /** persisted to the warehouse as parquet; readers scan the table */
+  case object Table extends Materialization
+  /** merged into the persisted table on unique_key (dbt incremental) */
+  final case class Incremental(uniqueKey: Seq[String]) extends Materialization
+
   final case class Model(
       name: String,
       deps: Seq[String],
-      build: Map[String, DataFrame] => DataFrame)
+      build: Map[String, DataFrame] => DataFrame,
+      materialization: Materialization = Ephemeral)
 
   final class CycleError(msg: String) extends RuntimeException(msg)
 
@@ -61,6 +77,44 @@ object Dag {
   def run(models: Seq[Model], inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
     topoSort(models).foldLeft(inputs) { (built, m) =>
       built + (m.name -> m.build(built))
+    }
+  }
+
+  /** Build AND materialize every model per its materialization
+    * (reference `services/dbt_project.py:171-175` writes model
+    * config; dbt run then persists per materialization):
+    *  - ephemeral: stays a lazy frame, inlined downstream
+    *  - view: temp view + lazy frame (re-planned per reader)
+    *  - table: written to `warehouseDir/<name>`, downstream reads the
+    *    persisted parquet (cuts lineage, like dbt's table)
+    *  - incremental: existing table merged with the batch on
+    *    unique_key, rewritten, read back
+    * Writes happen eagerly in topological order; each is one Spark
+    * job, so independent subtrees pipeline on a busy cluster.
+    */
+  def runMaterialized(
+      spark: SparkSession,
+      models: Seq[Model],
+      warehouseDir: String,
+      inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    topoSort(models).foldLeft(inputs) { (built, m) =>
+      val frame = m.build(built)
+      val path = s"$warehouseDir/${m.name}"
+      val result = m.materialization match {
+        case Ephemeral => frame
+        case View =>
+          frame.createOrReplaceTempView(m.name)
+          frame
+        case Table =>
+          frame.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case Incremental(uniqueKey) =>
+          // Writer's merge disposition stages the merged table and
+          // swaps — never overwrites the parquet it is reading
+          graft.ops.Writer.write(spark, frame, path, "merge", uniqueKey)
+          spark.read.parquet(path)
+      }
+      built + (m.name -> result)
     }
   }
 }
