@@ -27,12 +27,17 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events directory (file source). */
+  /** Streaming read of the events table (file source). The file
+    * source wants a DIRECTORY; `pathGlobFilter` selects the events
+    * parquet within it (a production layout would be a dir of files
+    * growing over time — same code).
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
   }

@@ -1,0 +1,118 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ann.Ann
+import graft.functions.{TextHashes, VectorOps}
+
+class DedupAnnSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  describe("Dedup.exact") {
+    it("keeps min id per distinct content with multiplicity") {
+      import spark.implicits._
+      val out = Dedup.exact(docs(
+        1L -> "a b c", 2L -> "a b c", 3L -> "other"), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      out shouldBe Set((1L, 2L), (3L, 1L))
+    }
+  }
+
+  describe("TextHashes expressions") {
+    import spark.implicits._
+    it("wordShingleHashes is case/whitespace-insensitive and distinct-sorted") {
+      val out = docs(1L -> "A b  c", 2L -> "a B C")
+        .select(TextHashes.wordShingleHashes(col("text"), 2).as("hs"))
+        .as[Array[Long]].collect()
+      out(0) shouldBe out(1)
+      out(0) shouldBe out(0).distinct.sorted
+    }
+    it("short docs collapse to one whole-document shingle") {
+      val out = docs(1L -> "hello")
+        .select(TextHashes.wordShingleHashes(col("text"), 3).as("hs"))
+        .as[Array[Long]].head()
+      out.length shouldBe 1
+    }
+    it("simhash64 is identical for identical token streams") {
+      val fps = docs(1L -> "x y z", 2L -> "X  y z")
+        .select(TextHashes.simhash64(col("text"))).as[Long].collect()
+      fps(0) shouldBe fps(1)
+    }
+    it("minhashSignature has numHashes slots, each a set minimum") {
+      val sig = docs(1L -> "a b c d e f")
+        .select(TextHashes.minhashSignature(
+          TextHashes.wordShingleHashes(col("text"), 2), 8).as("s"))
+        .as[Array[Long]].head()
+      sig.length shouldBe 8
+    }
+  }
+
+  describe("near-dup pipelines") {
+    // 20 docs with distinct vocab + one near-identical pair
+    lazy val corpus = {
+      val distinct = (1L to 20L).map(i =>
+        i -> (s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i " +
+          s"theta$i iota$i kappa$i lambda$i mu$i"))
+      val nearDup = 100L -> (s"zz " + distinct.head._2)
+      docs(distinct :+ nearDup: _*)
+    }
+
+    it("minhashLsh finds exactly the injected near-dup pair") {
+      import spark.implicits._
+      val out = Dedup.minhashLsh(corpus, "doc_id", "text", tau = 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      out shouldBe Set((1L, 100L))
+    }
+    it("ngramJaccard finds the pair with the exact Jaccard value") {
+      import spark.implicits._
+      val out = Dedup.ngramJaccard(corpus, "doc_id", "text", n = 2, tau = 0.5)
+        .as[(Long, Long, Double)].collect()
+      out.map(r => (r._1, r._2)).toSet shouldBe Set((1L, 100L))
+      // doc1: 12 tokens → 11 2-shingles; dup adds "zz alpha1" on top
+      // of the same 11 → |∩| = 11, |∪| = 12
+      out.head._3 shouldBe (11.0 / 12.0 +- 0.001)
+    }
+    it("simhashPairs reports hamming 0 for identical docs") {
+      import spark.implicits._
+      val two = docs(1L -> "one two three four", 2L -> "one two three four")
+      val out = Dedup.simhashPairs(two, "doc_id", "text")
+        .as[(Long, Long, Long)].collect()
+      out shouldBe Array((1L, 2L, 0L))
+    }
+  }
+
+  describe("VectorOps + Ann") {
+    import spark.implicits._
+    lazy val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),   // colinear with 0
+      (3L, Array(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+
+    it("cosine: colinear = 1, orthogonal = 0") {
+      val out = vecs.filter(col("vec_id").isin(1L, 2L))
+        .crossJoin(vecs.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("q")))
+        .select(VectorOps.cosine(col("embedding"), col("q")).as("c"))
+        .as[Double].collect().sorted
+      out(0) shouldBe 0.0 +- 1e-6
+      out(1) shouldBe 1.0 +- 1e-6
+    }
+    it("bruteForceTopK ranks by cosine with deterministic ties") {
+      val out = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 2)
+        .select("neighbor_id", "rk").as[(Long, Int)].collect().sorted
+      out shouldBe Array((2L, 1), (3L, 2)) // colinear first, then 45°
+    }
+    it("embeddingPairs finds scaled copies at cosine 1 in dim-4 space") {
+      val out = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+        tau = 0.99, bits = 8, bands = 2, dim = 4)
+      out.select("a", "b").as[(Long, Long)].collect() should contain((0L, 2L))
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Sessionize
+
+class StreamsSpec extends SparkSpec {
+  import Streams._
+
+  private val GapNs = 1800L * 1000000000L // 30 min
+  // base offset keeps the first event strictly above the initial
+  // watermark (epoch 0) — an event AT the watermark is dropped as late
+  private def ns(minutes: Long): Long = (86400L + minutes * 60L) * 1000000000L
+
+  describe("sessionizeStream") {
+    it("closes a session by gap within the stream and flushes the last session by event-time timeout") {
+      implicit val s = spark
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+
+      val input = MemoryStream[Event]
+      val events = input.toDS()
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "1 second")
+        .as[Event]
+      val out = sessionizeStream(events, GapNs)
+      val q = out.writeStream.format("memory")
+        .queryName("sess_out").outputMode("append").start()
+      try {
+        // user 1: two events 10 min apart (one session), then a 40-min
+        // gap event → first session closes by GAP
+        input.addData(Event(1L, ns(0), 1.0), Event(1L, ns(10), 2.0))
+        q.processAllAvailable()
+        input.addData(Event(1L, ns(50), 5.0))
+        q.processAllAvailable()
+        val afterGap = spark.table("sess_out")
+          .as[SessionOut].collect()
+        afterGap.map(r => (r.user_id, r.n_events, r.sum_value)).toSet shouldBe
+          Set((1L, 2L, 3.0))
+
+        // advance the watermark far past user 1's open session via
+        // another user; the timeout fires on the following batch
+        input.addData(Event(2L, ns(200), 1.0))
+        q.processAllAvailable()
+        input.addData(Event(2L, ns(201), 1.0))
+        q.processAllAvailable()
+
+        val all = spark.table("sess_out").as[SessionOut].collect()
+        all.map(r => (r.user_id, r.n_events, r.sum_value)).toSet shouldBe
+          Set((1L, 2L, 3.0), (1L, 1L, 5.0)) // open session flushed by timeout
+      } finally q.stop()
+    }
+  }
+
+  describe("tumblingAgg batch/stream parity") {
+    it("produces identical buckets on a batch frame and a readStream over the same data") {
+      import spark.implicits._
+      val dir = "/root/testdata/sf0.001"
+      val batch = graft.sources.Tables.load(spark, dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val expected = tumblingAgg(batch)
+        .as[(Long, String, Long, Double)].collect().toSet
+
+      val stream = tumblingAgg(readEvents(spark, dir))
+      val q = stream.writeStream.format("memory")
+        .queryName("tumble_out").outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("tumble_out")
+          .as[(Long, String, Long, Double)].collect().toSet
+        got shouldBe expected
+      } finally q.stop()
+    }
+  }
+
+  describe("batch Sessionize (the twin)") {
+    it("agrees with the streaming sessionizer on closed sessions") {
+      import spark.implicits._
+      val events = Seq(
+        (1L, ns(0), 1.0), (1L, ns(10), 2.0), (1L, ns(50), 5.0),
+        (2L, ns(5), 7.0))
+        .toDF("user_id", "ts", "value")
+      val out = Sessionize(events, GapNs)
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      out shouldBe Set((1L, 2L, 3.0), (1L, 1L, 5.0), (2L, 1L, 7.0))
+    }
+  }
+}
