@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.TextHashExprs._
+
+/** Spark session extension registering graft's native expressions as
+  * SQL functions, so `spark.sql("SELECT graft_simhash64(text) ...")`
+  * works in the SQL-editor path too:
+  *
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * (For an already-built session, `GraftExtensions.register(spark)`
+  * installs the same functions imperatively.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_word_shingle_hashes"),
+      info("graft_word_shingle_hashes",
+        "_FUNC_(text, k) - sorted distinct xxh64 hashes of word k-shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, k) => WordShingleHashes(t, intLit(k, "k"))
+        case _ => throw new IllegalArgumentException(
+          "graft_word_shingle_hashes(text, k) takes 2 arguments")
+      }),
+    (FunctionIdentifier("graft_minhash_signature"),
+      info("graft_minhash_signature",
+        "_FUNC_(hashes, n) - n-slot MinHash signature of a hashed feature set"),
+      (children: Seq[Expression]) => children match {
+        case Seq(h, n) => MinHashSignature(h, intLit(n, "n"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_signature(hashes, n) takes 2 arguments")
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "_FUNC_(text) - 64-bit SimHash fingerprint"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t) => SimHash64(t)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash64(text) takes 1 argument")
+      }))
+
+  /** Imperative registration into a live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, inf, builder)
+    }
+}

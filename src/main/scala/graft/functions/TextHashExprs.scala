@@ -4,7 +4,7 @@ import java.util.Arrays
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,12 +20,82 @@ import org.apache.spark.unsafe.types.UTF8String
   * beats a UDF beats Python" means in practice: typed InternalRow
   * access, no boxing per element, and Spark's own XXH64.
   *
-  * They evaluate via CodegenFallback — the loop body dominates, so
-  * codegen of the wrapper adds little; doGenCode would be the next
-  * step if profiles showed call overhead.
+  * `doGenCode` emits a single static-forwarder call into the loop
+  * helpers below, so the expressions participate in whole-stage
+  * codegen instead of breaking the stage the way CodegenFallback
+  * (or a UDF) would.
   */
 object TextHashExprs {
   private val Seed = 42L
+
+  // ---- public row-eval helpers, callable from generated code ----
+  // (a Scala object emits static forwarders on the mirror class, so
+  // generated Java calls graft.functions.TextHashExprs.xxxEval(...))
+
+  def wordShingleEval(s: UTF8String, k: Int): ArrayData = {
+    val toks = tokenHashes(s)
+    val m = toks.length - k + 1
+    val shingles =
+      if (m <= 0) {
+        // whole-document shingle
+        var h = Seed
+        var j = 0
+        while (j < toks.length) { h = XXH64.hashLong(toks(j), h); j += 1 }
+        Array(h)
+      } else {
+        val out = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          var h = Seed
+          var j = i
+          while (j < i + k) { h = XXH64.hashLong(toks(j), h); j += 1 }
+          out(i) = h
+          i += 1
+        }
+        out
+      }
+    new GenericArrayData(sortedDistinct(shingles))
+  }
+
+  def minhashEval(input: ArrayData, numHashes: Int): ArrayData = {
+    val hs = input.toLongArray()
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val h = XXH64.hashLong(hs(i), s.toLong)
+        if (h < best) best = h
+        i += 1
+      }
+      sig(s) = best
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhashEval(s: UTF8String): Long = {
+    val toks = tokenHashes(s)
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = toks(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 
   /** Lowercase whitespace tokenization of a UTF8String, hashed to
     * 64-bit per token. Skips empty tokens.
@@ -57,40 +127,23 @@ object TextHashExprs {
     if (w == a.length) a else Arrays.copyOf(a, w)
   }
 
+  private val Helper = "graft.functions.TextHashExprs"
+
   /** Sorted distinct 64-bit hashes of word k-shingles — the hashed
     * feature set used by MinHash-LSH and the n-gram Jaccard join.
     * Shorter-than-k documents collapse to one whole-document shingle.
     */
   case class WordShingleHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_word_shingle_hashes"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val toks = tokenHashes(input.asInstanceOf[UTF8String])
-      val m = toks.length - k + 1
-      val shingles =
-        if (m <= 0) {
-          // whole-document shingle
-          var h = Seed
-          var j = 0
-          while (j < toks.length) { h = XXH64.hashLong(toks(j), h); j += 1 }
-          Array(h)
-        } else {
-          val out = new Array[Long](m)
-          var i = 0
-          while (i < m) {
-            var h = Seed
-            var j = i
-            while (j < i + k) { h = XXH64.hashLong(toks(j), h); j += 1 }
-            out(i) = h
-            i += 1
-          }
-          out
-        }
-      new GenericArrayData(sortedDistinct(shingles))
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      wordShingleEval(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.wordShingleEval($c, $k)")
 
     override protected def withNewChildInternal(c: Expression): WordShingleHashes =
       copy(child = c)
@@ -100,28 +153,16 @@ object TextHashExprs {
     * min over features of xxh64(feature, seed = s).
     */
   case class MinHashSignature(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(numHashes >= 1, "numHashes must be >= 1")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_signature"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val hs = input.asInstanceOf[ArrayData].toLongArray()
-      val sig = new Array[Long](numHashes)
-      var s = 0
-      while (s < numHashes) {
-        var best = Long.MaxValue
-        var i = 0
-        while (i < hs.length) {
-          val h = XXH64.hashLong(hs(i), s.toLong)
-          if (h < best) best = h
-          i += 1
-        }
-        sig(s) = best
-        s += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.minhashEval($c, $numHashes)")
 
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
@@ -131,31 +172,15 @@ object TextHashExprs {
     * fingerprint bit is the tally's sign. One pass over tokens.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val toks = tokenHashes(input.asInstanceOf[UTF8String])
-      val tally = new Array[Int](64)
-      var i = 0
-      while (i < toks.length) {
-        val h = toks(i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var fp = 0L
-      var b = 0
-      while (b < 64) {
-        if (tally(b) > 0) fp |= (1L << b)
-        b += 1
-      }
-      fp
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.simhashEval($c)")
 
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
