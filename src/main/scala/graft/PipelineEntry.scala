@@ -87,6 +87,15 @@ object PipelineEntry {
       .orderBy("query_id", "rk")
   }
 
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+    val centroids = Ann.trainCentroids(vecs, "vec_id", "embedding",
+      nLists = 8, iters = 3)
+    Ann.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, centroids, nProbe = 2)
+      .orderBy("query_id", "rk")
+  }
+
   private def q29(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("predicted", TextAnalysis.predictedLang(col("text")))
@@ -219,7 +228,8 @@ object PipelineEntry {
     "q30_quality_score" -> (q30 _),
     "q31_token_count" -> (q31 _),
     "q32_fingerprint" -> (q32 _),
-    "q33_multimodal_meta" -> (q33 _))
+    "q33_multimodal_meta" -> (q33 _),
+    "q37_ann_ivf" -> (q37 _))
 
   // SQL-expressible oracles. q23–q28 and q33 are hash/LSH-dependent
   // (xxhash64 has no DuckDB counterpart) → rows-only checks.

@@ -75,6 +75,86 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  // ----------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means coarse quantizer
+  // ----------------------------------------------------------------
+
+  /** Squared L2 distance to a literal centroid — per-row expression. */
+  private def sqDist(v: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index (0-based) of the nearest centroid. */
+  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => sqDist(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Lloyd's k-means for the coarse quantizer. Centroids are tiny
+    * (nLists × dim) so they live on the driver between iterations —
+    * the standard IVF training shape (train on the corpus or a
+    * sample; only assignments are distributed). Deterministic:
+    * init takes the first nLists rows by id.
+    */
+  def trainCentroids(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      iters: Int = 5): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(nLists)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      // mean per (cluster, dimension): explode is C×dim rows per doc
+      // pre-aggregated map-side; the collect is nLists×dim scalars
+      val assigned = vecs.select(col(vecCol).as("v"),
+        nearestCentroid(col(vecCol), cents).as("cl"))
+      val means = assigned
+        .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cl", "pos").agg(avg("x").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k: corpus rows score only against queries probing their
+    * inverted list. `nProbe` lists per query trades recall for cost
+    * (nProbe = nLists ⇒ exact). The corpus never shuffles — cluster
+    * assignment is a per-row expression and ranking moves only
+    * candidate triples.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      nearestCentroid(col(vecCol), centroids).as("cl"))
+    // nProbe nearest lists per query: sort (dist, idx) pairs, slice
+    val qDists = array(centroids.zipWithIndex.map { case (cent, i) =>
+      struct(sqDist(col("qv"), cent).as("d"), lit(i).as("cl"))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probes", slice(array_sort(qDists), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("probes.cl")).as("cl"))
+    val scored = c.join(broadcast(q), "cl")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+    rankTopK(scored, k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
