@@ -96,12 +96,23 @@ object PipelineEntry {
       .orderBy("query_id", "rk")
   }
 
-  private def q29(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("predicted", TextAnalysis.predictedLang(col("text")))
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    // materialize each language's marker score ONCE per doc (the
+    // argmax CASE references every score ~2·|langs| times, and
+    // CollapseProject would re-inline the replace-chains without the
+    // barrier)
+    val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      TextAnalysis.langScore(col("text"), ms).as(s"s_$l")
+    }
+    val scored = graft.plans.Plans.barrier(
+      t(s, dir, "documents").select(col("lang") +: scores: _*))
+    scored
+      .withColumn("predicted",
+        TextAnalysis.predictedFromScores(l => col(s"s_$l")))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
+  }
 
   private def q30(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

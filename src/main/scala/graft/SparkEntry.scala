@@ -340,9 +340,15 @@ object SparkEntry {
     val scratch = s"/root/repo/target/scratch/q15_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
     val nation = t(s, dir, "nation")
     val region = t(s, dir, "region")
-    nation.coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(s"$scratch/nation_csv")
-    region.coalesce(1).write.mode("overwrite").json(s"$scratch/region_json")
+    // two independent write jobs — submit concurrently
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(Seq(
+      Future(nation.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$scratch/nation_csv")),
+      Future(region.coalesce(1).write.mode("overwrite")
+        .json(s"$scratch/region_json")))), Duration.Inf)
     val nCsv = FileSource.normalizeColumns(
       FileSource.read(s, "csv", s"$scratch/nation_csv", schema = Some(nation.schema)))
     val rJson = FileSource.normalizeColumns(

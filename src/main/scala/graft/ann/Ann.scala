@@ -38,7 +38,7 @@ object Ann {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .join(q, col("query_id") =!= col("neighbor_id")) // broadcast NL join
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("cos", graft.functions.VectorColumns.cosine(col("qv"), col("nv")))
     rankTopK(scored, k)
   }
 
@@ -61,7 +61,7 @@ object Ann {
     def banded(df: DataFrame, id: String, v: String): DataFrame =
       barrier(df.select(col(idCol).as(id), col(vecCol).as(v),
           VectorOps.codeBands(
-            VectorOps.signCode(col(vecCol), planes), bits, bands).as("bands")))
+            graft.functions.VectorColumns.signCode(col(vecCol), planes), bits, bands).as("bands")))
         .select(col(id), col(v), explode(col("bands")).as("b"))
         .select(col(id), col(v), col("b.band_id"), col("b.band_val"))
 
@@ -71,7 +71,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id", "qv", "nv")
       .distinct() // a pair may collide in several bands
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("cos", graft.functions.VectorColumns.cosine(col("qv"), col("nv")))
     rankTopK(scored, k)
   }
 
@@ -151,7 +151,7 @@ object Ann {
       .select(col("query_id"), col("qv"), explode(col("probes.cl")).as("cl"))
     val scored = c.join(broadcast(q), "cl")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("nv")))
+      .withColumn("cos", graft.functions.VectorColumns.cosine(col("qv"), col("nv")))
     rankTopK(scored, k)
   }
 

@@ -303,7 +303,7 @@ object Dedup {
     val planes = VectorOps.hyperplanes(bits, dim)
     val sketch = barrier(vecs.select(col(idCol).as("doc_id"), col(vecCol).as("v"),
       VectorOps.codeBands(
-        VectorOps.signCode(col(vecCol), planes), bits, bands).as("bands")))
+        graft.functions.VectorColumns.signCode(col(vecCol), planes), bits, bands).as("bands")))
     val coded = sketch.select(col("doc_id"), col("v"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("v"), col("b.band_id"), col("b.band_val"))
     val capped = barrier(capBuckets(coded, Seq("band_id", "band_val"), maxBucket))
@@ -314,7 +314,7 @@ object Dedup {
         col("doc_id").as("b"), col("v").as("v_b")), Seq("band_id", "band_val"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(VectorOps.cosine(col("v_a"), col("v_b")), 4).as("cos"))
+        round(graft.functions.VectorColumns.cosine(col("v_a"), col("v_b")), 4).as("cos"))
       .distinct()
       .filter(col("cos") >= tau)
   }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector hot loops (cosine and
+  * random-hyperplane sign codes). Same rationale as TextHashExprs:
+  * the HOF formulation pays an interpreted lambda per element — a
+  * 16-plane × 64-dim sign code is ~1k lambda evaluations per row;
+  * here it is one fused loop inside whole-stage codegen.
+  *
+  * Works on `array<float>` or `array<double>` inputs (parquet
+  * embeddings are float).
+  */
+object VectorExprs {
+
+  private def toDoubles(a: ArrayData, isFloat: Boolean): (Int, Int => Double) =
+    (a.numElements(), if (isFloat) (i: Int) => a.getFloat(i).toDouble
+      else (i: Int) => a.getDouble(i))
+
+  def cosineEval(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val (n, ga) = toDoubles(a, aFloat)
+    val (_, gb) = toDoubles(b, bFloat)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = ga(i); val y = gb(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  def signCodeEval(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    val (n, g) = toDoubles(v, isFloat)
+    var code = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var d = 0.0
+      var i = 0
+      val m = math.min(n, plane.length)
+      while (i < m) { d += g(i) * plane(i); i += 1 }
+      if (d >= 0) code |= (1L << p)
+      p += 1
+    }
+    code
+  }
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(t, _) =>
+      t == org.apache.spark.sql.types.FloatType
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  /** Fused cosine similarity (dot and both norms in one pass). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+    private lazy val lf = elemIsFloat(left)
+    private lazy val rf = elemIsFloat(right)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosineEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lf, rf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorExprs.cosineEval($a, $b, $lf, $rf)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane sign code: bit p set iff dot(v, planeₚ) ≥ 0.
+    * The plane matrix is captured in the expression and referenced
+    * from generated code (not re-literalized per element).
+    */
+  case class SignCode(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression {
+    require(planes.nonEmpty && planes.length <= 64, "1..64 planes")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sign_code"
+    private lazy val vf = elemIsFloat(child)
+
+    override protected def nullSafeEval(input: Any): Any =
+      signCodeEval(input.asInstanceOf[ArrayData], planes, vf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExprs.signCodeEval($c, $ref, $vf)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): SignCode =
+      copy(child = c)
+
+    // Array fields break case-class equality/canonicalization; compare
+    // by content so plan canonicalization dedupes identical codes.
+    override def equals(o: Any): Boolean = o match {
+      case SignCode(c, p) =>
+        c == child && p.length == planes.length &&
+          p.zip(planes).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + planes.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  }
+}
+
+/** Column wrappers; used by VectorOps when the fast path applies. */
+object VectorColumns {
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+  import VectorExprs._
+
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  def signCode(v: Column, planes: Seq[Seq[Double]]): Column =
+    column(SignCode(expression(v), planes.map(_.toArray).toArray))
+}

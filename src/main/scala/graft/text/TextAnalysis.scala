@@ -49,12 +49,16 @@ object TextAnalysis {
   def langScore(text: Column, markers: Seq[String]): Column =
     markers.map(m => substrCount(padded(text), m)).reduce(_ + _)
 
-  /** argmax over language scores; ties break alphabetically, zero
-    * everywhere → "und". Expressed as a CASE chain so the DuckDB
-    * oracle states the exact same decision procedure.
+  /** argmax over per-language score columns; ties break
+    * alphabetically, zero everywhere → "und". Expressed as a CASE
+    * chain so the DuckDB oracle states the exact same decision
+    * procedure. Each language's score expression appears ~2·|langs|
+    * times in the chain, so callers on a hot path should materialize
+    * the scores as columns first (`score = col("s_" + lang)`) behind
+    * a plan barrier — CollapseProject otherwise re-inlines them.
     */
-  def predictedLang(text: Column): Column = {
-    val scores = LangMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+  def predictedFromScores(score: String => Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> score(l) }
     val zero = scores.map(_._2).reduce(_ + _) === 0
     val cases = scores.zipWithIndex.map { case ((l, s), i) =>
       val beatsAll = scores.zipWithIndex.collect {
@@ -65,6 +69,10 @@ object TextAnalysis {
     cases.foldRight(lit("und")) { case ((l, cond), e) => when(cond, lit(l)).otherwise(e) }
       .pipe(c => when(zero, lit("und")).otherwise(c))
   }
+
+  /** One-expression form (scores inlined — fine off the hot path). */
+  def predictedLang(text: Column): Column =
+    predictedFromScores(l => langScore(text, LangMarkers.toMap.apply(l)))
 
   private implicit class Pipe[A](private val a: A) {
     def pipe[B](f: A => B): B = f(a)

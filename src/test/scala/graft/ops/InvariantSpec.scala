@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Randomized (fixed-seed) invariant checks — property-style tests
+  * over generated update sequences, where example-based specs would
+  * miss interleavings.
+  */
+class InvariantSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  describe("Snapshot SCD2 invariants over random update sequences") {
+    it("holds: one open row per live key, no interval overlap, monotonic versions") {
+      import spark.implicits._
+      // 3 rounds of random states over a small key space, chained
+      val keySpace = 1L to 8L
+      def randomState(round: Int): DataFrame =
+        keySpace.filter(_ => rnd.nextDouble() < 0.8)
+          .map(k => (k, java.sql.Timestamp.valueOf(f"200$round-01-01 00:00:00"),
+            rnd.nextInt(5)))
+          .toDF("k", "u", "v")
+
+      var hist: Option[DataFrame] = None
+      for (r <- 1 to 3) {
+        hist = Some(Snapshot.timestamp(hist, randomState(r), Seq("k"), "u"))
+      }
+      val h = hist.get.select("k", "u", "v", Snapshot.ValidFrom, Snapshot.ValidTo)
+        .as[(Long, java.sql.Timestamp, Int, java.sql.Timestamp, Option[java.sql.Timestamp])]
+        .collect()
+
+      // exactly one open row per key that ever appeared
+      val open = h.filter(_._5.isEmpty)
+      open.map(_._1).distinct.length shouldBe open.length
+      h.map(_._1).toSet shouldBe open.map(_._1).toSet
+
+      // per key: versions ordered, intervals chain (valid_to == next valid_from)
+      h.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._4.getTime)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            a._5 should not be empty // only the last is open
+            a._5.get shouldBe b._4 // chained intervals
+            assert(a._4.getTime < b._4.getTime)
+          case _ =>
+        }
+        sorted.last._5 shouldBe empty
+      }
+    }
+  }
+
+  describe("Writer.merge algebraic properties") {
+    it("is idempotent and last-batch-wins over random batches") {
+      import spark.implicits._
+      def randomBatch() = (1L to 20L)
+        .filter(_ => rnd.nextBoolean())
+        .map(k => (k, rnd.nextInt(100))).toDF("k", "v")
+
+      for (_ <- 1 to 3) {
+        val e = randomBatch()
+        val b = randomBatch()
+        val once = Writer.merge(e, b, Seq("k"))
+        val twice = Writer.merge(once, b, Seq("k"))
+        val got = twice.as[(Long, Int)].collect().toSet
+        got shouldBe once.as[(Long, Int)].collect().toSet
+        // every batch key's value comes from the batch
+        val bm = b.as[(Long, Int)].collect().toMap
+        got.filter(r => bm.contains(r._1)).foreach { case (k, v) =>
+          v shouldBe bm(k)
+        }
+      }
+    }
+  }
+
+  describe("Sessionize conservation") {
+    it("partitions every event into exactly one session") {
+      import spark.implicits._
+      val n = 500
+      val events = (1 to n).map { _ =>
+        (rnd.nextInt(10).toLong,
+          (86400L + rnd.nextInt(100000)) * 1000000000L,
+          1.0)
+      }.toDF("user_id", "ts", "value")
+      val sessions = Sessionize(events, 1800L * 1000000000L)
+      sessions.agg(sum("n_events")).head().getLong(0) shouldBe n.toLong
+      // session time ranges per user never overlap
+      val rows = sessions.select("user_id", "start_ms", "end_ms")
+        .as[(Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (_, ss) =>
+        ss.sortBy(_._2).sliding(2).foreach {
+          case Array(a, b) => assert(a._3 < b._2)
+          case _ =>
+        }
+      }
+    }
+  }
+}
