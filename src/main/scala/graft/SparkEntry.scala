@@ -24,6 +24,17 @@ object SparkEntry {
   private def epochMs(c: org.apache.spark.sql.Column) =
     unix_millis(c.cast("timestamp"))
 
+  /** Money arithmetic: sums of doubles are ORDER-DEPENDENT, and
+    * shuffle order differs between engines (and between runs) — a sum
+    * landing on a display-digit boundary flips the 9th significant
+    * digit and fails the hash compare. Casting the 2-dp source values
+    * to decimal makes every sum exact and order-independent; the final
+    * cast back to double is then deterministic in both engines.
+    * (A stored double is never exactly halfway at 2 dp, so the
+    * double→decimal rounding is unambiguous.)
+    */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
@@ -42,12 +53,12 @@ object SparkEntry {
     l.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(sum("l_quantity"), 2).as("sum_qty"), // integral: exact
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum("l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -92,8 +103,8 @@ object SparkEntry {
         col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
@@ -129,7 +140,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_ms")).as("first_ms"),
         max(col("ts_ms")).as("last_ms"),
-        round(sum(col("value")), 2).as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .orderBy("user_id")
   }
 
@@ -145,7 +156,7 @@ object SparkEntry {
     val replaced = Writer.replace(existing, batch)
     def summarize(df: DataFrame, label: String): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
         .select(lit(label).as("disposition"), col("n_rows"), col("sum_price"))
     summarize(appended, "append").unionByName(summarize(replaced, "replace"))
       .orderBy("disposition")
@@ -373,7 +384,7 @@ object SparkEntry {
   // ---------------------------------------------------------------
   private val Q17Sql =
     """SELECT n_name, count(*) AS n_suppliers,
-      |  round(sum(s_acctbal), 2) AS total_bal
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
@@ -401,13 +412,15 @@ object SparkEntry {
           .join(m("stg_orders"), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_items"),
-            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            // keep revenue DECIMAL through the model chain: the
+            // summary re-sums it, and double sums are order-dependent
+            sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
               .as("revenue"))),
       Dag.Model("summary", Seq("fct_sales"),
         m => m("fct_sales")
           .groupBy(col("n_items"))
           .agg(count(lit(1)).as("n_customers"),
-            round(sum(col("revenue")), 2).as("total_rev"))))
+            sum(col("revenue")).cast("double").as("total_rev"))))
     Dag.run(models)("summary").orderBy("n_items")
   }
 
@@ -474,10 +487,12 @@ object SparkEntry {
     "q01_full_scan_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -497,7 +512,9 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q03_join_star" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -528,7 +545,7 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  min(epoch_ms(ts)) AS first_ms,
         |  max(epoch_ms(ts)) AS last_ms,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM merged
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
@@ -540,11 +557,11 @@ object SparkEntry {
         |)
         |SELECT * FROM (
         |  SELECT 'append' AS disposition, count(*) AS n_rows,
-        |    round(sum(o_totalprice), 2) AS sum_price
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |  FROM (SELECT * FROM existing UNION ALL SELECT * FROM batch)
         |  UNION ALL
         |  SELECT 'replace' AS disposition, count(*) AS n_rows,
-        |    round(sum(o_totalprice), 2) AS sum_price
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |  FROM batch
         |)
         |ORDER BY disposition""".stripMargin,
@@ -690,12 +707,13 @@ object SparkEntry {
         |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
         |), fct AS (
         |  SELECT o_custkey, count(*) AS n_items,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
         |  FROM lineitem JOIN stg_orders ON l_orderkey = o_orderkey
         |  GROUP BY o_custkey
         |)
         |SELECT n_items, count(*) AS n_customers,
-        |  round(sum(revenue), 2) AS total_rev
+        |  CAST(sum(revenue) AS DOUBLE) AS total_rev
         |FROM fct GROUP BY n_items ORDER BY n_items""".stripMargin,
     "q19_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
