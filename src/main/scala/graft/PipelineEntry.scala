@@ -87,6 +87,16 @@ object PipelineEntry {
       .orderBy("query_id", "rk")
   }
 
+  // ---------------------------------------------------------------
+  // q38 — duplicate-cluster resolution: near-dup pairs → connected
+  // components → (member, survivor) assignments.
+  // ---------------------------------------------------------------
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(nearCorpus(s, dir), "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 4, tau = 0.7)
+    Dedup.clusters(pairs).orderBy("doc_id")
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val vecs = t(s, dir, "embeddings")
     val centroids = Ann.trainCentroids(vecs, "vec_id", "embedding",
@@ -240,7 +250,8 @@ object PipelineEntry {
     "q31_token_count" -> (q31 _),
     "q32_fingerprint" -> (q32 _),
     "q33_multimodal_meta" -> (q33 _),
-    "q37_ann_ivf" -> (q37 _))
+    "q37_ann_ivf" -> (q37 _),
+    "q38_dedup_clusters" -> (q38 _))
 
   // SQL-expressible oracles. q23–q28 and q33 are hash/LSH-dependent
   // (xxhash64 has no DuckDB counterpart) → rows-only checks.

@@ -284,6 +284,48 @@ object Dedup {
   }
 
   // ----------------------------------------------------------------
+  // duplicate clusters — q38
+  // ----------------------------------------------------------------
+
+  /** Connected components over a near-dup pair list: every member of
+    * a transitive duplicate cluster gets the cluster's MIN doc id as
+    * its label (the canonical survivor). Iterative min-label
+    * propagation — converges in O(log diameter) rounds for dup
+    * clusters (diameter is tiny in practice); each round is one
+    * join + one aggregate, all keyed shuffles, checkpointed so the
+    * plan doesn't grow with iterations.
+    *
+    * Returns (doc_id, cluster_id) for every doc that appears in a
+    * pair; `cluster_id == doc_id` marks the survivor. Docs with no
+    * pairs are implicitly their own singleton cluster.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // undirected edge list
+    val edges = barrier(pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    var labels = barrier(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      // candidate label per node: min over (own, neighbors' labels)
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = barrier(labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("moved")))
+      changed = next.filter(col("moved")).count()
+      labels = barrier(next.select("id", "label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  // ----------------------------------------------------------------
   // embedding-cosine near-dup — q26
   // ----------------------------------------------------------------
 

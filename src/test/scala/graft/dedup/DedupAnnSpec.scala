@@ -76,6 +76,13 @@ class DedupAnnSpec extends SparkSpec {
       // of the same 11 → |∩| = 11, |∪| = 12
       out.head._3 shouldBe (11.0 / 12.0 +- 0.001)
     }
+    it("clusters resolves transitive duplicate chains to the min id") {
+      import spark.implicits._
+      // chain 1-2-3 plus isolated pair 10-11
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    }
     it("simhashPairs reports hamming 0 for identical docs") {
       import spark.implicits._
       val two = docs(1L -> "one two three four", 2L -> "one two three four")
