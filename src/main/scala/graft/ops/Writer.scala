@@ -36,15 +36,26 @@ object Writer {
   /** Physical write honoring a disposition. `merge` reads the current
     * table, merges, writes to a staging path, then swaps — parquet has
     * no transactional MERGE, and writing over a path being read races.
+    *
+    * `batchSize` mirrors dlt's batch-size-controlled chunked loading
+    * (reference `services/dlt_runner.py:8`): Spark-side it bounds
+    * records per output file (`maxRecordsPerFile`), which is what
+    * controls downstream chunk granularity on a distributed store.
     */
   def write(
       spark: SparkSession,
       batch: DataFrame,
       path: String,
       disposition: String,
-      primaryKey: Seq[String] = Nil): Unit = disposition match {
-    case "append"  => batch.write.mode("append").parquet(path)
-    case "replace" => batch.write.mode("overwrite").parquet(path)
+      primaryKey: Seq[String] = Nil,
+      batchSize: Option[Long] = None): Unit = {
+    def w(df: DataFrame) = {
+      val base = df.write
+      batchSize.fold(base)(n => base.option("maxRecordsPerFile", n))
+    }
+    disposition match {
+    case "append"  => w(batch).mode("append").parquet(path)
+    case "replace" => w(batch).mode("overwrite").parquet(path)
     case "merge" =>
       import org.apache.hadoop.fs.Path
       val target = new Path(path)
@@ -55,7 +66,7 @@ object Writer {
         if (fs.exists(target)) merge(spark.read.parquet(path), batch, primaryKey)
         else batch
       val staging = new Path(path + ".staging")
-      merged.write.mode("overwrite").parquet(staging.toString)
+      w(merged).mode("overwrite").parquet(staging.toString)
       // swap via rename-aside: the old table survives until the new
       // one is in place, so a crash mid-swap never loses the target
       val old = new Path(path + ".old")
@@ -69,5 +80,6 @@ object Writer {
       }
       if (hadTarget) fs.delete(old, true)
     case other => throw new IllegalArgumentException(s"Unknown write_disposition: $other")
+    }
   }
 }
