@@ -7,7 +7,7 @@ import graft.ann.Ann
 import graft.dag.Dag
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.sources.{Database, Incremental, Tables}
+import graft.sources.{Catalog, CatalogEntries, Database, Incremental, Tables}
 import graft.text.TextAnalysis
 
 /** q22–q33: the LLM-training-data operators (dedup, similarity, text
@@ -85,6 +85,35 @@ object PipelineEntry {
     Ann.lshTopK(vecs, vecs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, bits = 16, bands = 4)
       .orderBy("query_id", "rk")
+  }
+
+  // ---------------------------------------------------------------
+  // q39 — catalog entry registry round-trip: discover tables, upsert
+  // entries, update one, soft-delete one, list the live set.
+  // ---------------------------------------------------------------
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/root/repo/target/scratch/q39_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+
+    val store = new CatalogEntries(s, path)
+    val tables = Catalog.discoverTables(s, dir).take(4)
+    tables.zipWithIndex.foreach { case (tname, i) =>
+      val nCols = Tables.load(s, dir, tname).schema.fields.length
+      store.upsert(tname, "main", "lake", "source_table", None, nCols,
+        nowMs = 1000L + i)
+    }
+    // update path: re-upsert the first with a description
+    store.upsert(tables.head, "main", "lake", "source_table",
+      Some("refreshed"), Tables.load(s, dir, tables.head).schema.fields.length,
+      nowMs = 2000L)
+    // soft delete the second
+    store.delete(tables(1), "main", "lake", nowMs = 3000L)
+
+    store.list()
+      .select("table_name", "entry_type", "description", "n_columns",
+        "created_at_ms", "updated_at_ms")
+      .orderBy("table_name")
   }
 
   // ---------------------------------------------------------------
@@ -251,7 +280,8 @@ object PipelineEntry {
     "q32_fingerprint" -> (q32 _),
     "q33_multimodal_meta" -> (q33 _),
     "q37_ann_ivf" -> (q37 _),
-    "q38_dedup_clusters" -> (q38 _))
+    "q38_dedup_clusters" -> (q38 _),
+    "q39_catalog_entries" -> (q39 _))
 
   // SQL-expressible oracles. q23–q28 and q33 are hash/LSH-dependent
   // (xxhash64 has no DuckDB counterpart) → rows-only checks.

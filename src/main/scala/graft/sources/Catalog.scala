@@ -20,6 +20,22 @@ object Catalog {
     StructField("nullable", StringType, nullable = false),
     StructField("table_rows", LongType, nullable = false)))
 
+  /** Discover table names in a dataset dir (reference semantics:
+    * `table_names=None` ⇒ enumerate, always dropping `_dlt_*` system
+    * tables — catalog_service.py:25-33).
+    */
+  def discoverTables(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .filterNot(_.startsWith("_dlt_"))
+      .sorted
+  }
+
   def introspect(spark: SparkSession, dir: String, tables: Seq[String]): DataFrame = {
     // Per-table row counts are independent Spark jobs — submit them
     // concurrently from the driver (Spark's scheduler interleaves
