@@ -30,11 +30,18 @@ object Dag {
   /** merged into the persisted table on unique_key (dbt incremental) */
   final case class Incremental(uniqueKey: Seq[String]) extends Materialization
 
+  private val ModelNameRe = "^[A-Za-z_][A-Za-z0-9_-]*$".r
+
   final case class Model(
       name: String,
       deps: Seq[String],
       build: Map[String, DataFrame] => DataFrame,
-      materialization: Materialization = Ephemeral)
+      materialization: Materialization = Ephemeral) {
+    // reference naming rule (transformation_service.validate_model_name)
+    require(ModelNameRe.matches(name),
+      s"Model name must start with a letter or underscore and contain only " +
+        s"letters, digits, underscores, and hyphens: '$name'")
+  }
 
   final class CycleError(msg: String) extends RuntimeException(msg)
 
@@ -92,11 +99,16 @@ object Dag {
     * Writes happen eagerly in topological order; each is one Spark
     * job, so independent subtrees pipeline on a busy cluster.
     */
+  /** @param fullRefresh dbt's --full-refresh: incremental models
+    *                     rebuild from scratch instead of merging into
+    *                     persisted state
+    */
   def runMaterialized(
       spark: SparkSession,
       models: Seq[Model],
       warehouseDir: String,
-      inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+      inputs: Map[String, DataFrame] = Map.empty,
+      fullRefresh: Boolean = false): Map[String, DataFrame] = {
     topoSort(models).foldLeft(inputs) { (built, m) =>
       val frame = m.build(built)
       val path = s"$warehouseDir/${m.name}"
@@ -111,7 +123,8 @@ object Dag {
         case Incremental(uniqueKey) =>
           // Writer's merge disposition stages the merged table and
           // swaps — never overwrites the parquet it is reading
-          graft.ops.Writer.write(spark, frame, path, "merge", uniqueKey)
+          val disposition = if (fullRefresh) "replace" else "merge"
+          graft.ops.Writer.write(spark, frame, path, disposition, uniqueKey)
           spark.read.parquet(path)
       }
       built + (m.name -> result)

@@ -25,6 +25,47 @@ class DagSpec extends SparkSpec {
       an[IllegalArgumentException] should be thrownBy
         Dag.topoSort(Seq(m("a", "ghost")))
     }
+    it("rejects invalid model names (reference naming rule)") {
+      an[IllegalArgumentException] should be thrownBy m("9bad")
+      an[IllegalArgumentException] should be thrownBy m("has space")
+      noException should be thrownBy m("_ok-Name_2")
+    }
+  }
+
+  describe("full refresh") {
+    it("rebuilds an incremental model from scratch") {
+      val wh = "target/scratch/dag-spec-fr"
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      import spark.implicits._
+      def mdl(lo: Long, hi: Long) = Seq(Dag.Model("inc", Nil,
+        _ => spark.range(lo, hi).toDF("id"), Dag.Incremental(Seq("id"))))
+      Dag.runMaterialized(spark, mdl(0, 5), wh)
+      // normal run merges (union of ids)...
+      Dag.runMaterialized(spark, mdl(5, 8), wh)
+      spark.read.parquet(s"$wh/inc").count() shouldBe 8
+      // ...full refresh replaces
+      val out = Dag.runMaterialized(spark, mdl(5, 8), wh, fullRefresh = true)
+      out("inc").as[Long].collect().sorted shouldBe Array(5L, 6L, 7L)
+    }
+  }
+
+  describe("Seeds") {
+    it("loads csv seeds as warehouse tables with normalized columns") {
+      import spark.implicits._
+      val seeds = "target/scratch/dag-spec-seeds"
+      val wh = "target/scratch/dag-spec-seeds-wh"
+      for (d <- Seq(seeds, wh)) {
+        val hp = new org.apache.hadoop.fs.Path(d)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      Seq((1, "us"), (2, "de")).toDF("Country Id", "Code")
+        .coalesce(1).write.option("header", "true").csv(s"$seeds/countries.csv")
+      val out = graft.sources.Seeds.loadAll(spark, seeds, wh)
+      out.keySet shouldBe Set("countries")
+      out("countries").columns.toSeq shouldBe Seq("country_id", "code")
+      out("countries").count() shouldBe 2
+    }
   }
 
   describe("runMaterialized") {
