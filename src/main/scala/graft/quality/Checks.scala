@@ -110,4 +110,22 @@ object Checks {
   case object Unique extends CheckSpec
   final case class AcceptedValues(values: Seq[Any]) extends CheckSpec
   final case class Relationships(to: DataFrame, field: String) extends CheckSpec
+
+  /** dbt test severity: a failing test with severity `warn` warns
+    * instead of erroring (dbt `config(severity=...)`). Applied to a
+    * `run` result; unconfigured checks default to `error`.
+    */
+  def withStatus(
+      results: DataFrame,
+      severity: Map[(String, String), String] = Map.empty): DataFrame = {
+    val sev = severity.foldLeft(lit("error")) {
+      case (e, ((check, column), s)) =>
+        when(col("check_name") === check && col("column_name") === column, s)
+          .otherwise(e)
+    }
+    results
+      .withColumn("severity", sev)
+      .withColumn("status",
+        when(col("violations") === 0, "pass").otherwise(col("severity")))
+  }
 }

@@ -24,6 +24,17 @@ class QualitySpec extends SparkSpec {
     it("returns an empty frame for an empty config") {
       Checks.run(df, Map.empty).count() shouldBe 0
     }
+    it("withStatus maps violations through per-check severity") {
+      import spark.implicits._
+      val out = Checks.withStatus(
+        Checks.run(df, Map(
+          "k" -> Seq(Checks.NotNull),
+          "s" -> Seq(Checks.AcceptedValues(Seq("a", "b", "zz"))))),
+        severity = Map(("not_null", "k") -> "warn"))
+        .select("check_name", "status").as[(String, String)].collect().toMap
+      out("not_null") shouldBe "warn" // 1 violation, severity warn
+      out("accepted_values") shouldBe "pass" // 0 violations
+    }
     it("relationships counts child rows without parents") {
       val parent = Seq(1L).toDF("pk")
       val out = Checks.run(df, Map(
