@@ -180,7 +180,12 @@ object PipelineEntry {
 
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val attached = Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
-    Multimodal.metaSummary(Multimodal.decodeBatches(attached))
+    val decoded = Multimodal.decodeBatches(attached)
+    val frames = Multimodal.sampleFrames(decoded, everyN = 30)
+      .groupBy("mime").agg(count(lit(1)).as("n_sampled_frames"))
+    Multimodal.metaSummary(decoded)
+      .join(frames, Seq("mime"), "left")
+      .withColumn("n_sampled_frames", coalesce(col("n_sampled_frames"), lit(0L)))
       .orderBy("mime")
   }
 

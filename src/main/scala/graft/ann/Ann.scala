@@ -112,7 +112,11 @@ object Ann {
         nearestCentroid(col(vecCol), cents).as("cl"))
       val means = assigned
         .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cl", "pos").agg(avg("x").as("m"))
+        .groupBy("cl", "pos")
+        // decimal sum → exact, so centroids are identical regardless
+        // of partial-aggregate merge order (double avg is not)
+        .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect()
       val byCluster = means.groupBy(_.getInt(0))
       cents = cents.indices.map { c =>

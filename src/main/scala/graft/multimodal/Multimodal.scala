@@ -72,6 +72,23 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Frame sampling over decoded video assets: every `everyN`-th
+    * frame index becomes a row, carrying a deterministic per-frame
+    * checksum (stub for the frame bytes a real decoder would emit).
+    * Pure per-row sequence+explode — a 10⁹-video corpus fans out to
+    * frame rows with zero shuffle; downstream feature extraction
+    * joins on (doc_id, frame_idx).
+    */
+  def sampleFrames(decoded: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    decoded
+      .filter(col("decoded.n_frames") > 1)
+      .select(col("doc_id"), col("mime"),
+        explode(sequence(lit(0), col("decoded.n_frames") - 1, lit(everyN)))
+          .as("frame_idx"))
+      .withColumn("frame_checksum", xxhash64(col("doc_id"), col("frame_idx")))
+  }
+
   /** Metadata summary per mime type — the catalog-facing view. */
   def metaSummary(decoded: DataFrame): DataFrame =
     decoded.groupBy(col("mime"))

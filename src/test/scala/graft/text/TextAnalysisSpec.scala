@@ -62,5 +62,21 @@ class TextAnalysisSpec extends SparkSpec {
         .select("decoded.sample_rate").collect()
         .foreach(r => r.getInt(0) should be > 0)
     }
+    it("sampleFrames emits every Nth frame index for video assets only") {
+      import spark.implicits._
+      val docs = (0L until 30L).map(i => i -> s"p$i").toDF("doc_id", "text")
+      val dec = Multimodal.decodeBatches(
+        Multimodal.attachBinary(docs, "doc_id", "text"))
+      val frames = Multimodal.sampleFrames(dec, everyN = 10)
+      frames.select("mime").distinct().as[String].collect() shouldBe
+        Array("video/mp4")
+      // every video contributes ceil(n_frames/10) sampled frames
+      val perDoc = frames.groupBy("doc_id").count()
+        .join(dec.select(col("doc_id"), col("decoded.n_frames").as("nf")), "doc_id")
+        .as[(Long, Long, Int)].collect()
+      perDoc.foreach { case (_, n, nf) =>
+        n shouldBe ((nf + 9) / 10).toLong
+      }
+    }
   }
 }
