@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical layout controls for 100 TB tables.
+  *
+  * - BUCKETING: persisting both sides of a recurring fact⋈fact join
+  *   bucketed on the join key lets Spark plan the join with NO
+  *   exchange — each task zips bucket i with bucket i. At 100 TB the
+  *   shuffle this avoids IS the query cost; bucketing pays it once at
+  *   write time.
+  * - CLUSTERING: range-repartition + in-partition sort on a filter
+  *   column tightens parquet row-group min/max stats so pushed-down
+  *   predicates actually skip row groups (a scan for one day of a
+  *   clustered cursor column reads ~1 file, not all of them).
+  */
+object Bucketing {
+
+  /** Persist as a bucketed (+ optionally sorted) catalog table. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketing requires columns")
+    var w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Write parquet clustered on `clusterCols`: range partitioning
+    * puts disjoint value ranges in separate files, the in-partition
+    * sort packs row groups tightly — both serve min/max pruning.
+    */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      clusterCols: Seq[String],
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}
