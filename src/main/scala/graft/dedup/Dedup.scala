@@ -181,7 +181,11 @@ object Dedup {
     * found via the chunk pigeonhole (Manku/Jain/Sarma WWW'07): split
     * the 64-bit fingerprint into `maxHamming + 1` chunks — any pair
     * within distance d must agree on ≥ 1 chunk — bucket on
-    * (chunk_id, chunk_val), verify with bit_count(xor).
+    * (chunk_id, chunk_val), verify with bit_count(xor). As in the
+    * paper's multiple permuted tables, a second, bit-rotated chunking
+    * widens recall for pairs whose flipped bits straddle the first
+    * table's chunk boundaries (candidate generation only — the
+    * hamming filter stays exact).
     */
   def simhashPairs(
       docs: DataFrame,
@@ -196,11 +200,22 @@ object Dedup {
 
     val fps = barrier(docs.select(col(idCol).as("doc_id"),
       graft.functions.TextHashes.simhash64(col(textCol)).as("fp")))
+    // second table: fingerprint rotated by half a chunk
+    val rot = width / 2
+    val rotated =
+      if (rot == 0) col("fp")
+      else shiftrightunsigned(col("fp"), rot)
+        .bitwiseOR(shiftleft(col("fp"), 64 - rot))
     val chunked = fps.select(col("doc_id"), col("fp"),
-      explode(array(Seq.tabulate(chunks) { i =>
-        struct(lit(i).as("chunk_id"),
-          shiftright(col("fp"), i * width).bitwiseAND(lit(mask)).as("chunk_val"))
-      }: _*)).as("c"))
+      explode(array(
+        Seq.tabulate(chunks) { i =>
+          struct(lit(i).as("chunk_id"),
+            shiftright(col("fp"), i * width).bitwiseAND(lit(mask)).as("chunk_val"))
+        } ++
+        Seq.tabulate(if (rot == 0) 0 else chunks) { i =>
+          struct(lit(chunks + i).as("chunk_id"),
+            shiftright(rotated, i * width).bitwiseAND(lit(mask)).as("chunk_val"))
+        }: _*)).as("c"))
       .select(col("doc_id"), col("fp"), col("c.chunk_id"), col("c.chunk_val"))
     val capped = barrier(capBuckets(chunked, Seq("chunk_id", "chunk_val"), maxBucket))
 

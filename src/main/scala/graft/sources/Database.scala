@@ -48,15 +48,19 @@ object Database {
     }.toMap
 
   /** Load every extracted table into `destDir` honoring its
-    * disposition (append / replace / merge+primary_key).
+    * disposition (append / replace / merge+primary_key). Returns the
+    * load info — rows loaded per table (the reference's
+    * `_extract_rows_loaded` metric, read back from the written
+    * parquet footers, so it reflects what actually landed).
     */
   def loadAll(
       spark: SparkSession,
       frames: Map[String, DataFrame],
       destDir: String,
-      perTable: Map[String, TableConfig] = Map.empty): Unit =
-    frames.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      perTable: Map[String, TableConfig] = Map.empty): Map[String, Long] =
+    frames.toSeq.sortBy(_._1).map { case (name, df) =>
       val cfg = perTable.getOrElse(name, TableConfig())
       Writer.write(spark, df, s"$destDir/$name", cfg.disposition, cfg.primaryKey)
-    }
+      name -> spark.read.parquet(s"$destDir/$name").count()
+    }.toMap
 }

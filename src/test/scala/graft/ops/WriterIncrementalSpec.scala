@@ -37,6 +37,28 @@ class WriterIncrementalSpec extends SparkSpec {
     }
   }
 
+  describe("Database.loadAll") {
+    it("applies per-table dispositions and reports rows loaded") {
+      import spark.implicits._
+      import graft.sources.Database
+      val dest = "target/scratch/database-spec-dest"
+      val p = new org.apache.hadoop.fs.Path(dest)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+      val cfg = Map(
+        "t_merge" -> Database.TableConfig(disposition = "merge", primaryKey = Seq("id")),
+        "t_app" -> Database.TableConfig(disposition = "append"))
+      def frames(lo: Long, hi: Long) = Map(
+        "t_merge" -> spark.range(lo, hi).toDF("id"),
+        "t_app" -> spark.range(lo, hi).toDF("id"))
+
+      val info1 = Database.loadAll(spark, frames(0, 4), dest, cfg)
+      info1 shouldBe Map("t_merge" -> 4L, "t_app" -> 4L)
+      val info2 = Database.loadAll(spark, frames(2, 6), dest, cfg)
+      info2 shouldBe Map("t_merge" -> 6L, "t_app" -> 8L) // merged vs appended
+    }
+  }
+
   describe("Incremental ranges") {
     import spark.implicits._
     def df = Seq(1L, 2L, 3L, 4L).toDF("c")
