@@ -88,6 +88,36 @@ object PipelineEntry {
   }
 
   // ---------------------------------------------------------------
+  // q40 — bucketed co-located join: both fact tables persisted
+  // bucketed on the join key, then joined WITHOUT a shuffle exchange
+  // (the layout paid the shuffle at write time).
+  // ---------------------------------------------------------------
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    val suffix = dir.replaceAll("[^0-9a-zA-Z.]", "_").replace(".", "_")
+    val (tO, tL) = (s"q40_orders_$suffix", s"q40_lineitem_$suffix")
+    for (t <- Seq(tO, tL)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      tO, Seq("o_orderkey"), 8, sortCols = Seq("o_orderkey"))
+    Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+      tL, Seq("l_orderkey"), 8, sortCols = Seq("l_orderkey"))
+    Bucketing.table(s, tL).hint("MERGE")
+      .join(Bucketing.table(s, tO), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------
   // q39 — catalog entry registry round-trip: discover tables, upsert
   // entries, update one, soft-delete one, list the live set.
   // ---------------------------------------------------------------
@@ -286,7 +316,8 @@ object PipelineEntry {
     "q33_multimodal_meta" -> (q33 _),
     "q37_ann_ivf" -> (q37 _),
     "q38_dedup_clusters" -> (q38 _),
-    "q39_catalog_entries" -> (q39 _))
+    "q39_catalog_entries" -> (q39 _),
+    "q40_bucketed_join" -> (q40 _))
 
   // SQL-expressible oracles. q23–q28 and q33 are hash/LSH-dependent
   // (xxhash64 has no DuckDB counterpart) → rows-only checks.
@@ -320,6 +351,14 @@ object PipelineEntry {
     "(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / len(string_split(lower(text), ' ')))"
 
   val oracleSql: Map[String, String] = Map(
+    "q40_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q34_full_database" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS table_name, count(*) AS n_rows,
