@@ -52,6 +52,17 @@ object Streams {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental twin of `Dedup.exact`:
+    * keeps one row per key, with state BOUNDED by the event-time
+    * watermark (a duplicate arriving later than the watermark delay
+    * is passed through; state for expired keys is dropped). Callers
+    * set `withWatermark` upstream; keys are typically a content hash
+    * (`xxhash64(text)`) so the state store holds 8-byte keys, not
+    * payloads.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keys)
+
   // --- streaming sessionization (incremental twin of ops.Sessionize) ---
 
   final case class Event(user_id: Long, ts: Long, value: Double)

@@ -74,6 +74,29 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  describe("dedupStream") {
+    it("drops duplicate keys arriving within the watermark window") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String)]
+      val events = input.toDF().toDF("content_hash", "ts", "payload")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "10 minutes")
+      val q = dedupStream(events, Seq("content_hash"))
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, ns(0), "a"), (1L, ns(1), "a-dup"), (2L, ns(2), "b"))
+        q.processAllAvailable()
+        input.addData((1L, ns(3), "a-dup2"), (3L, ns(4), "c"))
+        q.processAllAvailable()
+        val got = spark.table("dedup_out")
+          .select("content_hash").as[Long].collect().sorted
+        got shouldBe Array(1L, 2L, 3L) // one row per key across batches
+      } finally q.stop()
+    }
+  }
+
   describe("batch Sessionize (the twin)") {
     it("agrees with the streaming sessionizer on closed sessions") {
       import spark.implicits._
