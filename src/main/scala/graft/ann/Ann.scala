@@ -79,16 +79,18 @@ object Ann {
   // IVF (inverted-file) ANN: k-means coarse quantizer
   // ----------------------------------------------------------------
 
-  /** Squared L2 distance to a literal centroid — per-row expression. */
+  /** Squared L2 distance to a literal centroid — HOF form, used only
+    * on the small query side (probe ranking).
+    */
   private def sqDist(v: Column, centroid: Seq[Double]): Column =
     aggregate(zip_with(v, typedlit(centroid), (x, c) => (x - c) * (x - c)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Index (0-based) of the nearest centroid. */
-  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map(c => sqDist(v, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Index (0-based) of the nearest centroid — native fused loop
+    * (the corpus-side hot path).
+    */
+  private def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.VectorColumns.nearestCentroid(v, centroids)
 
   /** Lloyd's k-means for the coarse quantizer. Centroids are tiny
     * (nLists × dim) so they live on the driver between iterations —

@@ -50,6 +50,23 @@ object VectorExprs {
     code
   }
 
+  def nearestCentroidEval(v: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    val (n, g) = toDoubles(v, isFloat)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      val m = math.min(n, cent.length)
+      while (i < m) { val t = g(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(t, _) =>
       t == org.apache.spark.sql.types.FloatType
@@ -73,6 +90,38 @@ object VectorExprs {
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
+  }
+
+  /** Index of the nearest centroid by squared L2 — the IVF coarse
+    * assignment, one fused loop over nLists × dim.
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    require(centroids.nonEmpty, "need centroids")
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "graft_nearest_centroid"
+    private lazy val vf = elemIsFloat(child)
+
+    override protected def nullSafeEval(input: Any): Any =
+      nearestCentroidEval(input.asInstanceOf[ArrayData], centroids, vf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExprs.nearestCentroidEval($c, $ref, $vf)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+
+    override def equals(o: Any): Boolean = o match {
+      case NearestCentroid(c, p) =>
+        c == child && p.length == centroids.length &&
+          p.zip(centroids).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
   }
 
   /** Random-hyperplane sign code: bit p set iff dot(v, planeₚ) ≥ 0.
@@ -121,4 +170,7 @@ object VectorColumns {
 
   def signCode(v: Column, planes: Seq[Seq[Double]]): Column =
     column(SignCode(expression(v), planes.map(_.toArray).toArray))
+
+  def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
+    column(NearestCentroid(expression(v), centroids.map(_.toArray).toArray))
 }
