@@ -1,5 +1,7 @@
 package graft.quality
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,14 +94,43 @@ object Checks {
         Some(aggd.select(explode(array(rows: _*)).as("r")).select("r.*"))
       }
 
+    // ALL unique checks fuse into one scan too: explode each tested
+    // column as a (column_name, value) pair, one groupBy counts
+    // duplicates for every column at once. String-cast is per-column
+    // injective, so duplicate counts are unchanged.
+    val uniqueCols = ordered.collect {
+      case (c, specs) if specs.contains(Unique) => c
+    }
+    val fusedUnique: Option[DataFrame] =
+      if (uniqueCols.isEmpty) None
+      else {
+        val tagged = df
+          .select(explode(array(uniqueCols.map(c =>
+            struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*))
+            .as("p"))
+          .select("p.*")
+          .filter(col("v").isNotNull)
+          .groupBy("column_name", "v").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .groupBy("column_name").agg(count(lit(1)).as("violations"))
+        // reinstate zero-violation columns dropped by the filter
+        val expected = df.sparkSession.createDataFrame(
+          uniqueCols.map(c => org.apache.spark.sql.Row(c)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("column_name",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+        Some(expected.join(tagged, Seq("column_name"), "left")
+          .select(lit("unique").as("check_name"), col("column_name"),
+            coalesce(col("violations"), lit(0L)).cast("long").as("violations")))
+      }
+
     val grouped = ordered.flatMap { case (column, specs) =>
       specs.collect {
-        case Unique => unique(df, column)
         case Relationships(to, field) => relationships(df, column, to, field)
       }
     }
 
-    (fused.toSeq ++ grouped)
+    (fused.toSeq ++ fusedUnique.toSeq ++ grouped)
       .reduceOption(_.unionByName(_))
       .getOrElse(df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), resultSchema))
