@@ -298,7 +298,20 @@ object PipelineEntry {
         unix_millis(max(col("o_orderdate")).cast("timestamp")).as("max_ms"))
   }
 
+  // ---------------------------------------------------------------
+  // q41/q42 — corpus diagnostics: per-language stats (exact
+  // percentiles + decimal-exact mean quality) and top bigrams.
+  // ---------------------------------------------------------------
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusStats(t(s, dir, "documents"), "text", Seq("lang"))
+      .orderBy("lang")
+
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(t(s, dir, "documents"), "text", k = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_corpus_stats" -> (q41 _),
+    "q42_top_ngrams" -> (q42 _),
     "q34_full_database" -> (q34 _),
     "q35_materializations" -> (q35 _),
     "q36_incremental_state" -> (q36 _),
@@ -351,6 +364,30 @@ object PipelineEntry {
     "(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / len(string_split(lower(text), ' ')))"
 
   val oracleSql: Map[String, String] = Map(
+    "q41_corpus_stats" ->
+      s"""WITH d AS (
+         |  SELECT lang, $WsTokSql AS tok,
+         |    CAST(least($WsTokSql / 100.0, 1.0) * 0.5
+         |      + $DistinctRatioSql * 0.3
+         |      + least(($StopHitsSql * 1.0 / $WsTokSql) * 5.0, 1.0) * 0.2
+         |      AS DECIMAL(18,8)) AS q
+         |  FROM documents
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  quantile_cont(tok, 0.5) AS p50_tokens,
+         |  quantile_cont(tok, 0.95) AS p95_tokens,
+         |  CAST(sum(q) AS DOUBLE) / count(*) AS avg_quality
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q42_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, len(string_split(lower(text), ' '))),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i + 1])) AS gram
+        |  FROM documents
+        |)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     "q40_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))

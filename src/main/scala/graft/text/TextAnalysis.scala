@@ -132,6 +132,45 @@ object TextAnalysis {
     alphaRunCount(text) + digitRunCount(text) + punctCharCount(text)
 
   // ------------------------------------------------------------
+  // corpus statistics (q41/q42)
+  // ------------------------------------------------------------
+
+  /** Per-group corpus statistics: doc counts, exact token-count
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * both linear-interpolated over the sorted values), and a
+    * decimal-exact mean quality. One aggregation pass.
+    */
+  def corpusStats(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, groupCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("__tok", wsTokenCount(col(textCol)))
+      .withColumn("__q", qualityScore(col(textCol)).cast("decimal(18,8)"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(__tok, 0.5)").as("p50_tokens"),
+        expr("percentile(__tok, 0.95)").as("p95_tokens"),
+        (sum(col("__q")).cast("double") / count(lit(1))).as("avg_quality"))
+
+  /** Word bigrams of single-space text — occurrence rows (not
+    * per-doc distinct), for frequency profiling.
+    */
+  def wordBigrams(text: Column): Column = {
+    val w = split(lower(text), " ")
+    transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+  }
+
+  /** Top-k n-grams by raw occurrence count, ties broken by gram text
+    * so the cut at rank k is deterministic.
+    */
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    docs.select(explode(wordBigrams(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
+  // ------------------------------------------------------------
   // fingerprint (q32)
   // ------------------------------------------------------------
 
