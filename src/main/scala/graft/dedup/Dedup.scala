@@ -305,10 +305,13 @@ object Dedup {
   /** Connected components over a near-dup pair list: every member of
     * a transitive duplicate cluster gets the cluster's MIN doc id as
     * its label (the canonical survivor). Iterative min-label
-    * propagation — converges in O(log diameter) rounds for dup
-    * clusters (diameter is tiny in practice); each round is one
-    * join + one aggregate, all keyed shuffles, checkpointed so the
-    * plan doesn't grow with iterations.
+    * propagation: one hop per round, so convergence is O(component
+    * diameter) — near-clique dup clusters finish in 2–3 rounds; a
+    * pathological long-chain component beyond `maxIters` would keep
+    * per-chain-segment labels (production graphs use large/small-star
+    * pointer jumping for O(log n)). Each round is one join + one
+    * aggregate, all keyed shuffles, checkpointed so the plan doesn't
+    * grow with iterations.
     *
     * Returns (doc_id, cluster_id) for every doc that appears in a
     * pair; `cluster_id == doc_id` marks the survivor. Docs with no

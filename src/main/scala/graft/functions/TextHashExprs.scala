@@ -101,7 +101,10 @@ object TextHashExprs {
     * 64-bit per token. Skips empty tokens.
     */
   private[functions] def tokenHashes(s: UTF8String): Array[Long] = {
-    val str = s.toString.toLowerCase
+    // Locale.ROOT: the default-locale toLowerCase is not stable
+    // across JVMs (tr_TR maps I→ı), which would change hashes
+    // between executors
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
     val n = str.length

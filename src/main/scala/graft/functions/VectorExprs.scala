@@ -22,8 +22,9 @@ object VectorExprs {
       else (i: Int) => a.getDouble(i))
 
   def cosineEval(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val (n, ga) = toDoubles(a, aFloat)
-    val (_, gb) = toDoubles(b, bFloat)
+    val (na0, ga) = toDoubles(a, aFloat)
+    val (nb0, gb) = toDoubles(b, bFloat)
+    val n = math.min(na0, nb0) // tolerate ragged inputs like zip_with
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
