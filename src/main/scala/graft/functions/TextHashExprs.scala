@@ -132,6 +132,40 @@ object TextHashExprs {
 
   private val Helper = "graft.functions.TextHashExprs"
 
+  def wordBigramsEval(s: UTF8String): ArrayData = {
+    // single-space tokenization to match split(lower(text), " ") /
+    // DuckDB string_split — NOT the whitespace-run tokenizer above
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = str.split(" ", -1) // -1 keeps trailing empties, like SQL split
+    val n = math.max(toks.length - 1, 0)
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Word bigram strings (single-space tokenization) — one fused
+    * loop; output identical to the HOF transform/concat_ws form so
+    * SQL oracles keep matching.
+    */
+  case class WordBigrams(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_word_bigrams"
+
+    override protected def nullSafeEval(input: Any): Any =
+      wordBigramsEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.wordBigramsEval($c)")
+
+    override protected def withNewChildInternal(c: Expression): WordBigrams =
+      copy(child = c)
+  }
+
   /** Sorted distinct 64-bit hashes of word k-shingles — the hashed
     * feature set used by MinHash-LSH and the n-gram Jaccard join.
     * Shorter-than-k documents collapse to one whole-document shingle.
@@ -203,4 +237,7 @@ object TextHashes {
 
   def simhash64(text: Column): Column =
     column(SimHash64(expression(text)))
+
+  def wordBigrams(text: Column): Column =
+    column(TextHashExprs.WordBigrams(expression(text)))
 }

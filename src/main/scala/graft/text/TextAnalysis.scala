@@ -153,13 +153,12 @@ object TextAnalysis {
         (sum(col("__q")).cast("double") / count(lit(1))).as("avg_quality"))
 
   /** Word bigrams of single-space text — occurrence rows (not
-    * per-doc distinct), for frequency profiling.
+    * per-doc distinct), for frequency profiling. Native expression
+    * (graft.functions.TextHashExprs.WordBigrams); same strings as
+    * the transform/concat_ws HOF form.
     */
-  def wordBigrams(text: Column): Column = {
-    val w = split(lower(text), " ")
-    transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
-  }
+  def wordBigrams(text: Column): Column =
+    graft.functions.TextHashes.wordBigrams(text)
 
   /** Top-k n-grams by raw occurrence count, ties broken by gram text
     * so the cut at rank k is deterministic.
