@@ -1,0 +1,30 @@
+package graft
+
+import graft.SparkSpec
+
+/** Driver-contract guards: the driver hash-compares
+  * `SparkEntry.queries` against `oracleSql` by NAME, so a typo'd key
+  * or an oracle without a query silently weakens the round. */
+class SparkEntrySpec extends SparkSpec {
+
+  describe("driver contract") {
+    it("every oracle key has a registered query") {
+      val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+      orphans shouldBe empty
+    }
+    it("covers the full SURVEY inventory (q01..q42)") {
+      SparkEntry.queries.size shouldBe 42
+      val nums = SparkEntry.queries.keySet.map(_.take(3))
+      nums shouldBe (1 to 42).map(i => f"q$i%02d").toSet
+    }
+    it("oracle SQL never references scratch paths or spark-only syntax markers") {
+      SparkEntry.oracleSql.values.foreach { sql =>
+        sql should not include "/root/repo/target"
+        sql.toLowerCase should not include "tablesample"
+      }
+    }
+    it("entry() returns non-empty rows at smoke scale") {
+      SparkEntry.entry(spark).count() should be > 0L
+    }
+  }
+}
