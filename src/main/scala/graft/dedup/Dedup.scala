@@ -71,10 +71,11 @@ object Dedup {
     round(size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)), 4)
 
-  /** MinHash signature over a hashed feature set: element s is min
-    * over features of xxhash64(feature_hash, s) — the seed rides
-    * along as a hashed column, giving `numHashes` independent hash
-    * families without UDFs.
+  /** MinHash signature over a hashed feature set — HOF REFERENCE
+    * IMPLEMENTATION, kept for the measured comparison in SURVEY §4
+    * (102s vs 0.48s at sf0.1): the hot path uses the native
+    * `TextHashExprs.MinHashSignature`. Element s is min over features
+    * of xxhash64(feature_hash, s).
     */
   def minhashSignature(hashedFeatures: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -158,11 +159,11 @@ object Dedup {
 
   private val BitMasks: Seq[Long] = Seq.tabulate(64)(1L << _)
 
-  /** 64-bit SimHash over lowercased whitespace tokens: per token,
-    * each bit of xxhash64(token) votes ±1; fingerprint bit = sign of
-    * the tally. Entirely per-row `aggregate`/`zip_with` — no shuffle,
-    * no UDF. Disjoint-bit summation assembles the long without
-    * overflow (each addition touches one fresh bit).
+  /** 64-bit SimHash — HOF REFERENCE IMPLEMENTATION (see SURVEY §4
+    * measurement; hot path uses native `TextHashExprs.SimHash64`).
+    * Per token, each bit of xxhash64(token) votes ±1; fingerprint
+    * bit = sign of the tally. Disjoint-bit summation assembles the
+    * long without overflow (each addition touches one fresh bit).
     */
   def simhash(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
