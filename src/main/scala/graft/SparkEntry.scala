@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IncrementalModel, RowFilters, SchemaContract, Sessionize, Snapshot, Writer}
+import graft.ops.{AsOfJoin, IncrementalModel, RowFilters, SchemaContract, Sessionize, Snapshot, Writer}
 import graft.ops.RowFilters._
 import graft.quality.{Checks, Freshness}
 import graft.sources.{Catalog, FileSource, Incremental, Tables}
@@ -460,7 +460,30 @@ object SparkEntry {
     Streams.tumblingAgg(events).orderBy("hour_ms", "event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q43 — as-of join: each click enriched with the user's latest
+  // purchase at-or-before the click. Composed from union + window
+  // carry-forward (one key shuffle); oracle is DuckDB's native
+  // ASOF LEFT JOIN.
+  // ---------------------------------------------------------------
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    AsOfJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("p_ts", "p_value"))
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("click_ms"),
+        expr("p_ts div 1000000").as("purchase_ms"),
+        col("p_value").as("purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_asof_join" -> (q43 _),
     "q01_full_scan_agg" -> (q01 _),
     "q02_filter_ops" -> (q02 _),
     "q03_join_star" -> (q03 _),
@@ -484,6 +507,15 @@ object SparkEntry {
     "q21_stream_tumbling" -> (q21 _)) ++ PipelineEntry.queries
 
   def oracleSql: Map[String, String] = Map(
+    "q43_asof_join" ->
+      """SELECT l.user_id, l.event_id,
+        |  epoch_ns(l.ts) // 1000000 AS click_ms,
+        |  epoch_ns(r.ts) // 1000000 AS purchase_ms,
+        |  r.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
     "q01_full_scan_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
