@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, IncrementalModel, RowFilters, SchemaContract, Sessionize, Snapshot, Writer}
+import graft.ops.{AsOfJoin, IncrementalModel, RangeJoin, RowFilters, SchemaContract, Sessionize, Snapshot, Writer}
 import graft.ops.RowFilters._
 import graft.quality.{Checks, Freshness}
 import graft.sources.{Catalog, FileSource, Incremental, Tables}
@@ -482,7 +482,29 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------
+  // q44 — range join: events against daily maintenance windows via
+  // interval binning (equi-join on bin + exact containment filter —
+  // never a nested-loop over |points|×|intervals|).
+  // ---------------------------------------------------------------
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val baseMs = 1704067200000L // 2024-01-01T00:00:00Z
+    val windows = s.range(0, 30)
+      .select((lit(baseMs) + col("id") * dayMs).as("w_start"))
+      .withColumn("w_end", col("w_start") + 1800000L) // 30-min window
+    val points = t(s, dir, "events")
+      .select(expr("ts div 1000000").as("ms"), col("value"))
+    RangeJoin.pointInInterval(points, "ms", windows, "w_start", "w_end",
+        binWidth = 1800000L)
+      .groupBy("w_start")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("w_start")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_range_join" -> (q44 _),
     "q43_asof_join" -> (q43 _),
     "q01_full_scan_agg" -> (q01 _),
     "q02_filter_ops" -> (q02 _),
@@ -507,6 +529,18 @@ object SparkEntry {
     "q21_stream_tumbling" -> (q21 _)) ++ PipelineEntry.queries
 
   def oracleSql: Map[String, String] = Map(
+    "q44_range_join" ->
+      """WITH w AS (
+        |  SELECT 1704067200000 + i * 86400000 AS w_start,
+        |         1704067200000 + i * 86400000 + 1800000 AS w_end
+        |  FROM range(0, 30) t(i)
+        |), e AS (
+        |  SELECT epoch_ns(ts) // 1000000 AS ms, value FROM events
+        |)
+        |SELECT w_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e JOIN w ON e.ms >= w.w_start AND e.ms < w.w_end
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
     "q43_asof_join" ->
       """SELECT l.user_id, l.event_id,
         |  epoch_ns(l.ts) // 1000000 AS click_ms,
