@@ -309,7 +309,29 @@ object PipelineEntry {
   private def q42(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topNgrams(t(s, dir, "documents"), "text", k = 20)
 
+  // ---------------------------------------------------------------
+  // q45 — mergeable-sketch incremental distinct counting: per event
+  // type, HLL-sketch two batches, merge, estimate — plus the exact
+  // count for error inspection. The sketch column is what a 100 TB
+  // incremental pipeline persists instead of raw user sets.
+  // ---------------------------------------------------------------
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Sketches
+    val ev = t(s, dir, "events")
+    val cutoff = Tables.epochNs("2024-01-15T00:00:00Z")
+    val b1 = ev.filter(col("ts") < cutoff)
+    val b2 = ev.filter(col("ts") >= cutoff)
+    val state1 = Sketches.incrementalDistinct(None, b1, Seq("event_type"), "user_id")
+    val state2 = Sketches.incrementalDistinct(Some(state1), b2, Seq("event_type"), "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    state2.select(col("event_type"), col("distinct_est").cast("long").as("hll_est"))
+      .join(exact, "event_type")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_hll_incremental" -> (q45 _),
     "q41_corpus_stats" -> (q41 _),
     "q42_top_ngrams" -> (q42 _),
     "q34_full_database" -> (q34 _),
