@@ -56,6 +56,14 @@ object GraftExtensions {
         case Seq(t) => SimHash64(t)
         case _ => throw new IllegalArgumentException(
           "graft_simhash64(text) takes 1 argument")
+      }),
+    (FunctionIdentifier("graft_lang_predict"),
+      info("graft_lang_predict",
+        "_FUNC_(text) - marker-stopword language ID (argmax, 'und' on no hits)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t) => LangPredict(t)
+        case _ => throw new IllegalArgumentException(
+          "graft_lang_predict(text) takes 1 argument")
       }))
 
   /** Imperative registration into a live session. */

@@ -165,23 +165,17 @@ object PipelineEntry {
       .orderBy("query_id", "rk")
   }
 
-  private def q29(s: SparkSession, dir: String): DataFrame = {
-    // materialize each language's marker score ONCE per doc (the
-    // argmax CASE references every score ~2·|langs| times, and
-    // CollapseProject would re-inline the replace-chains without the
-    // barrier)
-    val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
-      TextAnalysis.langScore(col("text"), ms).as(s"s_$l")
-    }
-    val scored = graft.plans.Plans.barrier(
-      t(s, dir, "documents").select(col("lang") +: scores: _*))
-    scored
-      .withColumn("predicted",
-        TextAnalysis.predictedFromScores(l => col(s"s_$l")))
-      .groupBy(col("lang"), col("predicted"))
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    // native one-pass argmax expression: the composed-Column form
+    // (12 replace-chains + CASE + plan barrier) codegen'd a huge
+    // method and cost a localCheckpoint materialization — under a
+    // loaded JVM it was the slowest query of the r2 bench (25s).
+    // One scan, partial aggregation, no barrier.
+    t(s, dir, "documents")
+      .groupBy(col("lang"),
+        graft.functions.TextHashes.langPredict(col("text")).as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted")
-  }
 
   private def q30(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(

@@ -177,7 +177,7 @@ object SparkEntry {
     SchemaContract.evolveUnion(batch1, batch2)
       .groupBy(col("o_orderpriority").isNotNull.cast("int").as("has_new_col"))
       .agg(count(lit(1)).as("n_rows"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy("has_new_col")
   }
 
@@ -434,9 +434,12 @@ object SparkEntry {
     t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
         rank().over(w).as("rk"),
-        round(sum(col("o_totalprice"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
-          .as("running_total"))
+        // decimal window sum: DuckDB's segment-tree windowed sum
+        // associates double adds differently than Spark's running
+        // accumulation — decimal makes the prefix sums exact
+        sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"))
       .orderBy("o_custkey", "rk")
   }
 
@@ -640,7 +643,8 @@ object SparkEntry {
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |), u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
         |SELECT CAST(o_orderpriority IS NOT NULL AS INT) AS has_new_col,
-        |  count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q08_schema_freeze_discard" ->
       """SELECT * FROM (
@@ -705,28 +709,32 @@ object SparkEntry {
         |)
         |SELECT * FROM (
         |  SELECT s1.k AS k, s1.n_orders AS n_orders, s1.max_price AS max_price,
-        |    100 AS valid_from, 200 AS valid_to, 0 AS is_current
+        |    CAST(100 AS BIGINT) AS valid_from, CAST(200 AS BIGINT) AS valid_to,
+        |    0 AS is_current
         |  FROM s1 JOIN s2 ON s1.k = s2.k
         |  WHERE s1.n_orders IS DISTINCT FROM s2.n_orders
         |     OR s1.max_price IS DISTINCT FROM s2.max_price
         |  UNION ALL
         |  SELECT s2.k, s2.n_orders, s2.max_price,
-        |    CASE WHEN s1.k IS NULL
+        |    CAST(CASE WHEN s1.k IS NULL
         |           OR s1.n_orders IS DISTINCT FROM s2.n_orders
         |           OR s1.max_price IS DISTINCT FROM s2.max_price
-        |         THEN 200 ELSE 100 END,
+        |         THEN 200 ELSE 100 END AS BIGINT),
         |    NULL, 1
         |  FROM s2 LEFT JOIN s1 ON s1.k = s2.k
         |) ORDER BY k, valid_from""".stripMargin,
     "q12_test_not_null_unique" ->
+      // CAST ... AS BIGINT: DuckDB's sum(int) returns HUGEINT (int128),
+      // which the driver's type-sensitive hash distinguishes from
+      // Spark's BIGINT even when the values are equal (r2 mismatch)
       """SELECT * FROM (
         |  SELECT 'not_null' AS check_name, 'o_orderkey' AS column_name,
-        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS violations
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
         |  FROM orders
         |  UNION ALL SELECT 'not_null', 'o_custkey',
-        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
         |  UNION ALL SELECT 'not_null', 'o_orderstatus',
-        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) FROM orders
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
         |  UNION ALL SELECT 'unique', 'o_orderkey',
         |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
         |      WHERE o_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1))
@@ -737,7 +745,7 @@ object SparkEntry {
     "q13_test_accepted_relationships" ->
       """SELECT * FROM (
         |  SELECT 'accepted_values' AS check_name, 'o_orderstatus' AS column_name,
-        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS violations
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS violations
         |  FROM orders
         |  UNION ALL SELECT 'relationships', 'o_custkey',
         |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
@@ -783,11 +791,11 @@ object SparkEntry {
         |FROM fct GROUP BY n_items ORDER BY n_items""".stripMargin,
     "q19_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
-        |  rank() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey) AS rk,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS rk,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, rk""".stripMargin,
     "q20_sessionize" ->
       """WITH m AS (
@@ -798,19 +806,20 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM m
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(epoch_ns(ts)) // 1000000 AS start_ms,
         |  max(epoch_ns(ts)) // 1000000 AS end_ms,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q21_stream_tumbling" ->
       """SELECT (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS hour_ms,
-        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin) ++
     PipelineEntry.oracleSql
 }

@@ -66,10 +66,11 @@ object Dedup {
   def hashedSet(features: Column): Column =
     array_sort(array_distinct(transform(features, f => xxhash64(f))))
 
-  /** Exact Jaccard between two hashed sets. */
+  /** Exact Jaccard between two hashed sets (unrounded — threshold
+    * filters must compare against this; round only for display).
+    */
   def setJaccard(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)), 4)
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** MinHash signature over a hashed feature set — HOF REFERENCE
     * IMPLEMENTATION, kept for the measured comparison in SURVEY §4
@@ -138,8 +139,12 @@ object Dedup {
       // a scalar prune that skips the set intersection entirely
       .filter(greatest(size(col("hs_a")), size(col("hs_b"))) * tau <=
         least(size(col("hs_a")), size(col("hs_b"))))
-      .select(col("a"), col("b"), setJaccard(col("hs_a"), col("hs_b")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+      // threshold on the UNROUNDED ratio (rounding first would admit
+      // pairs just below tau, e.g. 0.69996 → 0.7 at tau=0.7); round
+      // only the reported value
+      .select(col("a"), col("b"), setJaccard(col("hs_a"), col("hs_b")).as("jraw"))
+      .filter(col("jraw") >= tau)
+      .select(col("a"), col("b"), round(col("jraw"), 4).as("jaccard"))
       .distinct()
 
   /** Drop rows in buckets larger than `maxBucket` — the salt/cap
@@ -374,9 +379,12 @@ object Dedup {
       .join(capped.select(col("band_id"), col("band_val"),
         col("doc_id").as("b"), col("v").as("v_b")), Seq("band_id", "band_val"))
       .filter(col("a") < col("b"))
+      // same rounding discipline as verifiedBucketPairs: threshold on
+      // the raw cosine, round only the reported value
       .select(col("a"), col("b"),
-        round(graft.functions.VectorColumns.cosine(col("v_a"), col("v_b")), 4).as("cos"))
+        graft.functions.VectorColumns.cosine(col("v_a"), col("v_b")).as("craw"))
+      .filter(col("craw") >= tau)
+      .select(col("a"), col("b"), round(col("craw"), 4).as("cos"))
       .distinct()
-      .filter(col("cos") >= tau)
   }
 }

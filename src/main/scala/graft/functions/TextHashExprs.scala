@@ -118,6 +118,45 @@ object TextHashExprs {
     out.toArray
   }
 
+  // language-ID marker table, frozen as parallel arrays for the row
+  // loop (mirrors graft.text.TextAnalysis.LangMarkers — that object
+  // derives the DuckDB oracle SQL from the same Seq)
+  private lazy val LangNames: Array[UTF8String] =
+    graft.text.TextAnalysis.LangMarkers.map(l => UTF8String.fromString(l._1)).toArray
+  private lazy val LangMarkerArr: Array[Array[String]] =
+    graft.text.TextAnalysis.LangMarkers.map(_._2.toArray).toArray
+  private lazy val Und = UTF8String.fromString("und")
+
+  /** Argmax-language prediction in ONE pass: pad+lowercase once, count
+    * each marker's non-overlapping occurrences (indexOf advance ==
+    * SQL replace-length counting), first language attaining the max
+    * wins, all-zero → "und". Same decision procedure as the CASE-chain
+    * oracle SQL in PipelineEntry, without the 12-replace expression
+    * tree + plan barrier the composed-Column form needed.
+    */
+  def langPredictEval(s: UTF8String): UTF8String = {
+    val txt = " " + s.toLowerCase.toString + " "
+    var best = -1
+    var bestScore = -1L
+    var total = 0L
+    var i = 0
+    while (i < LangMarkerArr.length) {
+      val ms = LangMarkerArr(i)
+      var sc = 0L
+      var j = 0
+      while (j < ms.length) {
+        val m = ms(j)
+        var idx = txt.indexOf(m)
+        while (idx >= 0) { sc += 1; idx = txt.indexOf(m, idx + m.length) }
+        j += 1
+      }
+      total += sc
+      if (sc > bestScore) { best = i; bestScore = sc }
+      i += 1
+    }
+    if (total == 0L) Und else LangNames(best)
+  }
+
   private def sortedDistinct(a: Array[Long]): Array[Long] = {
     if (a.length <= 1) return a
     Arrays.sort(a)
@@ -205,6 +244,23 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Marker-stopword language ID — argmax over per-language marker
+    * counts, computed in one fused row loop (see langPredictEval).
+    */
+  case class LangPredict(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def prettyName: String = "graft_lang_predict"
+
+    override protected def nullSafeEval(input: Any): Any =
+      langPredictEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.langPredictEval($c)")
+
+    override protected def withNewChildInternal(c: Expression): LangPredict =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash: each bit of each token hash votes ±1; the
     * fingerprint bit is the tally's sign. One pass over tokens.
     */
@@ -240,4 +296,7 @@ object TextHashes {
 
   def wordBigrams(text: Column): Column =
     column(TextHashExprs.WordBigrams(expression(text)))
+
+  def langPredict(text: Column): Column =
+    column(TextHashExprs.LangPredict(expression(text)))
 }

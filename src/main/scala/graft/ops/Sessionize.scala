@@ -34,6 +34,8 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         expr("min(ts) div 1000000").as("start_ms"),
         expr("max(ts) div 1000000").as("end_ms"),
-        round(sum("value"), 2).as("sum_value"))
+        // decimal sum: a double sum is order-dependent across engines
+        // (shuffle order differs), which broke oracle parity in r2
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
   }
 }

@@ -97,16 +97,24 @@ object Checks {
     // ALL unique checks fuse into one scan too: explode each tested
     // column as a (column_name, value) pair, one groupBy counts
     // duplicates for every column at once. String-cast is per-column
-    // injective, so duplicate counts are unchanged.
+    // injective EXCEPT for float ±0.0 (Spark aggregation normalizes
+    // 0.0 == -0.0 but they stringify differently), so floats are
+    // normalized with + 0.0 before the cast.
     val uniqueCols = ordered.collect {
       case (c, specs) if specs.contains(Unique) => c
     }
+    def groupable(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => col(c) + lit(0.0)
+        case _ => col(c)
+      }
     val fusedUnique: Option[DataFrame] =
       if (uniqueCols.isEmpty) None
       else {
         val tagged = df
           .select(explode(array(uniqueCols.map(c =>
-            struct(lit(c).as("column_name"), col(c).cast("string").as("v"))): _*))
+            struct(lit(c).as("column_name"), groupable(c).cast("string").as("v"))): _*))
             .as("p"))
           .select("p.*")
           .filter(col("v").isNotNull)

@@ -57,10 +57,28 @@ object Incremental {
   /** Persist the pipeline watermark between runs (dlt keeps pipeline
     * state across invocations; here it is a one-row parquet in the
     * cursor column's own type, so load round-trips losslessly).
+    *
+    * MERGES with any existing state: dlt preserves the previous
+    * last_value across runs, so an empty batch (max = null) must NOT
+    * clobber the stored watermark with null, and a late re-run of an
+    * old batch must not move the watermark backwards — the persisted
+    * value is greatest(previous, batch max).
     */
-  def saveState(df: DataFrame, cursorPath: String, statePath: String): Unit =
-    df.agg(max(col(cursorPath)).as("last_value"))
-      .coalesce(1).write.mode("overwrite").parquet(statePath)
+  def saveState(df: DataFrame, cursorPath: String, statePath: String): Unit = {
+    val spark = df.sparkSession
+    val batch = df.agg(max(col(cursorPath)).as("last_value"))
+    val merged = loadState(spark, statePath).lastValue match {
+      case Some(prev) =>
+        // greatest() ignores nulls, so an empty batch keeps `prev`
+        batch.select(greatest(col("last_value"), lit(prev)).as("last_value"))
+      case None => batch
+    }
+    // materialize BEFORE overwriting: `merged` reads the same path
+    val row = merged.head()
+    if (!row.isNullAt(0))
+      spark.createDataFrame(java.util.Collections.singletonList(row), merged.schema)
+        .coalesce(1).write.mode("overwrite").parquet(statePath)
+  }
 
   /** Load the persisted watermark; None when no state exists yet
     * (first run) or the stored value is null.

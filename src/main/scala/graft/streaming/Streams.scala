@@ -48,7 +48,9 @@ object Streams {
   def tumblingAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal sum — order-independent across engines (see Sessionize)
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
