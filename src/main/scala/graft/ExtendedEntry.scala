@@ -1,0 +1,400 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, Skew}
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.text.TextAnalysis
+
+/** q46–q57: round-3 widening — reshaping (pivot/unpivot/cube),
+  * extended window functions, skew-safe aggregation, semi/anti joins,
+  * set operations, deterministic sampling, the corpus filter funnel,
+  * PII redaction, and two genuinely streaming queries (state-store
+  * dedup + watermark-flushed sessionization) checked against batch
+  * SQL oracles.
+  */
+object ExtendedEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec2(c: Column) = c.cast("decimal(18,2)")
+
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  // ---------------------------------------------------------------
+  // q46 — pivot: long→wide with per-status counts and decimal sums.
+  // Still ONE shuffle on the groupBy key; the pivot values are a
+  // metadata-level column split.
+  // ---------------------------------------------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sp"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------
+  // q47 — unpivot (wide→long melt) of per-nation customer metrics.
+  // ---------------------------------------------------------------
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_acctbal"),
+        max(col("c_acctbal")).as("max_acctbal"))
+      .unpivot(Array(col("c_nationkey")),
+        Array(col("n_customers"), col("total_acctbal"), col("max_acctbal")),
+        "metric", "value")
+      .orderBy("c_nationkey", "metric")
+
+  // ---------------------------------------------------------------
+  // q48 — cube / grouping sets with grouping_id: all 4 aggregation
+  // levels in one pass (Spark expands the cube map-side; one shuffle).
+  // ---------------------------------------------------------------
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  // ---------------------------------------------------------------
+  // q49 — extended window functions: lead/lag/ntile/first_value, all
+  // sharing ONE partitioning → a single Exchange + Sort.
+  // ---------------------------------------------------------------
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q50 — two-phase salted aggregation over a HOT key (event_type has
+  // ~5 values at any SF — the classic all-rows-to-5-reducers skew).
+  // The salt fans each hot key over 8 partial groups first; results
+  // are identical to the plain groupBy, which is the oracle.
+  // ---------------------------------------------------------------
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+      t(s, dir, "events").withColumn("v", col("value").cast("decimal(18,6)")),
+      Seq("event_type"), salt = 8,
+      aggs = Seq(
+        ("n_events", lit(1), "count"),
+        ("sum_v", col("v"), "sum"),
+        ("min_ts", col("ts"), "min"),
+        ("max_ts", col("ts"), "max")))
+      .select(col("event_type"), col("n_events"),
+        col("sum_v").cast("double").as("sum_value"),
+        expr("min_ts div 1000000").as("min_ms"),
+        expr("max_ts div 1000000").as("max_ms"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------
+  // q51 — left-semi / left-anti joins: active vs dormant customers
+  // per nation. Semi/anti never materialize right-side columns — at
+  // scale the build side is just the key set.
+  // ---------------------------------------------------------------
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val cust = t(s, dir, "customer")
+    val active = cust.join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_active"))
+    val dormant = cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_dormant"))
+    active.join(dormant, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_dormant"), lit(0L)).as("n_dormant"))
+      .orderBy("c_nationkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q52 — set operations: customer cohort retention via
+  // INTERSECT / EXCEPT on two periods' buyer keysets.
+  // ---------------------------------------------------------------
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    def buyers(y: Int): DataFrame =
+      orders.filter(year(col("o_orderdate")) === y).select("o_custkey")
+    val b97 = buyers(1997)
+    val b98 = buyers(1998)
+    val segments = Seq(
+      ("1_retained", b97.intersect(b98)),
+      ("2_churned", b97.except(b98)),
+      ("3_new", b98.except(b97)))
+    segments.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_customers"))
+        .select(lit(name).as("segment"), col("n_customers"))
+    }.reduce(_.unionByName(_)).orderBy("segment")
+  }
+
+  // ---------------------------------------------------------------
+  // q53 — deterministic stratified sampling: per-priority systematic
+  // 1-in-N on the key. A pure scan-level predicate — no shuffle, no
+  // RNG, reproducible on retry.
+  // ---------------------------------------------------------------
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratified(t(s, dir, "orders"), "o_orderpriority", "o_orderkey",
+        every = Map("1-URGENT" -> 7L, "2-HIGH" -> 13L), defaultEvery = 29L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------
+  // q54 — corpus quality filter funnel: 3 cumulative rules, one scan.
+  // ---------------------------------------------------------------
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.filterFunnel(t(s, dir, "documents"), Seq(
+        ("min_tokens", TextAnalysis.wsTokenCount(col("text")) >= 20),
+        ("lexical_diversity", TextAnalysis.distinctTokenRatio(col("text")) >= 0.3),
+        ("quality", TextAnalysis.qualityScore(col("text")) >= 0.35)))
+      .orderBy("stage")
+
+  // ---------------------------------------------------------------
+  // q55 — PII detection/redaction stats. Deterministic synthetic PII
+  // is injected into every 10th doc so the patterns actually fire;
+  // the oracle injects the identical text.
+  // ---------------------------------------------------------------
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val injected = t(s, dir, "documents")
+      .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or 5551234567")))
+        .otherwise(col("text")))
+    injected.select(col("doc_id"),
+        TextAnalysis.emailCount(col("text")).as("n_emails"),
+        TextAnalysis.longNumberCount(col("text")).as("n_numbers"),
+        length(TextAnalysis.redactPii(col("text"))).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q56 — STREAMING state-store dedup: readStream over the events
+  // parquet, dropDuplicatesWithinWatermark on user_id, collected via
+  // a memory sink. The batch oracle is SELECT DISTINCT.
+  // ---------------------------------------------------------------
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q56_dedup_${sanitize(dir)}"
+    s.catalog.dropTempView(name)
+    val q = Streams.dedupStream(Streams.readEvents(s, dir), Seq("user_id"))
+      .select("user_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q57 — STREAMING sessionization with event-time-timeout flush:
+  // gap-closed sessions emit inside the batch; each user's final
+  // session emits only when the watermark (max event time − 1 h)
+  // passes its last event + gap. The oracle states exactly that:
+  // batch sessionization filtered to gap-closed ∪ watermark-flushed.
+  // ---------------------------------------------------------------
+  private val SessionGapNs = 1800L * 1000000000L
+
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val spark: SparkSession = s
+    val name = s"q57_sess_${sanitize(dir)}"
+    s.catalog.dropTempView(name)
+    val ev = Streams.readEvents(s, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_time"))
+      .as[Streams.Event]
+    val q = Streams.sessionizeStream(ev, SessionGapNs)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_pivot" -> (q46 _),
+    "q47_unpivot" -> (q47 _),
+    "q48_cube_grouping" -> (q48 _),
+    "q49_window_funcs2" -> (q49 _),
+    "q50_salted_skew_agg" -> (q50 _),
+    "q51_semi_anti_join" -> (q51 _),
+    "q52_set_ops" -> (q52 _),
+    "q53_sample_stratified" -> (q53 _),
+    "q54_filter_funnel" -> (q54 _),
+    "q55_pii_redact" -> (q55 _),
+    "q56_stream_dedup" -> (q56 _),
+    "q57_stream_sessionize" -> (q57 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q46_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F_sp,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O_sp,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P_sp
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q47_unpivot" ->
+      """WITH wide AS (
+        |  SELECT c_nationkey,
+        |    CAST(count(*) AS DOUBLE) AS n_customers,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+        |    max(c_acctbal) AS max_acctbal
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT c_nationkey, metric, value FROM (
+        |  SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+        |  UNION ALL SELECT c_nationkey, 'total_acctbal', total_acctbal FROM wide
+        |  UNION ALL SELECT c_nationkey, 'max_acctbal', max_acctbal FROM wide
+        |) ORDER BY c_nationkey, metric""".stripMargin,
+    "q48_cube_grouping" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q49_window_funcs2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q50_salted_skew_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(epoch_ns(ts)) // 1000000 AS min_ms,
+        |  max(epoch_ns(ts)) // 1000000 AS max_ms
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q51_semi_anti_join" ->
+      """WITH recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |), a AS (
+        |  SELECT c_nationkey, count(*) AS n_active FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM recent) GROUP BY 1
+        |), d AS (
+        |  SELECT c_nationkey, count(*) AS n_dormant FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM recent) GROUP BY 1
+        |)
+        |SELECT coalesce(a.c_nationkey, d.c_nationkey) AS c_nationkey,
+        |  coalesce(n_active, 0) AS n_active,
+        |  coalesce(n_dormant, 0) AS n_dormant
+        |FROM a FULL OUTER JOIN d ON a.c_nationkey = d.c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q52_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT '1_retained' AS segment, count(*) AS n_customers FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |  UNION ALL
+        |  SELECT '2_churned', count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |  UNION ALL
+        |  SELECT '3_new', count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |) ORDER BY segment""".stripMargin,
+    "q53_sample_stratified" ->
+      """SELECT o_orderpriority, count(*) AS n_sampled,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % (CASE o_orderpriority
+        |    WHEN '1-URGENT' THEN 7 WHEN '2-HIGH' THEN 13 ELSE 29 END) = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q54_filter_funnel" ->
+      s"""SELECT * FROM (
+         |  SELECT '0_input' AS stage, count(*) AS n_pass FROM documents
+         |  UNION ALL SELECT '1_min_tokens',
+         |    CAST(sum(CASE WHEN $WsTok >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL SELECT '2_lexical_diversity',
+         |    CAST(sum(CASE WHEN $WsTok >= 20 AND $DistinctRatio >= 0.3
+         |      THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL SELECT '3_quality',
+         |    CAST(sum(CASE WHEN $WsTok >= 20 AND $DistinctRatio >= 0.3
+         |      AND $Quality >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |) ORDER BY stage""".stripMargin,
+    "q55_pii_redact" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0
+         |      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com or 5551234567'
+         |      ELSE text END AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$NumRe')) AS BIGINT) AS n_numbers,
+         |  CAST(length(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |    '$NumRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+         |FROM injected ORDER BY doc_id""".stripMargin,
+    "q56_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    // gap-closed sessions (a later session exists for the user) plus
+    // final sessions flushed because the end-of-stream watermark
+    // (max event ms − 1 h) strictly passed last_event + gap
+    "q57_stream_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m
+        |), agg AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    min(epoch_ns(ts)) // 1000000 AS start_ms,
+        |    max(epoch_ns(ts)) // 1000000 AS end_ms,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM sess GROUP BY user_id, session_id
+        |), wm AS (
+        |  SELECT max(epoch_ns(ts)) // 1000000 - 3600000 AS w FROM events
+        |)
+        |SELECT a.user_id, a.session_id, a.n_events, a.start_ms, a.end_ms,
+        |  a.sum_value
+        |FROM agg a
+        |WHERE EXISTS (SELECT 1 FROM agg b
+        |        WHERE b.user_id = a.user_id AND b.session_id > a.session_id)
+        |   OR a.end_ms + 1800000 < (SELECT w FROM wm)
+        |ORDER BY a.user_id, a.session_id""".stripMargin)
+
+  // SQL fragment aliases (shared with PipelineEntry's oracle
+  // builders). Regexes embed verbatim: DuckDB single-quoted strings
+  // don't process backslashes, so Scala's "\\." arrives at RE2 as \.
+  private def WsTok = PipelineEntry.WsTokSql
+  private def DistinctRatio = PipelineEntry.DistinctRatioSql
+  private def Quality = PipelineEntry.QualitySql
+  private def EmailRe = TextAnalysis.EmailRe
+  private def NumRe = TextAnalysis.LongNumberRe
+}

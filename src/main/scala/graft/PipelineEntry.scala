@@ -66,7 +66,12 @@ object PipelineEntry {
       .orderBy("a", "b")
 
   private def q25(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text", n = 4, tau = 0.8)
+    // maxBucket effectively uncapped: the oracle is the EXACT
+    // all-pairs join, and prefix filtering alone bounds the buckets
+    // at test SFs (the cap is the 100 TB safety valve, exercised by
+    // the dedup spec)
+    Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text", n = 4, tau = 0.8,
+        maxBucket = Int.MaxValue)
       .orderBy("a", "b")
 
   private def q26(s: SparkSession, dir: String): DataFrame =
@@ -373,11 +378,15 @@ object PipelineEntry {
       whens.mkString(" ") + " ELSE 'und' END"
   }
 
-  private val WsTokSql =
+  private[graft] val WsTokSql =
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
-  private val StopHitsSql = LangScoreSql("en")
-  private val DistinctRatioSql =
+  private[graft] val StopHitsSql = LangScoreSql("en")
+  private[graft] val DistinctRatioSql =
     "(len(list_distinct(string_split(lower(text), ' '))) * 1.0 / len(string_split(lower(text), ' ')))"
+  private[graft] val QualitySql =
+    s"""(least($WsTokSql / 100.0, 1.0) * 0.5
+       |    + $DistinctRatioSql * 0.3
+       |    + least(($StopHitsSql * 1.0 / $WsTokSql) * 5.0, 1.0) * 0.2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q41_corpus_stats" ->
@@ -455,6 +464,34 @@ object PipelineEntry {
         |)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+    // exact all-pairs word-4-gram Jaccard — the prefix-filter join is
+    // EXACT (no false negatives), so the graft result must equal the
+    // brute-force oracle. Jaccard stays unrounded: |∩|/|∪| of small
+    // ints is the same IEEE double in both engines.
+    "q25_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'zq ' || text FROM documents WHERE doc_id % 25 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM corpus
+        |), sets AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |    END AS g
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g)) * 1.0
+        |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+        |)
+        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8
+        |ORDER BY a, b""".stripMargin,
     "q29_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang,

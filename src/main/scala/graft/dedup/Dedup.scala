@@ -140,11 +140,12 @@ object Dedup {
       .filter(greatest(size(col("hs_a")), size(col("hs_b"))) * tau <=
         least(size(col("hs_a")), size(col("hs_b"))))
       // threshold on the UNROUNDED ratio (rounding first would admit
-      // pairs just below tau, e.g. 0.69996 → 0.7 at tau=0.7); round
-      // only the reported value
-      .select(col("a"), col("b"), setJaccard(col("hs_a"), col("hs_b")).as("jraw"))
-      .filter(col("jraw") >= tau)
-      .select(col("a"), col("b"), round(col("jraw"), 4).as("jaccard"))
+      // pairs just below tau, e.g. 0.69996 → 0.7 at tau=0.7). The
+      // reported value stays unrounded too: |∩|/|∪| is an exact small
+      // int division, identical bitwise in any IEEE engine — rounding
+      // would only ADD engine-specific half-way behavior.
+      .select(col("a"), col("b"), setJaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
       .distinct()
 
   /** Drop rows in buckets larger than `maxBucket` — the salt/cap

@@ -69,9 +69,19 @@ object Streams {
 
   final case class Event(user_id: Long, ts: Long, value: Double)
   final case class SessionState(sessionId: Long, lastTs: Long,
-      startTs: Long, n: Long, sum: Double)
+      startTs: Long, n: Long, sumMicros: Long)
   final case class SessionOut(user_id: Long, session_id: Long,
       n_events: Long, start_ms: Long, end_ms: Long, sum_value: Double)
+
+  /** value quantized to 6 dp as long micros — summing longs is exact
+    * and order-independent, and microsTotal/1e6 is bit-identical to
+    * SQL `CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)` (both
+    * are the correctly-rounded double of the same exact decimal), so
+    * streaming sessions hash-match the batch/oracle sums.
+    */
+  private def micros(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).movePointRight(6).longValueExact()
 
   /** flatMapGroupsWithState sessionizer with EVENT-TIME TIMEOUT: a
     * user's open session is flushed when the watermark passes
@@ -96,20 +106,21 @@ object Streams {
             val st = state.get
             state.remove()
             Iterator.single(SessionOut(user, st.sessionId, st.n,
-              st.startTs / 1000000L, st.lastTs / 1000000L, st.sum))
+              st.startTs / 1000000L, st.lastTs / 1000000L, st.sumMicros / 1e6))
           } else {
             val sorted = evts.toArray
             java.util.Arrays.sort(sorted, Ordering.by((e: Event) => e.ts))
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0.0))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L, 0L))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             for (e <- sorted) {
               if (st.n == 0L || e.ts - st.lastTs > gapNs) {
                 if (st.n > 0L)
                   closed += SessionOut(user, st.sessionId, st.n,
-                    st.startTs / 1000000L, st.lastTs / 1000000L, st.sum)
-                st = SessionState(st.sessionId + 1, e.ts, e.ts, 1L, e.value)
+                    st.startTs / 1000000L, st.lastTs / 1000000L, st.sumMicros / 1e6)
+                st = SessionState(st.sessionId + 1, e.ts, e.ts, 1L, micros(e.value))
               } else {
-                st = st.copy(lastTs = e.ts, n = st.n + 1, sum = st.sum + e.value)
+                st = st.copy(lastTs = e.ts, n = st.n + 1,
+                  sumMicros = st.sumMicros + micros(e.value))
               }
             }
             state.update(st)

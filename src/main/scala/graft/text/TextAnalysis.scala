@@ -170,6 +170,60 @@ object TextAnalysis {
       .limit(k)
 
   // ------------------------------------------------------------
+  // quality filter funnel (q54)
+  // ------------------------------------------------------------
+
+  /** C4/Gopher-style filter funnel: rules apply in order and the
+    * result reports survivors after each cumulative prefix — the
+    * standard "how much data does each rule cost me" diagnostic.
+    * ONE aggregate pass (conditional sums), regardless of rule count:
+    * a 10-rule funnel over 100 TB is a single scan.
+    *
+    * Output: (stage, n_pass) with stage "0_input", "1_<rule>", ... —
+    * index-prefixed so lexicographic order is application order.
+    */
+  def filterFunnel(
+      docs: org.apache.spark.sql.DataFrame,
+      rules: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    val cumConds = rules.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }.tail
+    val counters: Seq[(String, Column)] =
+      ("0_input", count(lit(1))) +:
+        rules.zip(cumConds).zipWithIndex.map { case (((name, _), cond), i) =>
+          (s"${i + 1}_$name", sum(when(cond, 1L).otherwise(0L)))
+        }
+    val aggd = docs.agg(counters.head._2.as("c0"),
+      counters.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"c${i + 1}") }: _*)
+    aggd.select(explode(array(counters.zipWithIndex.map { case ((stage, _), i) =>
+        struct(lit(stage).as("stage"),
+          coalesce(col(s"c$i"), lit(0L)).cast("long").as("n_pass"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
+  // ------------------------------------------------------------
+  // PII scrubbing (q55)
+  // ------------------------------------------------------------
+
+  /** Conservative engine-portable patterns (RE2-safe: no lookaround,
+    * no backrefs) — emails and long digit runs (phone-ish).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberRe = "[0-9]{7,}"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+
+  def longNumberCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(LongNumberRe), lit(0))).cast("long")
+
+  /** Redact emails then long numbers (emails first — they contain
+    * digits). Pure regexp_replace: codegen'd, no UDF.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumberRe, "<NUM>")
+
+  // ------------------------------------------------------------
   // fingerprint (q32)
   // ------------------------------------------------------------
 

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FunnelPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("filterFunnel") {
+    it("reports cumulative survivors per rule in one pass") {
+      val docs = Seq(
+        "one two three four five",          // 5 tokens
+        "a a a a a a a a a a a a",          // 12 tokens, low diversity
+        "the quick brown fox jumps over the lazy dog again and again")
+        .toDF("text")
+      val out = TextAnalysis.filterFunnel(docs, Seq(
+          ("min_tokens", TextAnalysis.wsTokenCount(col("text")) >= 10),
+          ("diversity", TextAnalysis.distinctTokenRatio(col("text")) >= 0.5)))
+        .orderBy("stage")
+        .as[(String, Long)].collect()
+      out shouldBe Array(
+        ("0_input", 3L),
+        ("1_min_tokens", 2L),   // docs 2 and 3
+        ("2_diversity", 1L))    // doc 3 only (doc 2 ratio = 1/12)
+    }
+    it("rules are cumulative, not independent") {
+      // a doc failing rule 1 but passing rule 2 must not count in stage 2
+      val docs = Seq("distinct words here").toDF("text") // 3 tokens, ratio 1.0
+      val out = TextAnalysis.filterFunnel(docs, Seq(
+          ("min_tokens", TextAnalysis.wsTokenCount(col("text")) >= 10),
+          ("diversity", TextAnalysis.distinctTokenRatio(col("text")) >= 0.5)))
+        .orderBy("stage").as[(String, Long)].collect()
+      out.map(_._2) shouldBe Array(1L, 0L, 0L)
+    }
+  }
+
+  describe("PII redaction") {
+    it("counts and redacts emails and long numbers") {
+      val docs = Seq(
+        "reach me at jane.doe+x@mail.example.org or 5551234567 now",
+        "no pii here 123 456").toDF("text")
+      val out = docs.select(
+          TextAnalysis.emailCount(col("text")).as("e"),
+          TextAnalysis.longNumberCount(col("text")).as("n"),
+          TextAnalysis.redactPii(col("text")).as("r"))
+        .as[(Long, Long, String)].collect()
+      out(0)._1 shouldBe 1L
+      out(0)._2 shouldBe 1L
+      out(0)._3 shouldBe "reach me at <EMAIL> or <NUM> now"
+      out(1) shouldBe ((0L, 0L, "no pii here 123 456"))
+    }
+    it("redacts emails before numbers (digits inside emails don't double-count)") {
+      val out = Seq("id 99887766 mail a1234567@x.co end").toDF("text")
+        .select(TextAnalysis.redactPii(col("text"))).as[String].head()
+      out shouldBe "id <NUM> mail <EMAIL> end"
+    }
+  }
+
+  describe("native LangPredict") {
+    it("agrees with the composed-Column argmax on the documents table") {
+      val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      val both = docs.select(
+        graft.functions.TextHashes.langPredict(col("text")).as("native"),
+        TextAnalysis.predictedLang(col("text")).as("composed"))
+      both.filter(col("native") =!= col("composed")).count() shouldBe 0L
+    }
+    it("returns 'und' when no marker hits") {
+      val out = Seq("xyzzy plugh", "").toDF("text")
+        .select(graft.functions.TextHashes.langPredict(col("text"))).as[String].collect()
+      out shouldBe Array("und", "und")
+    }
+  }
+}
