@@ -30,6 +30,44 @@ object Bucketing {
     w.saveAsTable(table)
   }
 
+  /** Idempotent bucketed materialization: if the table is already
+    * registered, reuse it; if its files exist from a previous session
+    * (the default session catalog is in-memory, so metadata dies with
+    * the JVM while the warehouse files survive), re-register them as
+    * an external bucketed table; otherwise write. This is how the
+    * write-once-join-many economics of bucketing actually land: only
+    * the FIRST run pays the shuffle.
+    *
+    * Only valid when `df` is deterministic for a given table name
+    * (immutable sources) — callers that mutate inputs must drop the
+    * table first.
+    */
+  def ensureBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val wh = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(loc) &&
+      fs.listStatus(loc).exists(_.getPath.getName.startsWith("part-"))
+    if (hasData) {
+      val cols = df.schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val sorted =
+        if (sortCols.nonEmpty) s"SORTED BY (${sortCols.mkString(", ")})" else ""
+      spark.sql(
+        s"""CREATE TABLE $table ($cols) USING parquet
+           |CLUSTERED BY (${bucketCols.mkString(", ")}) $sorted
+           |INTO $numBuckets BUCKETS LOCATION '$loc'""".stripMargin)
+    } else writeBucketed(df, table, bucketCols, numBuckets, sortCols)
+  }
+
   /** Write parquet clustered on `clusterCols`: range partitioning
     * puts disjoint value ranges in separate files, the in-partition
     * sort packs row groups tightly — both serve min/max pruning.

@@ -40,6 +40,40 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  describe("ensureBucketed") {
+    it("re-registers surviving bucketed files after catalog metadata is lost") {
+      val dir = "/root/testdata/sf0.001"
+      val orders = Tables.load(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      for (t <- Seq("eb_src", "eb_copy")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      // first call writes (no files yet)
+      Bucketing.ensureBucketed(spark, orders, "eb_src", Seq("o_orderkey"), 4)
+      // simulate a fresh JVM: files exist at the expected location but
+      // the in-memory catalog has no entry — copy the data dir to a
+      // table name the catalog has never seen
+      val src = new org.apache.hadoop.fs.Path("spark-warehouse/eb_src")
+      val dst = new org.apache.hadoop.fs.Path("spark-warehouse/eb_copy")
+      val fs = src.getFileSystem(hconf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, hconf)
+
+      Bucketing.ensureBucketed(spark, orders, "eb_copy", Seq("o_orderkey"), 4)
+      // registered as bucketed: a self-join on the bucket key plans
+      // without a shuffle exchange, and the data round-trips
+      val tbl = Bucketing.table(spark, "eb_copy")
+      tbl.count() shouldBe orders.count()
+      val joined = tbl.hint("MERGE").join(
+        Bucketing.table(spark, "eb_src"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+    }
+  }
+
   describe("clustered write") {
     it("range-clusters files so a cursor predicate prunes row groups") {
       val dir = "/root/testdata/sf0.001"
