@@ -152,11 +152,15 @@ object PipelineEntry {
 
   // ---------------------------------------------------------------
   // q38 — duplicate-cluster resolution: near-dup pairs → connected
-  // components → (member, survivor) assignments.
+  // components → (member, survivor) assignments. Feeds on the EXACT
+  // n-gram pairs (same as q25) so the whole pipeline is
+  // oracle-checkable: DuckDB reproduces the components with a
+  // recursive CTE. (MinHash-sourced clustering is the q23+q38
+  // composition at scale; the resolver is input-agnostic.)
   // ---------------------------------------------------------------
   private def q38(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh(nearCorpus(s, dir), "doc_id", "text",
-      shingleK = 3, numHashes = 16, bands = 4, tau = 0.7)
+    val pairs = Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text",
+      n = 4, tau = 0.8, maxBucket = Int.MaxValue)
     Dedup.clusters(pairs).orderBy("doc_id")
   }
 
@@ -387,6 +391,33 @@ object PipelineEntry {
        |    + $DistinctRatioSql * 0.3
        |    + least(($StopHitsSql * 1.0 / $WsTokSql) * 5.0, 1.0) * 0.2)""".stripMargin
 
+  /** Shared CTE chain: nearCorpus → whitespace tokens → distinct word
+    * 4-gram sets → all-pairs Jaccard (used by the q25 and q38
+    * oracles). No leading WITH so callers can prepend RECURSIVE.
+    */
+  private val NgramPairsCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'zq ' || text FROM documents WHERE doc_id % 25 = 0
+      |), toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM corpus
+      |), sets AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |    END AS g
+      |  FROM toks
+      |), pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    len(list_intersect(x.g, y.g)) * 1.0
+      |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+      |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q41_corpus_stats" ->
       s"""WITH d AS (
@@ -468,29 +499,27 @@ object PipelineEntry {
     // brute-force oracle. Jaccard stays unrounded: |∩|/|∪| of small
     // ints is the same IEEE double in both engines.
     "q25_ngram_jaccard" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, 'zq ' || text FROM documents WHERE doc_id % 25 = 0
-        |), toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM corpus
-        |), sets AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-        |    END AS g
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    len(list_intersect(x.g, y.g)) * 1.0
-        |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
-        |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
-        |)
-        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $NgramPairsCte
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8
+         |ORDER BY a, b""".stripMargin,
+    // connected components over the exact pairs via recursive CTE:
+    // every node's cluster id is the min label reachable through the
+    // undirected edge set — exactly Dedup.clusters' contract.
+    "q38_dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs WHERE jaccard >= 0.8
+         |  UNION
+         |  SELECT b, a FROM pairs WHERE jaccard >= 0.8
+         |), nodes AS (
+         |  SELECT DISTINCT x AS id FROM edges
+         |), r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.x, r.m FROM edges e JOIN r ON e.y = r.id
+         |)
+         |SELECT id AS doc_id, min(m) AS cluster_id FROM r
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q29_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang,
