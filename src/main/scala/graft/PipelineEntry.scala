@@ -418,7 +418,42 @@ object PipelineEntry {
       |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
       |)""".stripMargin
 
+  /** Sequential-double cosine in DuckDB, bit-identical to the native
+    * CosineSim loop (float→double widening, in-order accumulation):
+    * list_reduce(prepend 0.0) folds left in index order.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, len($a) + 1), i -> $a[i]*$b[i])), (acc, v) -> acc + v)
+       |  / sqrt(
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($a, v -> v*v)), (acc, v) -> acc + v)
+       |    * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform($b, v -> v*v)), (acc, v) -> acc + v)))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // exact top-k: the oracle recomputes the same sequential-double
+    // cosine, so ranks AND similarity values hash-match
+    "q27_ann_bruteforce" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 10
+         |), c AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS nv
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "nv")} AS cos
+         |  FROM q JOIN c ON query_id <> neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
     "q41_corpus_stats" ->
       s"""WITH d AS (
          |  SELECT lang, $WsTokSql AS tok,
