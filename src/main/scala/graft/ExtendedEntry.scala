@@ -221,7 +221,41 @@ object ExtendedEntry {
     s.table(name).orderBy("user_id", "session_id")
   }
 
+  // ---------------------------------------------------------------
+  // q58 — one-pass column profiling: null/distinct/min/max/mean/var
+  // per column from decimal-exact power sums (bit-reproducible
+  // variance, unlike engine-native stddev whose merge order differs).
+  // ---------------------------------------------------------------
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profile.numeric(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderkey", "o_totalprice"))
+      .orderBy("column_name")
+
+  // ---------------------------------------------------------------
+  // q59 — STREAMING SINK end-to-end: the events stream lands into a
+  // parquet table through foreachBatch + Writer `merge` (staged
+  // swap, PK idempotence), then the landed table is aggregated. The
+  // oracle aggregates the source directly — landing must be lossless.
+  // ---------------------------------------------------------------
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/root/repo/target/scratch/q59_${sanitize(dir)}"
+    val (target, ckpt) = (s"$base/table", s"$base/ckpt")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val q = graft.streaming.StreamSink.writeWithDisposition(
+      Streams.readEvents(s, dir).drop("event_time"),
+      target, ckpt, "merge", Seq("event_id"))
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(target)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_profile_stats" -> (q58 _),
+    "q59_stream_sink" -> (q59 _),
     "q46_pivot" -> (q46 _),
     "q47_unpivot" -> (q47 _),
     "q48_cube_grouping" -> (q48 _),
@@ -235,7 +269,32 @@ object ExtendedEntry {
     "q56_stream_dedup" -> (q56 _),
     "q57_stream_sessionize" -> (q57 _))
 
+  /** Per-column profile row mirroring Profile.numeric's math exactly
+    * (decimal power sums → double combination, same operation order).
+    */
+  private def profileSql(c: String): String =
+    s"""SELECT '$c' AS column_name,
+       |  count($c) AS n_nonnull,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS DOUBLE) AS min_v,
+       |  CAST(max($c) AS DOUBLE) AS max_v,
+       |  CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c) AS mean,
+       |  (CAST(sum(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE)
+       |    - CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)
+       |      * CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c))
+       |    / (count($c) - 1) AS var_samp
+       |FROM orders""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q58_profile_stats" ->
+      Seq("o_custkey", "o_orderkey", "o_totalprice")
+        .map(profileSql)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name"),
+    "q59_stream_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,

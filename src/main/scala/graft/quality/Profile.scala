@@ -1,0 +1,53 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling for the catalog — the data-quality companion to
+  * `Catalog.introspect`: per-column null/distinct/min/max/mean/
+  * variance in ONE aggregate pass over the table (a 50-column profile
+  * of a 100 TB table is a single scan with partial aggregation, plus
+  * the one expand Spark inserts for multi-column DISTINCT counts).
+  *
+  * Mean/variance are computed from DECIMAL power sums (exact,
+  * order-independent) and only then combined in double — so the
+  * result is bit-reproducible across engines, unlike streaming
+  * variance (Welford merges are partial-order-dependent in the last
+  * bits).
+  */
+object Profile {
+
+  /** Profile numeric (or integral) columns. Returns one row per
+    * column: (column_name, n_nonnull, n_null, n_distinct, min_v,
+    * max_v, mean, var_samp).
+    */
+  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    def dec(c: String) = col(c).cast("decimal(18,4)")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(dec(c)).as(s"${c}__s1"),
+        sum(dec(c) * dec(c)).as(s"${c}__s2"))
+    }
+    val aggd = df.agg(aggs.head, aggs.tail: _*)
+    aggd.select(explode(array(cols.map { c =>
+        val n = col(s"${c}__n")
+        val s1 = col(s"${c}__s1").cast("double")
+        val s2 = col(s"${c}__s2").cast("double")
+        struct(lit(c).as("column_name"),
+          n.as("n_nonnull"),
+          coalesce(col(s"${c}__nn"), lit(0L)).cast("long").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_v"),
+          col(s"${c}__max").as("max_v"),
+          (s1 / n).as("mean"),
+          ((s2 - s1 * s1 / n) / (n - 1)).as("var_samp"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+}

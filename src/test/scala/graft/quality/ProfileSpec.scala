@@ -1,0 +1,44 @@
+package graft.quality
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Profile.numeric") {
+    it("computes exact stats per column in one pass") {
+      val df = Seq[(java.lang.Double, java.lang.Long)](
+        (1.0, 10L), (2.0, 10L), (3.0, 20L), (null, 30L))
+        .toDF("x", "y")
+      val out = Profile.numeric(df, Seq("x", "y"))
+        .orderBy("column_name")
+        .collect()
+
+      val x = out(0)
+      x.getString(0) shouldBe "x"
+      x.getLong(1) shouldBe 3L        // n_nonnull
+      x.getLong(2) shouldBe 1L        // n_null
+      x.getLong(3) shouldBe 3L        // n_distinct
+      x.getDouble(4) shouldBe 1.0     // min
+      x.getDouble(5) shouldBe 3.0     // max
+      x.getDouble(6) shouldBe 2.0     // mean
+      x.getDouble(7) shouldBe 1.0     // var_samp of {1,2,3}
+
+      val y = out(1)
+      y.getString(0) shouldBe "y"
+      y.getLong(1) shouldBe 4L
+      y.getLong(2) shouldBe 0L
+      y.getLong(3) shouldBe 3L
+      y.getDouble(6) shouldBe 17.5
+      // var_samp of {10,10,20,30}: mean 17.5, ss = 56.25*2+6.25+156.25
+      y.getDouble(7) shouldBe (275.0 / 3) +- 1e-12
+    }
+    it("variance is order-independent (decimal power sums)") {
+      val a = (1 to 1000).map(i => i * 0.01).toDF("v")
+      val b = (1 to 1000).reverse.map(i => i * 0.01).toDF("v")
+      val va = Profile.numeric(a.repartition(7), Seq("v")).collect()(0).getDouble(7)
+      val vb = Profile.numeric(b.repartition(3), Seq("v")).collect()(0).getDouble(7)
+      va shouldBe vb // bitwise equal, not approx
+    }
+  }
+}
