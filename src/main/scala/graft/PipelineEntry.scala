@@ -132,11 +132,11 @@ object PipelineEntry {
 
     val store = new CatalogEntries(s, path)
     val tables = Catalog.discoverTables(s, dir).take(4)
-    tables.zipWithIndex.foreach { case (tname, i) =>
-      val nCols = Tables.load(s, dir, tname).schema.fields.length
-      store.upsert(tname, "main", "lake", "source_table", None, nCols,
-        nowMs = 1000L + i)
-    }
+    // discovery sync = ONE batched merge, not a write per table
+    store.upsertAll(tables.zipWithIndex.map { case (tname, i) =>
+      CatalogEntries.EntrySpec(tname, "main", "lake", "source_table", None,
+        Tables.load(s, dir, tname).schema.fields.length, nowMs = 1000L + i)
+    })
     // update path: re-upsert the first with a description
     store.upsert(tables.head, "main", "lake", "source_table",
       Some("refreshed"), Tables.load(s, dir, tables.head).schema.fields.length,

@@ -63,6 +63,28 @@ final class CatalogEntries(spark: SparkSession, path: String) {
     Writer.write(spark, batch, path, "merge", key)
   }
 
+  /** Batched upsert: ONE merge write for any number of entries — the
+    * shape a catalog sync of 10k discovered tables needs (per-entry
+    * upserts would serialize 10k tiny merge jobs on the driver).
+    * created_at is preserved for keys that already exist via a single
+    * left join against the current registry.
+    */
+  def upsertAll(entries: Seq[CatalogEntries.EntrySpec]): Unit = {
+    if (entries.isEmpty) return
+    val rows: java.util.List[Row] = java.util.Arrays.asList(entries.map { e =>
+      Row(e.tableName, e.schemaName, e.datasetName, e.entryType,
+        e.description.orNull, e.nColumns, e.nowMs, e.nowMs, null)
+    }: _*)
+    val batch = spark.createDataFrame(rows, entrySchema)
+    val prev = all().select(col("table_name"), col("schema_name"),
+      col("dataset_name"), col("created_at_ms").as("__prev_created"))
+    val merged = batch.join(prev, key, "left")
+      .withColumn("created_at_ms",
+        coalesce(col("__prev_created"), col("created_at_ms")))
+      .select(entrySchema.fieldNames.map(col).toSeq: _*)
+    Writer.write(spark, merged, path, "merge", key)
+  }
+
   /** Soft delete: tombstone the row (kept for audit, excluded from
     * list()); no-op if absent.
     */
@@ -92,4 +114,16 @@ final class CatalogEntries(spark: SparkSession, path: String) {
     entryType.fold(live)(t => live.filter(col("entry_type") === t))
       .orderBy(col("created_at_ms").desc, col("table_name"))
   }
+}
+
+object CatalogEntries {
+  /** One discovered entry for `upsertAll`. */
+  final case class EntrySpec(
+      tableName: String,
+      schemaName: String,
+      datasetName: String,
+      entryType: String,
+      description: Option[String],
+      nColumns: Int,
+      nowMs: Long)
 }
