@@ -1,23 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev-only plan probe: print executed-plan summaries for a set of
+  * queries (shuffle/scan/codegen shape audit backing SURVEY §4).
+  * Usage: runMain graft.JudgeProbe [qname ...]
+  */
 object JudgeProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries("q01_full_scan_agg")(spark, sfDir).count()
-    for (q <- Seq("q29_lang_id", "q29_lang_id", "q30_quality_score")) {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, sfDir).count()
-      println(s"[probe] $q ${(System.nanoTime() - t0) / 1e9}s")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q46_pivot", "q48_cube_grouping", "q50_salted_skew_agg",
+        "q51_semi_anti_join", "q53_sample_stratified", "q54_filter_funnel",
+        "q58_profile_stats", "q29_lang_id")
+    for (q <- names) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count() // trigger AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      def n(p: String) = p.r.findAllIn(plan).length
+      println(s"[probe] $q scans=${n("FileScan|Scan parquet")} " +
+        s"exchanges=${n("Exchange (hash|range|single)")} " +
+        s"broadcasts=${n("BroadcastExchange")} wscg=${n("\\*\\(\\d+\\)")} " +
+        s"expand=${n("Expand")}")
+      if (q == "q53_sample_stratified")
+        println(plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
     }
-    SparkEntry.queries("q29_lang_id")(spark, sfDir).explain(true)
     spark.stop()
   }
 }
