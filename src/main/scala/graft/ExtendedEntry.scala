@@ -253,9 +253,32 @@ object ExtendedEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q60 — STREAM-STATIC JOIN: the events stream enriched against the
+  // static customer dimension (the per-micro-batch broadcast-join
+  // path Structured Streaming plans for static sides), then
+  // aggregated per nation. Oracle = the equivalent batch join.
+  // ---------------------------------------------------------------
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q60_enrich_${sanitize(dir)}"
+    s.catalog.dropTempView(name)
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_nationkey"))
+    val enriched = Streams.readEvents(s, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    val q = enriched.writeStream.format("memory")
+      .queryName(name).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_profile_stats" -> (q58 _),
     "q59_stream_sink" -> (q59 _),
+    "q60_stream_static_join" -> (q60 _),
     "q46_pivot" -> (q46 _),
     "q47_unpivot" -> (q47 _),
     "q48_cube_grouping" -> (q48 _),
@@ -295,6 +318,11 @@ object ExtendedEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q60_stream_static_join" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q46_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,

@@ -148,13 +148,19 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .distinct()
 
-  /** Drop rows in buckets larger than `maxBucket` — the salt/cap
-    * guard against degenerate keys. One windowed count over the
-    * bucket partitioning (same shuffle the pair join needs anyway).
+  /** Cap buckets at `maxBucket` rows — the guard against degenerate
+    * keys (the empty document, an all-zero sign code) whose buckets
+    * would otherwise pair quadratically. Oversized buckets keep their
+    * FIRST maxBucket members (deterministic doc_id order) rather than
+    * being dropped wholesale: a hot bucket then still contributes
+    * maxBucket²/2 candidate pairs of partial recall instead of zero.
+    * One windowed rank over the bucket partitioning — the same
+    * shuffle the pair join needs anyway.
     */
   private[dedup] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bn", count(lit(1)).over(w))
+    if (maxBucket == Int.MaxValue) return df
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+    df.withColumn("__bn", row_number().over(w))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
   }

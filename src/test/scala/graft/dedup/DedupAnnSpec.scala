@@ -122,4 +122,19 @@ class DedupAnnSpec extends SparkSpec {
       out.select("a", "b").as[(Long, Long)].collect() should contain((0L, 2L))
     }
   }
+
+  describe("capBuckets") {
+    import spark.implicits._
+    it("keeps the first maxBucket members of a hot bucket (partial recall, not zero)") {
+      val df = ((1L to 10L).map(i => (i, "hot")) ++ Seq((11L, "cold")))
+        .toDF("doc_id", "bucket")
+      val capped = Dedup.capBuckets(df, Seq("bucket"), maxBucket = 4)
+        .select("doc_id").as[Long].collect().sorted
+      capped shouldBe Array(1L, 2L, 3L, 4L, 11L)
+    }
+    it("is the identity at Int.MaxValue") {
+      val df = (1L to 5L).map(i => (i, "b")).toDF("doc_id", "bucket")
+      Dedup.capBuckets(df, Seq("bucket"), Int.MaxValue).count() shouldBe 5L
+    }
+  }
 }
