@@ -275,10 +275,109 @@ object ExtendedEntry {
     s.table(name).orderBy("c_nationkey")
   }
 
+  // ---------------------------------------------------------------
+  // q61 — dbt incremental strategies side by side: append vs merge
+  // (≡ delete+insert for whole-row models), with on_schema_change
+  // exercised — the batch carries a NEW column; AppendNewColumns
+  // evolves the target, Ignore keeps its shape.
+  // ---------------------------------------------------------------
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalModel
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_totalprice").as("price"))
+    }
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val existing = latest(orders.filter(col("o_orderdate") < cutoff))
+    val batch = latest(orders.filter(col("o_orderdate") >= cutoff))
+      .withColumn("flag", lit(1))
+    def summarize(label: String, df: DataFrame): DataFrame = {
+      val flagged =
+        if (df.columns.contains("flag")) count(col("flag")) else lit(0L)
+      df.agg(count(lit(1)).as("n_rows"),
+          flagged.cast("long").as("n_flagged"),
+          sum(dec2(col("price"))).cast("double").as("sum_price"))
+        .select(lit(label).as("strategy"), col("n_rows"), col("n_flagged"),
+          col("sum_price"))
+    }
+    Seq(
+      summarize("1_append_evolve", IncrementalModel.run(existing, batch,
+        Seq("o_custkey"), IncrementalModel.Append,
+        IncrementalModel.AppendNewColumns)),
+      summarize("2_merge_evolve", IncrementalModel.run(existing, batch,
+        Seq("o_custkey"), IncrementalModel.Merge,
+        IncrementalModel.AppendNewColumns)),
+      summarize("3_delete_insert_ignore", IncrementalModel.run(existing, batch,
+        Seq("o_custkey"), IncrementalModel.DeleteInsert,
+        IncrementalModel.Ignore)))
+      .reduce(_.unionByName(_)).orderBy("strategy")
+  }
+
+  // ---------------------------------------------------------------
+  // q62 — DAG selector run: "stg+" builds the stg model and only its
+  // DESCENDANTS (reference dependency_service traversal / dbt
+  // "model+" selection); the untouched sibling never executes.
+  // ---------------------------------------------------------------
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import graft.dag.Dag
+    val models = Seq(
+      Dag.Model("stg", Nil,
+        _ => t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))),
+      Dag.Model("by_priority", Seq("stg"),
+        m => m("stg").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))),
+      Dag.Model("by_status", Seq("stg"),
+        m => m("stg").groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"))),
+      Dag.Model("untouched_sibling", Nil,
+        _ => { throw new IllegalStateException("must not build") }))
+    val ran = Dag.runSelected(models, "stg+")
+    // selected set is exactly stg + descendants; the sibling that
+    // would throw is never built
+    assert(ran.keySet == Set("stg", "by_priority", "by_status"))
+    ran("by_priority").orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------
+  // q63 — dbt seeds: CSVs land as warehouse tables (schema'd read,
+  // snake_case normalize, full-refresh write), then addressable like
+  // any model.
+  // ---------------------------------------------------------------
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/root/repo/target/scratch/q63_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    for (name <- Seq("region", "nation"))
+      t(s, dir, name).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$base/seeds/$name")
+    // flatten the spark csv dirs into <seedsDir>/<name>.csv files
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/csv"))
+    for (name <- Seq("region", "nation")) {
+      val src = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/seeds/$name"))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(src, new org.apache.hadoop.fs.Path(s"$base/csv/$name.csv"))
+    }
+    val loaded = graft.sources.Seeds.loadAll(s, s"$base/csv", s"$base/wh")
+    loaded.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("seed_name"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy("seed_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_profile_stats" -> (q58 _),
     "q59_stream_sink" -> (q59 _),
     "q60_stream_static_join" -> (q60 _),
+    "q61_incremental_strategies" -> (q61 _),
+    "q62_dag_selectors" -> (q62 _),
+    "q63_seeds" -> (q63 _),
     "q46_pivot" -> (q46 _),
     "q47_unpivot" -> (q47 _),
     "q48_cube_grouping" -> (q48 _),
@@ -323,6 +422,51 @@ object ExtendedEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q61_incremental_strategies" ->
+      """WITH e AS (
+        |  SELECT o_custkey, o_totalprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1
+        |), b AS (
+        |  SELECT o_custkey, o_totalprice AS price
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |  WHERE rn = 1
+        |), ekeep AS (
+        |  SELECT * FROM e WHERE o_custkey NOT IN (SELECT o_custkey FROM b)
+        |)
+        |SELECT * FROM (
+        |  SELECT '1_append_evolve' AS strategy,
+        |    (SELECT count(*) FROM e) + (SELECT count(*) FROM b) AS n_rows,
+        |    (SELECT count(*) FROM b) AS n_flagged,
+        |    CAST((SELECT sum(CAST(price AS DECIMAL(18,2))) FROM
+        |      (SELECT price FROM e UNION ALL SELECT price FROM b)) AS DOUBLE) AS sum_price
+        |  UNION ALL
+        |  SELECT '2_merge_evolve',
+        |    (SELECT count(*) FROM ekeep) + (SELECT count(*) FROM b),
+        |    (SELECT count(*) FROM b),
+        |    CAST((SELECT sum(CAST(price AS DECIMAL(18,2))) FROM
+        |      (SELECT price FROM ekeep UNION ALL SELECT price FROM b)) AS DOUBLE)
+        |  UNION ALL
+        |  SELECT '3_delete_insert_ignore',
+        |    (SELECT count(*) FROM ekeep) + (SELECT count(*) FROM b),
+        |    0,
+        |    CAST((SELECT sum(CAST(price AS DECIMAL(18,2))) FROM
+        |      (SELECT price FROM ekeep UNION ALL SELECT price FROM b)) AS DOUBLE)
+        |) ORDER BY strategy""".stripMargin,
+    "q62_dag_selectors" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q63_seeds" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS seed_name, count(*) AS n_rows FROM nation
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |) ORDER BY seed_name""".stripMargin,
     "q46_pivot" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,

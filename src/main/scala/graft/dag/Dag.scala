@@ -87,6 +87,56 @@ object Dag {
     }
   }
 
+  // ---- graph selectors (reference dependency_service traversal; ----
+  // ---- dbt's "+model" / "model+" selection syntax)               ----
+
+  /** Transitive ancestor closure, including `name` itself. */
+  def upstream(models: Seq[Model], name: String): Set[String] = {
+    val byName = models.map(m => m.name -> m).toMap
+    require(byName.contains(name), s"unknown model $name")
+    def walk(n: String, acc: Set[String]): Set[String] =
+      if (acc(n)) acc
+      else byName(n).deps.foldLeft(acc + n)((a, d) => walk(d, a))
+    walk(name, Set.empty)
+  }
+
+  /** Transitive descendant closure, including `name` itself. */
+  def downstream(models: Seq[Model], name: String): Set[String] = {
+    require(models.exists(_.name == name), s"unknown model $name")
+    val dependents = models.flatMap(m => m.deps.map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def walk(n: String, acc: Set[String]): Set[String] =
+      if (acc(n)) acc
+      else dependents.getOrElse(n, Nil).foldLeft(acc + n)((a, d) => walk(d, a))
+    walk(name, Set.empty)
+  }
+
+  /** dbt-style selector: "+name" = name and its ancestors, "name+" =
+    * name and its descendants, "+name+" = both, "name" = just name.
+    */
+  def select(models: Seq[Model], selector: String): Set[String] = {
+    val up = selector.startsWith("+")
+    val down = selector.endsWith("+")
+    val name = selector.stripPrefix("+").stripSuffix("+")
+    (if (up) upstream(models, name) else Set.empty[String]) ++
+      (if (down) downstream(models, name) else Set.empty[String]) ++ Set(name)
+  }
+
+  /** Run only the selected models (plus the upstream inputs they need
+    * to BUILD, which stay lazy/ephemeral — dbt's selected-subgraph run
+    * where unselected parents resolve to existing relations). Returns
+    * frames for the selected set only.
+    */
+  def runSelected(
+      models: Seq[Model],
+      selector: String,
+      inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    val selected = select(models, selector)
+    val needed = selected.flatMap(n => upstream(models, n))
+    val subgraph = models.filter(m => needed(m.name))
+    run(subgraph, inputs).view.filterKeys(selected).toMap
+  }
+
   /** Build AND materialize every model per its materialization
     * (reference `services/dbt_project.py:171-175` writes model
     * config; dbt run then persists per materialization):

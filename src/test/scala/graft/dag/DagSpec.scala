@@ -9,6 +9,43 @@ class DagSpec extends SparkSpec {
     Dag.Model(name, deps, b => deps.map(b).reduceOption(_ unionByName _)
       .getOrElse(spark.range(3).toDF("id")))
 
+  //     a → b → d
+  //         b → e
+  //     c (isolated)
+  private lazy val graph = Seq(m("a"), m("b", "a"), m("d", "b"), m("e", "b"), m("c"))
+
+  describe("selectors") {
+
+    it("upstream is the ancestor closure including self") {
+      Dag.upstream(graph, "d") shouldBe Set("a", "b", "d")
+      Dag.upstream(graph, "a") shouldBe Set("a")
+    }
+    it("downstream is the descendant closure including self") {
+      Dag.downstream(graph, "b") shouldBe Set("b", "d", "e")
+      Dag.downstream(graph, "c") shouldBe Set("c")
+    }
+    it("dbt-style +name / name+ / +name+ selection") {
+      Dag.select(graph, "+b") shouldBe Set("a", "b")
+      Dag.select(graph, "b+") shouldBe Set("b", "d", "e")
+      Dag.select(graph, "+b+") shouldBe Set("a", "b", "d", "e")
+      Dag.select(graph, "b") shouldBe Set("b")
+    }
+    it("runSelected builds only the needed subgraph and returns the selected set") {
+      var built = List.empty[String]
+      def tracked(name: String, deps: String*): Dag.Model =
+        Dag.Model(name, deps, b => {
+          built ::= name
+          deps.map(b).reduceOption(_ unionByName _)
+            .getOrElse(spark.range(3).toDF("id"))
+        })
+      val g = Seq(tracked("a"), tracked("b", "a"), tracked("d", "b"),
+        tracked("boom", "a"), tracked("c"))
+      val out = Dag.runSelected(g, "b+")
+      out.keySet shouldBe Set("b", "d")
+      built.toSet shouldBe Set("a", "b", "d") // 'boom'/'c' never built
+    }
+  }
+
   describe("topoSort") {
     it("orders dependencies before dependents, deterministically") {
       val order = Dag.topoSort(Seq(m("c", "a", "b"), m("b", "a"), m("a")))
