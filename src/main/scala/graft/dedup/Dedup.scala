@@ -317,43 +317,79 @@ object Dedup {
 
   /** Connected components over a near-dup pair list: every member of
     * a transitive duplicate cluster gets the cluster's MIN doc id as
-    * its label (the canonical survivor). Iterative min-label
-    * propagation: one hop per round, so convergence is O(component
-    * diameter) — near-clique dup clusters finish in 2–3 rounds; a
-    * pathological long-chain component beyond `maxIters` would keep
-    * per-chain-segment labels (production graphs use large/small-star
-    * pointer jumping for O(log n)). Each round is one join + one
-    * aggregate, all keyed shuffles, checkpointed so the plan doesn't
-    * grow with iterations.
+    * its label (the canonical survivor).
+    *
+    * Alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    *  - large-star(u): every strictly-larger neighbor of u re-links
+    *    to min(Γ(u) ∪ {u})
+    *  - small-star(u): u and its smaller neighbors re-link to
+    *    min(Γ⁻(u) ∪ {u})
+    * Each round is two groupBy+join passes over the edge list (keyed
+    * shuffles only) and the edge set contracts toward a star forest
+    * in O(log n) rounds — unlike one-hop min-label propagation, a
+    * pathological long-chain component converges logarithmically,
+    * not in O(diameter). Rounds are cut with `barrier` so the plan
+    * doesn't grow; convergence is detected by an order-independent
+    * (count, Σ xxhash64(a,b)) signature of the edge set.
     *
     * Returns (doc_id, cluster_id) for every doc that appears in a
     * pair; `cluster_id == doc_id` marks the survivor. Docs with no
     * pairs are implicitly their own singleton cluster.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // undirected edge list
-    val edges = barrier(pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct())
-    var labels = barrier(edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")))
+  def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val nodes = barrier(pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct())
+    var edges = barrier(pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct())
+
+    def symmetric(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+
+    // every neighbor v > u links to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = symmetric(e)
+      val mins = nbrs.groupBy("a").agg(min(col("b")).as("mb"))
+      nbrs.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mb")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // u and its smaller neighbors link to m = min(Γ⁻(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val smaller = symmetric(e).filter(col("b") < col("a"))
+      val mins = smaller.groupBy("a").agg(min(col("b")).as("mb"))
+      val relinked = smaller.join(mins, "a")
+        .select(col("b").as("a"), col("mb").as("b"))
+      relinked.unionByName(mins.select(col("a"), col("mb").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIters) {
-      // candidate label per node: min over (own, neighbors' labels)
-      val nbr = edges
-        .join(labels.withColumnRenamed("id", "b"), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = barrier(labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (col("nbr_min") < col("label")).as("moved")))
-      changed = next.filter(col("moved")).count()
-      labels = barrier(next.select("id", "label"))
+    var converged = false
+    while (!converged && iter < maxIters) {
+      edges = barrier(smallStar(largeStar(edges)))
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // star forest: every non-root points at its component's min; the
+    // min(b) guards a not-yet-fully-converged maxIters exit
+    val links = edges.groupBy(col("a").as("id")).agg(min(col("b")).as("root"))
+    nodes.join(links, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   // ----------------------------------------------------------------

@@ -83,6 +83,15 @@ class DedupAnnSpec extends SparkSpec {
       val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
       out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
     }
+    it("clusters converges on a 200-node chain within the O(log n) round budget") {
+      import spark.implicits._
+      // a path graph is the worst case for one-hop label propagation
+      // (O(diameter) rounds); large/small-star contracts it in O(log n)
+      val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+      val out = Dedup.clusters(chain, maxIters = 15).as[(Long, Long)].collect()
+      out.length shouldBe 200
+      all(out.map(_._2)) shouldBe 0L
+    }
     it("simhashPairs reports hamming 0 for identical docs") {
       import spark.implicits._
       val two = docs(1L -> "one two three four", 2L -> "one two three four")
