@@ -775,6 +775,79 @@ object SparkEntry {
       """SELECT r_name, count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // golden-schema oracle: the column metadata is the testdata
+    // CONTRACT (fixed across SFs — TESTDATA.md), stated literally;
+    // row counts stay dynamic so the oracle holds at any SF
+    "q16_catalog_introspect" ->
+      """WITH meta(table_name, column_name, ordinal, data_type, nullable) AS (
+        |  VALUES
+        |    ('customer', 'c_custkey', 0, 'bigint', 'true'),
+        |    ('customer', 'c_name', 1, 'string', 'true'),
+        |    ('customer', 'c_nationkey', 2, 'int', 'true'),
+        |    ('customer', 'c_acctbal', 3, 'double', 'true'),
+        |    ('customer', 'c_mktsegment', 4, 'string', 'true'),
+        |    ('documents', 'doc_id', 0, 'bigint', 'true'),
+        |    ('documents', 'text', 1, 'string', 'true'),
+        |    ('documents', 'lang', 2, 'string', 'true'),
+        |    ('documents', 'source', 3, 'string', 'true'),
+        |    ('documents', 'n_chars', 4, 'bigint', 'true'),
+        |    ('embeddings', 'vec_id', 0, 'bigint', 'true'),
+        |    ('embeddings', 'embedding', 1, 'array<float>', 'true'),
+        |    ('embeddings', 'label', 2, 'int', 'true'),
+        |    ('events', 'event_id', 0, 'bigint', 'true'),
+        |    ('events', 'ts', 1, 'bigint', 'true'),
+        |    ('events', 'user_id', 2, 'bigint', 'true'),
+        |    ('events', 'event_type', 3, 'string', 'true'),
+        |    ('events', 'value', 4, 'double', 'true'),
+        |    ('events', 'props', 5, 'string', 'true'),
+        |    ('lineitem', 'l_orderkey', 0, 'bigint', 'true'),
+        |    ('lineitem', 'l_partkey', 1, 'bigint', 'true'),
+        |    ('lineitem', 'l_suppkey', 2, 'bigint', 'true'),
+        |    ('lineitem', 'l_linenumber', 3, 'int', 'true'),
+        |    ('lineitem', 'l_quantity', 4, 'double', 'true'),
+        |    ('lineitem', 'l_extendedprice', 5, 'double', 'true'),
+        |    ('lineitem', 'l_discount', 6, 'double', 'true'),
+        |    ('lineitem', 'l_tax', 7, 'double', 'true'),
+        |    ('lineitem', 'l_returnflag', 8, 'string', 'true'),
+        |    ('lineitem', 'l_linestatus', 9, 'string', 'true'),
+        |    ('lineitem', 'l_shipdate', 10, 'timestamp_ntz', 'true'),
+        |    ('nation', 'n_nationkey', 0, 'int', 'true'),
+        |    ('nation', 'n_name', 1, 'string', 'true'),
+        |    ('nation', 'n_regionkey', 2, 'int', 'true'),
+        |    ('orders', 'o_orderkey', 0, 'bigint', 'true'),
+        |    ('orders', 'o_custkey', 1, 'bigint', 'true'),
+        |    ('orders', 'o_orderstatus', 2, 'string', 'true'),
+        |    ('orders', 'o_totalprice', 3, 'double', 'true'),
+        |    ('orders', 'o_orderdate', 4, 'timestamp_ntz', 'true'),
+        |    ('orders', 'o_orderpriority', 5, 'string', 'true'),
+        |    ('part', 'p_partkey', 0, 'bigint', 'true'),
+        |    ('part', 'p_name', 1, 'string', 'true'),
+        |    ('part', 'p_brand', 2, 'string', 'true'),
+        |    ('part', 'p_type', 3, 'string', 'true'),
+        |    ('part', 'p_size', 4, 'int', 'true'),
+        |    ('part', 'p_retailprice', 5, 'double', 'true'),
+        |    ('region', 'r_regionkey', 0, 'int', 'true'),
+        |    ('region', 'r_name', 1, 'string', 'true'),
+        |    ('supplier', 's_suppkey', 0, 'bigint', 'true'),
+        |    ('supplier', 's_name', 1, 'string', 'true'),
+        |    ('supplier', 's_nationkey', 2, 'int', 'true'),
+        |    ('supplier', 's_acctbal', 3, 'double', 'true')
+        |), counts AS (
+        |  SELECT 'customer' AS t, count(*) AS n FROM customer
+        |  UNION ALL SELECT 'documents', count(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |  UNION ALL SELECT 'events', count(*) FROM events
+        |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', count(*) FROM nation
+        |  UNION ALL SELECT 'orders', count(*) FROM orders
+        |  UNION ALL SELECT 'part', count(*) FROM part
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |)
+        |SELECT m.table_name, m.column_name, m.ordinal, m.data_type,
+        |  m.nullable, c.n AS table_rows
+        |FROM meta m JOIN counts c ON m.table_name = c.t
+        |ORDER BY m.table_name, m.ordinal""".stripMargin,
     "q17_sql_editor" -> Q17Sql,
     "q18_dag_topo_run" ->
       """WITH stg_orders AS (
