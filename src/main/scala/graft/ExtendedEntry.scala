@@ -371,7 +371,36 @@ object ExtendedEntry {
     }.reduce(_.unionByName(_)).orderBy("seed_name")
   }
 
+  // ---------------------------------------------------------------
+  // q64 — benchmark decontamination: train docs sharing ≥3 distinct
+  // word 4-grams with an eval doc (every 25th doc is "benchmark";
+  // train includes near-copies of it, which must all be flagged).
+  // ---------------------------------------------------------------
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zq "), col("text")).as("text")))
+    Dedup.contamination(train, evalSet, "doc_id", "text", n = 4, minShared = 3)
+      .orderBy("train_id", "eval_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q65 — repetition scoring (Gopher rule): max bigram multiplicity
+  // per doc, computed per-row (sort + run-length scan — no shuffle).
+  // ---------------------------------------------------------------
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.wordBigrams(col("text"))).cast("long").as("n_bigrams"),
+        TextAnalysis.maxBigramMultiplicity(col("text")).as("max_rep"),
+        TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_decontaminate" -> (q64 _),
+    "q65_repetition" -> (q65 _),
     "q58_profile_stats" -> (q58 _),
     "q59_stream_sink" -> (q59 _),
     "q60_stream_static_join" -> (q60 _),
@@ -409,6 +438,55 @@ object ExtendedEntry {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q64_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+        |), tr AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+        |  UNION ALL SELECT doc_id + 1000000, 'zq ' || text FROM ev
+        |), esets AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |    END AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |        FROM ev)
+        |), tsets AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |    END AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |        FROM tr)
+        |)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |  CAST(len(list_intersect(t.g, e.g)) AS BIGINT) AS n_shared
+        |FROM tsets t JOIN esets e ON len(list_intersect(t.g, e.g)) >= 3
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "q65_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS gram
+        |  FROM toks
+        |), mult AS (
+        |  SELECT doc_id, max(n) AS max_rep FROM (
+        |    SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT k.doc_id,
+        |  CAST(greatest(len(k.t) - 1, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(m.max_rep, 0) AS BIGINT) AS max_rep,
+        |  CASE WHEN len(k.t) - 1 <= 0 THEN 0.0
+        |       ELSE CAST(coalesce(m.max_rep, 0) AS DOUBLE) / (len(k.t) - 1)
+        |  END AS rep_ratio
+        |FROM toks k LEFT JOIN mult m ON k.doc_id = m.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     "q58_profile_stats" ->
       Seq("o_custkey", "o_orderkey", "o_totalprice")
         .map(profileSql)

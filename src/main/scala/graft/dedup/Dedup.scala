@@ -312,6 +312,38 @@ object Dedup {
   }
 
   // ----------------------------------------------------------------
+  // benchmark decontamination — q64
+  // ----------------------------------------------------------------
+
+  /** Train→eval contamination: train docs sharing ≥ `minShared`
+    * DISTINCT word n-grams with an eval/benchmark doc. The eval side
+    * is explicitly broadcast (benchmark suites are tiny next to a
+    * training corpus), so the check is one broadcast-hash join keyed
+    * on gram hash over the streamed train side — an inverted-index
+    * probe, never |train| × |eval|. Returns (train_id, eval_id,
+    * n_shared).
+    */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.TextHashes.wordShingleHashes(col(textCol), n))
+          .as("gram"))
+    grams(train, "train_id")
+      .join(broadcast(grams(eval, "eval_id")), "gram")
+      // wordShingleHashes emits DISTINCT grams per doc, so the join
+      // row count per (train, eval) IS the intersection size
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ----------------------------------------------------------------
   // duplicate clusters — q38
   // ----------------------------------------------------------------
 

@@ -170,6 +170,39 @@ object TextAnalysis {
       .limit(k)
 
   // ------------------------------------------------------------
+  // repetition scoring (q65) — Gopher-style repetition rule
+  // ------------------------------------------------------------
+
+  /** Highest multiplicity among a doc's word bigrams, computed
+    * per-row (sort + run-length scan over the bigram array — no
+    * shuffle, unlike the explode+groupBy formulation, so scoring
+    * 100 TB of docs is pure map-side work).
+    */
+  def maxBigramMultiplicity(text: Column): Column = {
+    val sorted = array_sort(wordBigrams(text))
+    val scanned = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    scanned.getField("best").cast("long")
+  }
+
+  /** Fraction of bigram occurrences taken by the single most-repeated
+    * bigram — the cheap repetition filter (a doc whose top 2-gram
+    * covers >10–20% of it is boilerplate/spam under Gopher rules).
+    */
+  def repetitionRatio(text: Column): Column = {
+    val n = size(wordBigrams(text))
+    when(n === 0, lit(0.0))
+      .otherwise(maxBigramMultiplicity(text).cast("double") / n)
+  }
+
+  // ------------------------------------------------------------
   // quality filter funnel (q54)
   // ------------------------------------------------------------
 

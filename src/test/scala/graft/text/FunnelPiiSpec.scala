@@ -56,6 +56,38 @@ class FunnelPiiSpec extends SparkSpec {
     }
   }
 
+  describe("repetition scoring") {
+    it("finds the max bigram multiplicity per row") {
+      val out = Seq(
+        "buy now buy now buy now",  // "buy now" ×3, "now buy" ×2 → 3
+        "all distinct words here",  // all bigrams unique → 1
+        "one")                      // no bigrams → 0
+        .toDF("text")
+        .select(TextAnalysis.maxBigramMultiplicity(col("text")).as("m"),
+          TextAnalysis.repetitionRatio(col("text")).as("r"))
+        .as[(Long, Double)].collect()
+      out(0) shouldBe ((3L, 3.0 / 5.0))
+      out(1) shouldBe ((1L, 1.0 / 3.0))
+      out(2) shouldBe ((0L, 0.0))
+    }
+  }
+
+  describe("contamination") {
+    it("flags train docs sharing enough n-grams with the eval set") {
+      val evalSet = Seq((1L, "the quick brown fox jumps over the dog"))
+        .toDF("doc_id", "text")
+      val train = Seq(
+        (10L, "zz the quick brown fox jumps over the dog"), // near copy
+        (11L, "completely different text with nothing shared at all"))
+        .toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.contamination(train, evalSet,
+          "doc_id", "text", n = 4, minShared = 3)
+        .as[(Long, Long, Long)].collect()
+      out.map(t => (t._1, t._2)) shouldBe Array((10L, 1L))
+      out(0)._3 should be >= 3L
+    }
+  }
+
   describe("native LangPredict") {
     it("agrees with the composed-Column argmax on the documents table") {
       val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
