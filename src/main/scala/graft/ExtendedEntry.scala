@@ -398,7 +398,44 @@ object ExtendedEntry {
         TextAnalysis.repetitionRatio(col("text")).as("rep_ratio"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------
+  // q66 — STREAM-STREAM JOIN: clicks and purchases as two watermarked
+  // streams, inner-joined on user within a 1-hour event-time bound —
+  // the stateful two-sided join (state expiry driven by watermark +
+  // range condition). Single-source batch ⇒ every qualifying pair
+  // emits, so the plain batch join is the oracle.
+  // ---------------------------------------------------------------
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val name = s"q66_ssj_${sanitize(dir)}"
+    s.catalog.dropTempView(name)
+    // ms-quantized event time: the join range must evaluate at the
+    // SAME precision as the oracle's epoch-ms arithmetic (a purchase
+    // landing inside the boundary millisecond would otherwise compare
+    // differently at micros precision)
+    def side(kind: String, p: String) =
+      Streams.readEventsRaw(s, dir)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          timestamp_millis(expr("ts div 1000000")).as(s"${p}_time"),
+          col("value").as(s"${p}_value"))
+        .withWatermark(s"${p}_time", "1 hour")
+    val clicks = side("click", "click")
+    val purchases = side("purchase", "purch")
+    val joined = clicks.join(purchases,
+      col("click_user") === col("purch_user") &&
+        col("purch_time") >= col("click_time") &&
+        col("purch_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+    val q = joined
+      .select(col("click_user").as("user_id"), col("click_id"), col("purch_id"),
+        unix_millis(col("click_time")).as("click_ms"),
+        unix_millis(col("purch_time")).as("purch_ms"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id", "click_id", "purch_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_stream_stream_join" -> (q66 _),
     "q64_decontaminate" -> (q64 _),
     "q65_repetition" -> (q65 _),
     "q58_profile_stats" -> (q58 _),
@@ -438,6 +475,21 @@ object ExtendedEntry {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q66_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id,
+        |    epoch_ns(ts) // 1000000 AS click_ms
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, event_id AS purch_id,
+        |    epoch_ns(ts) // 1000000 AS purch_ms
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, p.purch_id, c.click_ms, p.purch_ms
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purch_ms >= c.click_ms
+        |  AND p.purch_ms <= c.click_ms + 3600000
+        |ORDER BY c.user_id, c.click_id, p.purch_id""".stripMargin,
     "q64_decontaminate" ->
       """WITH ev AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0

@@ -32,14 +32,22 @@ object Streams {
     * parquet within it (a production layout would be a dir of files
     * growing over time — same code).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEventsRaw(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+
+  /** Raw streaming read — no event-time column or watermark — for
+    * callers that derive their own (e.g. stream-stream joins, which
+    * watermark each side separately; Spark disallows redefining an
+    * inherited watermark).
+    */
+  def readEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("event_time", "1 hour")
   }
 
   /** Tumbling 1-hour aggregation; works on batch and streaming
