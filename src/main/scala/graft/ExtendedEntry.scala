@@ -26,6 +26,18 @@ object ExtendedEntry {
   private def sanitize(dir: String): String =
     dir.replaceAll("[^0-9a-zA-Z]", "_")
 
+  /** Stateful streaming queries commit one state-store file PER
+    * shuffle partition PER stateful operator PER micro-batch — so
+    * their partition count should be sized to STATE volume, not to
+    * the scan width batch queries want. Temporarily narrows the
+    * session setting for the streaming run (restored after).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------------------------------------------------------------
   // q46 — pivot: long→wide with per-status counts and decimal sums.
   // Still ONE shuffle on the groupBy key; the pivot values are a
@@ -191,10 +203,12 @@ object ExtendedEntry {
   private def q56(s: SparkSession, dir: String): DataFrame = {
     val name = s"q56_dedup_${sanitize(dir)}"
     s.catalog.dropTempView(name)
-    val q = Streams.dedupStream(Streams.readEvents(s, dir), Seq("user_id"))
-      .select("user_id")
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = Streams.dedupStream(Streams.readEvents(s, dir), Seq("user_id"))
+        .select("user_id")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("user_id")
   }
 
@@ -215,9 +229,11 @@ object ExtendedEntry {
     val ev = Streams.readEvents(s, dir)
       .select(col("user_id"), col("ts"), col("value"), col("event_time"))
       .as[Streams.Event]
-    val q = Streams.sessionizeStream(ev, SessionGapNs)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = Streams.sessionizeStream(ev, SessionGapNs)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("user_id", "session_id")
   }
 
@@ -242,10 +258,12 @@ object ExtendedEntry {
     val (target, ckpt) = (s"$base/table", s"$base/ckpt")
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    val q = graft.streaming.StreamSink.writeWithDisposition(
-      Streams.readEvents(s, dir).drop("event_time"),
-      target, ckpt, "merge", Seq("event_id"))
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = graft.streaming.StreamSink.writeWithDisposition(
+        Streams.readEvents(s, dir).drop("event_time"),
+        target, ckpt, "merge", Seq("event_id"))
+      try q.processAllAvailable() finally q.stop()
+    }
     s.read.parquet(target)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -269,9 +287,11 @@ object ExtendedEntry {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-    val q = enriched.writeStream.format("memory")
-      .queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = enriched.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("c_nationkey")
   }
 
@@ -431,12 +451,14 @@ object ExtendedEntry {
       col("click_user") === col("purch_user") &&
         col("purch_time") >= col("click_time") &&
         col("purch_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
-    val q = joined
-      .select(col("click_user").as("user_id"), col("click_id"), col("purch_id"),
-        unix_millis(col("click_time")).as("click_ms"),
-        unix_millis(col("purch_time")).as("purch_ms"))
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = joined
+        .select(col("click_user").as("user_id"), col("click_id"), col("purch_id"),
+          unix_millis(col("click_time")).as("click_ms"),
+          unix_millis(col("purch_time")).as("purch_ms"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy("user_id", "click_id", "purch_id")
   }
 

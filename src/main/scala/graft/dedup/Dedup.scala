@@ -370,10 +370,13 @@ object Dedup {
     * pairs are implicitly their own singleton cluster.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val nodes = barrier(pairs.select(col("a").as("id"))
-      .unionByName(pairs.select(col("b").as("id"))).distinct())
-    var edges = barrier(pairs.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).distinct())
+    // barrier FIRST: nodes and every contraction round fan out from
+    // the materialized edge list, so an expensive upstream pair
+    // pipeline executes exactly once
+    val initial = barrier(pairs.select(col("a"), col("b")).distinct())
+    val nodes = barrier(initial.select(col("a").as("id"))
+      .unionByName(initial.select(col("b").as("id"))).distinct())
+    var edges = barrier(initial.filter(col("a") =!= col("b")))
 
     def symmetric(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
