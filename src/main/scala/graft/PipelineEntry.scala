@@ -215,8 +215,17 @@ object PipelineEntry {
     val decoded = Multimodal.decodeBatches(attached)
     val frames = Multimodal.sampleFrames(decoded, everyN = 30)
       .groupBy("mime").agg(count(lit(1)).as("n_sampled_frames"))
+    // full pipeline: decode → resize plan → batched embed; the output
+    // summarizes every stage per mime type
+    val enriched = Multimodal.featureBatches(
+      Multimodal.resizePlan(decoded, maxSide = 224))
+    val stageStats = enriched.groupBy("mime").agg(
+      count(col("target_w")).as("n_resized"),
+      max(col("target_w")).as("max_target_w"),
+      count(col("features")).as("n_embedded"))
     Multimodal.metaSummary(decoded)
       .join(frames, Seq("mime"), "left")
+      .join(stageStats, Seq("mime"), "left")
       .withColumn("n_sampled_frames", coalesce(col("n_sampled_frames"), lit(0L)))
       .orderBy("mime")
   }

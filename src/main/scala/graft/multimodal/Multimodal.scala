@@ -89,6 +89,51 @@ object Multimodal {
       .withColumn("frame_checksum", xxhash64(col("doc_id"), col("frame_idx")))
   }
 
+  /** Resize planning over decoded visual assets: target box fit with
+    * aspect preserved (the real computation — only the pixel
+    * resampling itself would live in the stubbed codec). Pure per-row
+    * arithmetic on the decoded metadata; audio rows pass through with
+    * null targets.
+    */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = col("decoded.width")
+    val h = col("decoded.height")
+    val scale = least(lit(maxSide) / greatest(w, h).cast("double"), lit(1.0))
+    decoded
+      .withColumn("target_w",
+        when(w.isNotNull, floor(w * scale).cast("int")))
+      .withColumn("target_h",
+        when(h.isNotNull, floor(h * scale).cast("int")))
+  }
+
+  /** Batched feature extraction STUB: emits a deterministic
+    * `dim`-float vector per asset (derived from the checksum — a real
+    * implementation hands the batch to an embedding model here). The
+    * batch shape mirrors decodeBatches; the output column plugs
+    * directly into graft.ann / graft.dedup.embeddingPairs.
+    */
+  def featureBatches(df: DataFrame, dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add(
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val checksumIdx = df.schema.fieldIndex("checksum")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // >>> STUB embed: real code runs the batch through a model <<<
+        batch.map { r =>
+          val cs = r.getLong(checksumIdx)
+          val vec = Array.tabulate(dim) { i =>
+            // splitmix-ish per-slot mix of the checksum — deterministic
+            val z = (cs + 0x9e3779b97f4a7c15L * (i + 1))
+            val m = (z ^ (z >>> 31)) * 0xbf58476d1ce4e5b9L
+            ((m >>> 11).toDouble / (1L << 53).toDouble).toFloat
+          }
+          Row.fromSeq(r.toSeq :+ vec.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Metadata summary per mime type — the catalog-facing view. */
   def metaSummary(decoded: DataFrame): DataFrame =
     decoded.groupBy(col("mime"))

@@ -88,6 +88,36 @@ class FunnelPiiSpec extends SparkSpec {
     }
   }
 
+  describe("multimodal resize + features") {
+    import graft.multimodal.Multimodal
+    it("resizePlan fits the box preserving aspect and never upscales") {
+      val docs = Seq((3L, "video doc three")).toDF("doc_id", "text") // %3==0 → image
+      val plan = Multimodal.resizePlan(
+          Multimodal.decodeBatches(Multimodal.attachBinary(docs, "doc_id", "text")),
+          maxSide = 224)
+        .select("decoded.width", "decoded.height", "target_w", "target_h")
+        .collect()(0)
+      val (w, h, tw, th) = (plan.getInt(0), plan.getInt(1), plan.getInt(2), plan.getInt(3))
+      math.max(tw, th) should be <= 224
+      tw should be <= w
+      th should be <= h
+      // aspect preserved within floor rounding
+      math.abs(tw.toDouble / th - w.toDouble / h) should be < 0.05
+    }
+    it("featureBatches is deterministic with the requested dimension") {
+      val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      def run() = Multimodal.featureBatches(
+          Multimodal.decodeBatches(Multimodal.attachBinary(docs, "doc_id", "text")),
+          dim = 8)
+        .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+      val (a, b) = (run(), run())
+      a shouldBe b
+      a(1L).length shouldBe 8
+      a(1L) should not be a(2L)
+      all(a(1L)) should (be >= 0.0f and be < 1.0f)
+    }
+  }
+
   describe("native LangPredict") {
     it("agrees with the composed-Column argmax on the documents table") {
       val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
