@@ -9,12 +9,15 @@ import graft.sources.Tables
 import graft.streaming.Streams
 import graft.text.TextAnalysis
 
-/** q46–q57: round-3 widening — reshaping (pivot/unpivot/cube),
+/** q46–q66: round-3 widening — reshaping (pivot/unpivot/cube),
   * extended window functions, skew-safe aggregation, semi/anti joins,
   * set operations, deterministic sampling, the corpus filter funnel,
-  * PII redaction, and two genuinely streaming queries (state-store
-  * dedup + watermark-flushed sessionization) checked against batch
-  * SQL oracles.
+  * PII redaction, column profiling, benchmark decontamination,
+  * repetition scoring, incremental strategies, DAG selectors, seeds,
+  * and five genuinely streaming queries (state-store dedup,
+  * watermark-flushed sessionization, foreachBatch merge sink,
+  * stream-static join, stream-stream join) — every one checked
+  * against a batch SQL oracle.
   */
 object ExtendedEntry {
 
@@ -420,7 +423,7 @@ object ExtendedEntry {
 
   // ---------------------------------------------------------------
   // q66 — STREAM-STREAM JOIN: clicks and purchases as two watermarked
-  // streams, inner-joined on user within a 1-hour event-time bound —
+  // streams, inner-joined on user within a 24-hour event-time bound —
   // the stateful two-sided join (state expiry driven by watermark +
   // range condition). Single-source batch ⇒ every qualifying pair
   // emits, so the plain batch join is the oracle.
@@ -444,13 +447,13 @@ object ExtendedEntry {
         .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
           timestamp_millis(expr("ts div 1000000")).as(s"${p}_time"),
           col("value").as(s"${p}_value"))
-        .withWatermark(s"${p}_time", "1 hour")
+        .withWatermark(s"${p}_time", "24 hours")
     val clicks = side("click", "click")
     val purchases = side("purchase", "purch")
     val joined = clicks.join(purchases,
       col("click_user") === col("purch_user") &&
         col("purch_time") >= col("click_time") &&
-        col("purch_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+        col("purch_time") <= col("click_time") + expr("INTERVAL 24 HOURS"))
     withShufflePartitions(s, 8) {
       val q = joined
         .select(col("click_user").as("user_id"), col("click_id"), col("purch_id"),
@@ -518,7 +521,7 @@ object ExtendedEntry {
         |SELECT c.user_id, c.click_id, p.purch_id, c.click_ms, p.purch_ms
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.purch_ms >= c.click_ms
-        |  AND p.purch_ms <= c.click_ms + 3600000
+        |  AND p.purch_ms <= c.click_ms + 86400000
         |ORDER BY c.user_id, c.click_id, p.purch_id""".stripMargin,
     "q64_decontaminate" ->
       """WITH ev AS (
