@@ -10,7 +10,7 @@ import graft.multimodal.Multimodal
 import graft.sources.{Catalog, CatalogEntries, Database, Incremental, Tables}
 import graft.text.TextAnalysis
 
-/** q22–q33: the LLM-training-data operators (dedup, similarity, text
+/** q22–q45: the LLM-training-data operators (dedup, similarity, text
   * analysis, multimodal plumbing) over `documents.parquet` and
   * `embeddings.parquet`. Registered into `SparkEntry.queries`.
   *

@@ -26,5 +26,16 @@ class SparkEntrySpec extends SparkSpec {
     it("entry() returns non-empty rows at smoke scale") {
       SparkEntry.entry(spark).count() should be > 0L
     }
+    it("EVERY query runs and returns rows at sf0.001 (cross-SF smoke)") {
+      // catches SF-sensitive breakage (empty windows, missing
+      // combos) that the sf0.01-only parity gate would miss
+      val dir = "/root/testdata/sf0.001"
+      val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val n = fn(spark, dir).count()
+          if (n == 0) Some(name) else None
+      }
+      empty shouldBe empty
+    }
   }
 }

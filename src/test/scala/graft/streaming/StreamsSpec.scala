@@ -97,6 +97,34 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  describe("RocksDB state store compatibility") {
+    it("stateful dedup runs against the production RocksDB provider") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val input = MemoryStream[(Long, Long, String)]
+        val events = input.toDF().toDF("content_hash", "ts", "payload")
+          .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("event_time", "10 minutes")
+        val q = dedupStream(events, Seq("content_hash"))
+          .writeStream.format("memory").queryName("rocks_out")
+          .outputMode("append").start()
+        try {
+          input.addData((1L, ns(0), "a"), (1L, ns(1), "dup"), (2L, ns(2), "b"))
+          q.processAllAvailable()
+          spark.table("rocks_out").select("content_hash")
+            .as[Long].collect().sorted shouldBe Array(1L, 2L)
+        } finally q.stop()
+      } finally {
+        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      }
+    }
+  }
+
   describe("batch Sessionize (the twin)") {
     it("agrees with the streaming sessionizer on closed sessions") {
       import spark.implicits._
