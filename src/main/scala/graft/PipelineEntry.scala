@@ -441,6 +441,22 @@ object PipelineEntry {
        |      list_transform($b, v -> v*v)), (acc, v) -> acc + v)))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // golden registry oracle: the q39 scenario is fully deterministic
+    // (discovery order, fixed stamps, schema-derived column counts),
+    // so the expected post-{upsertAll, update, soft-delete} live set
+    // is stated literally — gating created_at preservation, update
+    // stamping, and tombstone exclusion
+    "q39_catalog_entries" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 'source_table', 'refreshed', 5,
+        |   CAST(1000 AS BIGINT), CAST(2000 AS BIGINT)),
+        |  ('embeddings', 'source_table', NULL, 3,
+        |   CAST(1002 AS BIGINT), CAST(1002 AS BIGINT)),
+        |  ('events', 'source_table', NULL, 6,
+        |   CAST(1003 AS BIGINT), CAST(1003 AS BIGINT))
+        |) AS t(table_name, entry_type, description, n_columns,
+        |       created_at_ms, updated_at_ms)
+        |ORDER BY table_name""".stripMargin,
     // exact top-k: the oracle recomputes the same sequential-double
     // cosine, so ranks AND similarity values hash-match
     "q27_ann_bruteforce" ->
