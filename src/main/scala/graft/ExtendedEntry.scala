@@ -465,7 +465,37 @@ object ExtendedEntry {
     s.table(name).orderBy("user_id", "click_id", "purch_id")
   }
 
+  // ---------------------------------------------------------------
+  // q67 — run ledger + upstream dependency check: lifecycle records
+  // merge idempotently on run_id (the running→failed transition is an
+  // update, not a new row); a target is satisfied iff a SUCCESS run
+  // finished within the check timeframe. Fully deterministic stamps
+  // → golden oracle.
+  // ---------------------------------------------------------------
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.RunLedger
+    val path = s"/root/repo/target/scratch/q67_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val ledger = new RunLedger(s, path)
+    // pipeline_a: two successes; the fresh one at 5_000_000
+    ledger.record(1L, "pipeline_a", "success", Some(900_000L), Some(1_000_000L), Some(100L))
+    ledger.record(2L, "pipeline_a", "success", Some(4_900_000L), Some(5_000_000L), Some(120L))
+    // pipeline_b: an old success, then a run that starts and FAILS
+    // (same run_id → lifecycle update via merge)
+    ledger.record(3L, "pipeline_b", "success", Some(1_900_000L), Some(2_000_000L), Some(50L))
+    ledger.record(4L, "pipeline_b", "running", Some(5_900_000L))
+    ledger.record(4L, "pipeline_b", "failed", Some(5_900_000L), Some(6_000_000L),
+      error = Some("boom"))
+    // pipeline_c: still running, no success yet
+    ledger.record(5L, "pipeline_c", "running", Some(7_000_000L))
+    ledger.checkUpstream(Seq("pipeline_a", "pipeline_b", "pipeline_c"),
+        timeframeMs = 6_000_000L, nowMs = 10_000_000L)
+      .orderBy("target")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_run_ledger" -> (q67 _),
     "q66_stream_stream_join" -> (q66 _),
     "q64_decontaminate" -> (q64 _),
     "q65_repetition" -> (q65 _),
@@ -506,6 +536,16 @@ object ExtendedEntry {
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // golden: stamps are fixed; window [4e6, 1e7] admits only
+    // pipeline_a's second success (b's success is stale, its fresh
+    // run failed; c never succeeded)
+    "q67_run_ledger" ->
+      """SELECT * FROM (VALUES
+        |  ('pipeline_a', true, CAST(5000000 AS BIGINT)),
+        |  ('pipeline_b', false, CAST(NULL AS BIGINT)),
+        |  ('pipeline_c', false, CAST(NULL AS BIGINT))
+        |) AS t(target, satisfied, last_success_ms)
+        |ORDER BY target""".stripMargin,
     "q66_stream_stream_join" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id,
