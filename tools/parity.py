@@ -68,6 +68,19 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         dc, dr = canon(dcols, drows)
+        # dtype parity: the driver's compare goes through pandas, where
+        # e.g. DuckDB HUGEINT becomes float64 and hash-mismatches a
+        # Spark BIGINT even when values print identically (r2 bug)
+        duck_df = con.execute(oracle[name]).df()
+        spark_pd = tbl.to_pandas()
+        dtype_diffs = {
+            c: (str(spark_pd.dtypes.get(c)), str(duck_df.dtypes.get(c)))
+            for c in set(duck_df.columns) | set(spark_pd.columns)
+            if str(spark_pd.dtypes.get(c)) != str(duck_df.dtypes.get(c))}
+        if dtype_diffs:
+            print(f"  ✗ {name}: dtype mismatch (spark,duck): {dtype_diffs}")
+            n_fail += 1
+            continue
         if sc != dc:
             print(f"  ✗ {name}: column mismatch spark={sc} duck={dc}")
             n_fail += 1
