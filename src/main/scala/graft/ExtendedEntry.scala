@@ -257,7 +257,7 @@ object ExtendedEntry {
   // oracle aggregates the source directly — landing must be lossless.
   // ---------------------------------------------------------------
   private def q59(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/root/repo/target/scratch/q59_${sanitize(dir)}"
+    val base = s"target/scratch/q59_${sanitize(dir)}"
     val (target, ckpt) = (s"$base/table", s"$base/ckpt")
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -373,7 +373,7 @@ object ExtendedEntry {
   // any model.
   // ---------------------------------------------------------------
   private def q63(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/root/repo/target/scratch/q63_${sanitize(dir)}"
+    val base = s"target/scratch/q63_${sanitize(dir)}"
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     for (name <- Seq("region", "nation"))
@@ -474,7 +474,7 @@ object ExtendedEntry {
   // ---------------------------------------------------------------
   private def q67(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.RunLedger
-    val path = s"/root/repo/target/scratch/q67_${sanitize(dir)}"
+    val path = s"target/scratch/q67_${sanitize(dir)}"
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     val ledger = new RunLedger(s, path)
@@ -529,10 +529,12 @@ object ExtendedEntry {
        |  CAST(min($c) AS DOUBLE) AS min_v,
        |  CAST(max($c) AS DOUBLE) AS max_v,
        |  CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c) AS mean,
-       |  (CAST(sum(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE)
-       |    - CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)
-       |      * CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c))
-       |    / (count($c) - 1) AS var_samp
+       |  CASE WHEN count($c) > 1 THEN
+       |    (CAST(sum(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE)
+       |      - CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)
+       |        * CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / count($c))
+       |      / (count($c) - 1)
+       |  END AS var_samp
        |FROM orders""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

@@ -126,7 +126,7 @@ object PipelineEntry {
   // entries, update one, soft-delete one, list the live set.
   // ---------------------------------------------------------------
   private def q39(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/root/repo/target/scratch/q39_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val path = s"target/scratch/q39_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
 
@@ -261,7 +261,7 @@ object PipelineEntry {
   // merges into the persisted state on unique_key).
   // ---------------------------------------------------------------
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val wh = s"/root/repo/target/scratch/q35_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val wh = s"target/scratch/q35_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
     val whPath = new org.apache.hadoop.fs.Path(wh)
     whPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(whPath, true)
 
@@ -297,7 +297,7 @@ object PipelineEntry {
   // and extracts strictly above it (dlt pipeline-state semantics).
   // ---------------------------------------------------------------
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val statePath = s"/root/repo/target/scratch/q36_state_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val statePath = s"target/scratch/q36_state_${dir.replaceAll("[^0-9a-zA-Z.]", "_")}"
     val orders = t(s, dir, "orders")
     val batch1 = orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     Incremental.saveState(batch1, "o_orderdate", statePath)

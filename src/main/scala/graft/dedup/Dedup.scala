@@ -157,9 +157,13 @@ object Dedup {
     * One windowed rank over the bucket partitioning — the same
     * shuffle the pair join needs anyway.
     */
-  private[dedup] def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+  private[dedup] def capBuckets(
+      df: DataFrame, keys: Seq[String], maxBucket: Int,
+      idCol: String = "doc_id"): DataFrame = {
     if (maxBucket == Int.MaxValue) return df
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
+    require(df.columns.contains(idCol),
+      s"capBuckets orders hot buckets by '$idCol', absent from ${df.columns.mkString(",")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
     df.withColumn("__bn", row_number().over(w))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")

@@ -135,7 +135,10 @@ object TextHashExprs {
     * tree + plan barrier the composed-Column form needed.
     */
   def langPredictEval(s: UTF8String): UTF8String = {
-    val txt = " " + s.toLowerCase.toString + " "
+    // Locale.ROOT like tokenHashes: UTF8String.toLowerCase falls back
+    // to the DEFAULT locale off the ASCII fast path, which is neither
+    // cross-executor deterministic nor oracle-stable (tr_TR: I→ı)
+    val txt = " " + s.toString.toLowerCase(java.util.Locale.ROOT) + " "
     var best = -1
     var bestScore = -1L
     var total = 0L

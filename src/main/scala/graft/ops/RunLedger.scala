@@ -78,7 +78,10 @@ final class RunLedger(spark: SparkSession, path: String) {
       java.util.Arrays.asList(targets.map(Row(_)): _*),
       StructType(Seq(StructField("target", StringType, nullable = false))))
     val recent = list(status = Some("success"))
-      .filter(col("finished_ms") >= nowMs - timeframeMs)
+      // closed window [now - timeframe, now]: a future-stamped run
+      // (clock skew, bad replay) must not satisfy the check
+      .filter(col("finished_ms") >= nowMs - timeframeMs &&
+        col("finished_ms") <= nowMs)
       .groupBy("target")
       .agg(max(col("finished_ms")).as("last_success_ms"))
     wanted.join(recent, Seq("target"), "left")

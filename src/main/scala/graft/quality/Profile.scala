@@ -46,7 +46,9 @@ object Profile {
           col(s"${c}__min").as("min_v"),
           col(s"${c}__max").as("max_v"),
           (s1 / n).as("mean"),
-          ((s2 - s1 * s1 / n) / (n - 1)).as("var_samp"))
+          // SQL var_samp is NULL below 2 observations (the n-1
+          // division would otherwise emit NaN/±Inf from cancellation)
+          when(n > 1, (s2 - s1 * s1 / n) / (n - 1)).as("var_samp"))
       }: _*)).as("r"))
       .select("r.*")
   }

@@ -54,7 +54,10 @@ object Bucketing {
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")))
     val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // _SUCCESS gates completeness: a crashed prior write leaves part-
+    // files but no commit marker, and must be rewritten, not served
     val hasData = fs.exists(loc) &&
+      fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) &&
       fs.listStatus(loc).exists(_.getPath.getName.startsWith("part-"))
     if (hasData) {
       val cols = df.schema.fields

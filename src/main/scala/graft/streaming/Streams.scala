@@ -84,8 +84,11 @@ object Streams {
   /** value quantized to 6 dp as long micros — summing longs is exact
     * and order-independent, and microsTotal/1e6 is bit-identical to
     * SQL `CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)` (both
-    * are the correctly-rounded double of the same exact decimal), so
-    * streaming sessions hash-match the batch/oracle sums.
+    * are the correctly-rounded double of the same exact decimal)
+    * while |microsTotal| < 2⁵³ — i.e. per-session value sums below
+    * ~9×10⁹ units, far above any realistic session; beyond that the
+    * long→double conversion itself rounds and the identity degrades
+    * to 1-ulp agreement.
     */
   private def micros(v: Double): Long =
     java.math.BigDecimal.valueOf(v)

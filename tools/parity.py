@@ -70,7 +70,11 @@ def main(sf_dir, out_dir):
         dc, dr = canon(dcols, drows)
         # dtype parity: the driver's compare goes through pandas, where
         # e.g. DuckDB HUGEINT becomes float64 and hash-mismatches a
-        # Spark BIGINT even when values print identically (r2 bug)
+        # Spark BIGINT even when values print identically (r2 bug).
+        # Must run on the FULL result: pandas dtypes are value-
+        # dependent (a nullable BIGINT is int64 with no nulls present
+        # but float64 with them), so a LIMIT-0 probe reports types the
+        # driver would never see. Dev-tool cost, fidelity first.
         duck_df = con.execute(oracle[name]).df()
         spark_pd = tbl.to_pandas()
         dtype_diffs = {
