@@ -494,7 +494,21 @@ object ExtendedEntry {
       .orderBy("target")
   }
 
+  // ---------------------------------------------------------------
+  // q68 — pairwise correlation profiling: Pearson r for N column
+  // pairs in one pass from decimal-exact power/cross sums (native
+  // corr() merges partial moments in partial order — not
+  // bit-reproducible across engines; this is).
+  // ---------------------------------------------------------------
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profile.correlation(t(s, dir, "orders"), Seq(
+        ("o_custkey", "o_totalprice"),
+        ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_totalprice")))
+      .orderBy("pair")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_correlation" -> (q68 _),
     "q67_run_ledger" -> (q67 _),
     "q66_stream_stream_join" -> (q66 _),
     "q64_decontaminate" -> (q64 _),
@@ -537,7 +551,30 @@ object ExtendedEntry {
        |  END AS var_samp
        |FROM orders""".stripMargin
 
+  /** Pearson r mirroring Profile.correlation's exact operation order:
+    * decimal sums → double, dx = n·Σx² − (Σx)², r = (n·Σxy − ΣxΣy) /
+    * sqrt(dx·dy). DECIMAL(19,4) products force DuckDB onto int128.
+    */
+  private def corrSql(x: String, y: String): String = {
+    def s1(c: String) = s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"
+    def s2(a: String, b: String) =
+      s"CAST(sum(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DOUBLE)"
+    val n = "CAST(count(*) AS DOUBLE)"
+    val dx = s"($n * ${s2(x, x)} - ${s1(x)} * ${s1(x)})"
+    val dy = s"($n * ${s2(y, y)} - ${s1(y)} * ${s1(y)})"
+    s"""SELECT '${x}__$y' AS pair, count(*) AS n_rows,
+       |  CASE WHEN $dx > 0 AND $dy > 0 THEN
+       |    ($n * ${s2(x, y)} - ${s1(x)} * ${s1(y)}) / sqrt($dx * $dy)
+       |  END AS corr
+       |FROM orders""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q68_correlation" ->
+      Seq(("o_custkey", "o_totalprice"), ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_totalprice"))
+        .map { case (x, y) => corrSql(x, y) }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pair"),
     // golden: stamps are fixed; window [4e6, 1e7] admits only
     // pipeline_a's second success (b's success is stale, its fresh
     // run failed; c never succeeded)

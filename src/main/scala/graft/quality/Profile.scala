@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling for the catalog — the data-quality companion to
@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   * bits).
   */
 object Profile {
+
+  /** Pearson correlation for column pairs — ONE aggregate pass for
+    * any number of pairs, from decimal-exact power/cross sums (the
+    * engine-native corr() merges partial moments in partial order,
+    * which is not bit-reproducible; this is). Rows where either side
+    * is null are excluded, per SQL corr. Constant columns → NULL.
+    */
+  def correlation(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "correlation needs at least one pair")
+    def dec(c: Column) = c.cast("decimal(18,4)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+      val both = col(x).isNotNull && col(y).isNotNull
+      def m(c: Column) = when(both, c)
+      Seq(
+        sum(when(both, 1L)).as(s"n$i"),
+        sum(m(dec(col(x)))).as(s"sx$i"),
+        sum(m(dec(col(y)))).as(s"sy$i"),
+        sum(m(dec(col(x)) * dec(col(y)))).as(s"sxy$i"),
+        sum(m(dec(col(x)) * dec(col(x)))).as(s"sx2$i"),
+        sum(m(dec(col(y)) * dec(col(y)))).as(s"sy2$i"))
+    }
+    val aggd = df.agg(aggs.head, aggs.tail: _*)
+    aggd.select(explode(array(pairs.zipWithIndex.map { case ((x, y), i) =>
+        val n = coalesce(col(s"n$i"), lit(0L)).cast("double")
+        val sx = col(s"sx$i").cast("double")
+        val sy = col(s"sy$i").cast("double")
+        val sxy = col(s"sxy$i").cast("double")
+        val sx2 = col(s"sx2$i").cast("double")
+        val sy2 = col(s"sy2$i").cast("double")
+        val dx = n * sx2 - sx * sx
+        val dy = n * sy2 - sy * sy
+        struct(lit(s"${x}__$y").as("pair"),
+          n.cast("long").as("n_rows"),
+          when(dx > 0 && dy > 0,
+            (n * sxy - sx * sy) / sqrt(dx * dy)).as("corr"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
 
   /** Profile numeric (or integral) columns. Returns one row per
     * column: (column_name, n_nonnull, n_null, n_distinct, min_v,

@@ -33,6 +33,21 @@ class ProfileSpec extends SparkSpec {
       // var_samp of {10,10,20,30}: mean 17.5, ss = 56.25*2+6.25+156.25
       y.getDouble(7) shouldBe (275.0 / 3) +- 1e-12
     }
+    it("correlation: perfect, inverse, and degenerate pairs") {
+      val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+        (3.0, 6.0, -3.0, 5.0))
+        .toDF("x", "y2x", "neg", "const")
+      val out = Profile.correlation(df,
+          Seq(("x", "y2x"), ("x", "neg"), ("x", "const")))
+        .orderBy("pair")
+        .collect()
+      out(0).getString(0) shouldBe "x__const"
+      out(0).isNullAt(2) shouldBe true // zero variance → NULL
+      out(1).getString(0) shouldBe "x__neg"
+      out(1).getDouble(2) shouldBe -1.0 +- 1e-12
+      out(2).getString(0) shouldBe "x__y2x"
+      out(2).getDouble(2) shouldBe 1.0 +- 1e-12
+    }
     it("variance is order-independent (decimal power sums)") {
       val a = (1 to 1000).map(i => i * 0.01).toDF("v")
       val b = (1 to 1000).reverse.map(i => i * 0.01).toDF("v")
