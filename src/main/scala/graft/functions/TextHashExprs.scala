@@ -160,6 +160,26 @@ object TextHashExprs {
     if (total == 0L) Und else LangNames(best)
   }
 
+  /** Max word-bigram multiplicity in one hash-count pass (same
+    * single-space tokenization as wordBigramsEval, so it equals the
+    * explode+groupBy count and the HOF sort+run-length scan).
+    */
+  def bigramMaxMultEval(s: UTF8String): Long = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = str.split(" ", -1)
+    if (toks.length < 2) return 0L
+    val counts = new java.util.HashMap[String, Integer](toks.length * 2)
+    var best = 0
+    var i = 0
+    while (i < toks.length - 1) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = counts.merge(g, 1, (a: Integer, b: Integer) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
   private def sortedDistinct(a: Array[Long]): Array[Long] = {
     if (a.length <= 1) return a
     Arrays.sort(a)
@@ -247,6 +267,24 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Max bigram multiplicity — the Gopher repetition-rule core, one
+    * fused hash-count loop per row (vs an interpreted sort + HOF
+    * fold).
+    */
+  case class BigramMaxMultiplicity(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bigram_max_mult"
+
+    override protected def nullSafeEval(input: Any): Any =
+      bigramMaxMultEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.bigramMaxMultEval($c)")
+
+    override protected def withNewChildInternal(c: Expression): BigramMaxMultiplicity =
+      copy(child = c)
+  }
+
   /** Marker-stopword language ID — argmax over per-language marker
     * counts, computed in one fused row loop (see langPredictEval).
     */
@@ -302,4 +340,7 @@ object TextHashes {
 
   def langPredict(text: Column): Column =
     column(TextHashExprs.LangPredict(expression(text)))
+
+  def bigramMaxMultiplicity(text: Column): Column =
+    column(TextHashExprs.BigramMaxMultiplicity(expression(text)))
 }

@@ -174,11 +174,18 @@ object TextAnalysis {
   // ------------------------------------------------------------
 
   /** Highest multiplicity among a doc's word bigrams, computed
-    * per-row (sort + run-length scan over the bigram array — no
-    * shuffle, unlike the explode+groupBy formulation, so scoring
-    * 100 TB of docs is pure map-side work).
+    * per-row (no shuffle, unlike the explode+groupBy formulation, so
+    * scoring 100 TB of docs is pure map-side work). Native fused
+    * hash-count loop (`TextHashExprs.BigramMaxMultiplicity`).
     */
-  def maxBigramMultiplicity(text: Column): Column = {
+  def maxBigramMultiplicity(text: Column): Column =
+    graft.functions.TextHashes.bigramMaxMultiplicity(text)
+
+  /** HOF REFERENCE IMPLEMENTATION of the same scan (sort + run-length
+    * fold) — kept for the native-vs-HOF parity spec, same pattern as
+    * Dedup.minhashSignature.
+    */
+  def maxBigramMultiplicityHof(text: Column): Column = {
     val sorted = array_sort(wordBigrams(text))
     val scanned = aggregate(
       sorted,

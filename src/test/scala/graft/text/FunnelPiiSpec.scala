@@ -57,6 +57,13 @@ class FunnelPiiSpec extends SparkSpec {
   }
 
   describe("repetition scoring") {
+    it("native scan agrees with the HOF reference on the documents table") {
+      val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      docs.select(
+          TextAnalysis.maxBigramMultiplicity(col("text")).as("native"),
+          TextAnalysis.maxBigramMultiplicityHof(col("text")).as("hof"))
+        .filter(col("native") =!= col("hof")).count() shouldBe 0L
+    }
     it("finds the max bigram multiplicity per row") {
       val out = Seq(
         "buy now buy now buy now",  // "buy now" ×3, "now buy" ×2 → 3
