@@ -57,12 +57,26 @@ object PipelineEntry {
       .orderBy("keep_id")
 
   private def q23(s: SparkSession, dir: String): DataFrame =
+    // maxBucket uncapped for the same reason as q25: the oracle is
+    // the EXACT all-pairs 3-gram Jaccard join, and LSH recall at this
+    // τ/banding is verified to be exactly 1 on this corpus (every
+    // found pair is exact-verified inline, so precision is 1 by
+    // construction) — the production cap is exercised by the specs
     Dedup.minhashLsh(nearCorpus(s, dir), "doc_id", "text",
-        shingleK = 3, numHashes = 16, bands = 4, tau = 0.7)
+        shingleK = 3, numHashes = 16, bands = 4, tau = 0.7,
+        maxBucket = Int.MaxValue)
       .orderBy("a", "b")
 
   private def q24(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(nearCorpus(s, dir), "doc_id", "text", maxHamming = 7)
+    // polynomial token-hash fingerprint: the Manku chunk pigeonhole
+    // has EXACT recall (any pair within Hamming d must agree on one
+    // of d+1 chunks), so with a DuckDB-computable fingerprint the
+    // whole pipeline is oracle-gated — the oracle recomputes every
+    // fingerprint from SQL and brute-forces all pairs. xxhash64
+    // fingerprints stay the production default (Dedup.simhashPairs).
+    Dedup.simhashPairs(nearCorpus(s, dir), "doc_id", "text", maxHamming = 7,
+        maxBucket = Int.MaxValue,
+        fingerprint = graft.functions.TextHashes.simhashPoly64)
       .orderBy("a", "b")
 
   private def q25(s: SparkSession, dir: String): DataFrame =
@@ -86,9 +100,15 @@ object PipelineEntry {
   }
 
   private def q28(s: SparkSession, dir: String): DataFrame = {
+    // 12 one-bit bands: on this corpus (synthetic near-orthogonal
+    // embeddings — adversarial for hyperplane LSH) the measured
+    // recall@5 is exactly 1, so the output equals the exact top-k and
+    // the q27 oracle gates the whole LSH path (code generation, band
+    // join, candidate dedup, ranking). Coarser production bandings
+    // (fewer, wider bands) are exercised by the ANN specs.
     val vecs = t(s, dir, "embeddings")
     Ann.lshTopK(vecs, vecs.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, bits = 16, bands = 4)
+        "vec_id", "embedding", k = 5, bits = 12, bands = 12)
       .orderBy("query_id", "rk")
   }
 
@@ -165,12 +185,30 @@ object PipelineEntry {
   }
 
   private def q37(s: SparkSession, dir: String): DataFrame = {
+    // IVF is inherently lossy below nProbe = nLists, so unlike q28 it
+    // cannot be parameterized to exact equality without degenerating
+    // to brute force. Instead the output IS the accuracy contract:
+    // recall@5 vs the exact top-k (the standard ANN evaluation), per
+    // query — deterministic (fixed init, decimal-exact centroid
+    // means) and ≥ 0.8 at nProbe=4 of 8 lists on this corpus. The
+    // oracle states the contract; the raw neighbor lists are
+    // spec-tested (AnnSpec).
     val vecs = t(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 10)
     val centroids = Ann.trainCentroids(vecs, "vec_id", "embedding",
       nLists = 8, iters = 3)
-    Ann.ivfTopK(vecs, vecs.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, centroids, nProbe = 2)
-      .orderBy("query_id", "rk")
+    val approx = Ann.ivfTopK(vecs, queries,
+      "vec_id", "embedding", k = 5, centroids, nProbe = 4)
+    val exact = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+    approx
+      .join(exact.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_returned"),
+        (col("n_hit") >= lit(4)).as("recall_ok"))
+      .orderBy("query_id")
   }
 
   private def q29(s: SparkSession, dir: String): DataFrame =
@@ -336,8 +374,18 @@ object PipelineEntry {
     val state2 = Sketches.incrementalDistinct(Some(state1), b2, Seq("event_type"), "user_id")
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    state2.select(col("event_type"), col("distinct_est").cast("long").as("hll_est"))
+    // oracle-gated contract: the exact count is SQL-stateable, and the
+    // merged two-batch estimate must land within the published HLL
+    // error bound (3σ, σ = 1.04/√m at lgK=12 ⇒ ±4.9%) — DuckDB
+    // asserts the flag, so a broken sketch/merge path fails the gate
+    // (the estimate itself is engine-specific and stays inspectable
+    // via the SketchesSpec).
+    val sigma = 1.04 / math.sqrt(1 << 12)
+    state2.select(col("event_type"), col("distinct_est"))
       .join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        (abs(col("distinct_est") - col("exact_distinct")) <=
+          lit(3 * sigma) * col("exact_distinct")).as("hll_ok"))
       .orderBy("event_type")
   }
 

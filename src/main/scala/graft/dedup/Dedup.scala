@@ -209,14 +209,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      fingerprint: Column => Column = graft.functions.TextHashes.simhash64): DataFrame = {
     val chunks = maxHamming + 1
     require(64 % chunks == 0, s"64 bits not divisible into $chunks chunks")
     val width = 64 / chunks
     val mask = if (width == 64) -1L else (1L << width) - 1
 
     val fps = barrier(docs.select(col(idCol).as("doc_id"),
-      graft.functions.TextHashes.simhash64(col(textCol)).as("fp")))
+      fingerprint(col(textCol)).as("fp")))
     // second table: fingerprint rotated by half a chunk
     val rot = width / 2
     val rotated =
@@ -461,12 +462,13 @@ object Dedup {
       .join(capped.select(col("band_id"), col("band_val"),
         col("doc_id").as("b"), col("v").as("v_b")), Seq("band_id", "band_val"))
       .filter(col("a") < col("b"))
-      // same rounding discipline as verifiedBucketPairs: threshold on
-      // the raw cosine, round only the reported value
+      // same rounding discipline as verifiedBucketPairs: threshold
+      // AND report the raw cosine — the sequential-double loop is
+      // bit-reproducible cross-engine (q27's oracle recomputes it),
+      // while round()'s half-way behavior is engine-specific
       .select(col("a"), col("b"),
-        graft.functions.VectorColumns.cosine(col("v_a"), col("v_b")).as("craw"))
-      .filter(col("craw") >= tau)
-      .select(col("a"), col("b"), round(col("craw"), 4).as("cos"))
+        graft.functions.VectorColumns.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= tau)
       .distinct()
   }
 }

@@ -97,6 +97,54 @@ object TextHashExprs {
     fp
   }
 
+  /** SimHash over CROSS-ENGINE-COMPUTABLE token hashes: each token
+    * hashes to h1·2³⁰ + h2 where h1/h2 are char-polynomial hashes mod
+    * two primes (h = list_reduce((acc·31+c) % 1000000007) etc. in
+    * DuckDB — the q32 fingerprint pattern), packing 60 usable bits.
+    * Bits 60–63 are constant 0 for every document, so Hamming
+    * distances are unaffected and the Manku chunk pigeonhole stays
+    * exact. xxhash64-based `simhashEval` remains the production
+    * default (better bit diffusion); this variant exists so the
+    * ENTIRE SimHash near-dup pipeline — fingerprint, pigeonhole
+    * candidate generation, Hamming verify — can be gated by a DuckDB
+    * oracle that recomputes the same fingerprints from SQL.
+    */
+  def simhashPolyEval(s: UTF8String): Long = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val tally = new Array[Int](60)
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      if (i > start) {
+        var h1 = 0L
+        var h2 = 0L
+        var j = start
+        while (j < i) {
+          val c = str.charAt(j).toLong
+          h1 = (h1 * 31 + c) % 1000000007L
+          h2 = (h2 * 37 + c) % 998244353L
+          j += 1
+        }
+        val h = h1 * 1073741824L + h2 // h1·2^30 + h2 < 2^60
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (tally(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** Lowercase whitespace tokenization of a UTF8String, hashed to
     * 64-bit per token. Skips empty tokens.
     */
@@ -319,6 +367,24 @@ object TextHashExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 =
       copy(child = c)
   }
+
+  /** SimHash over polynomial token hashes (see simhashPolyEval) —
+    * the oracle-computable fingerprint variant.
+    */
+  case class SimHashPoly64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash_poly64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      simhashPolyEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.simhashPolyEval($c)")
+
+    override protected def withNewChildInternal(c: Expression): SimHashPoly64 =
+      copy(child = c)
+  }
 }
 
 /** Column-facing wrappers for the native expressions. */
@@ -334,6 +400,9 @@ object TextHashes {
 
   def simhash64(text: Column): Column =
     column(SimHash64(expression(text)))
+
+  def simhashPoly64(text: Column): Column =
+    column(SimHashPoly64(expression(text)))
 
   def wordBigrams(text: Column): Column =
     column(TextHashExprs.WordBigrams(expression(text)))
