@@ -57,35 +57,31 @@ object PipelineEntry {
       .orderBy("keep_id")
 
   private def q23(s: SparkSession, dir: String): DataFrame =
-    // maxBucket uncapped for the same reason as q25: the oracle is
-    // the EXACT all-pairs 3-gram Jaccard join, and LSH recall at this
-    // τ/banding is verified to be exactly 1 on this corpus (every
-    // found pair is exact-verified inline, so precision is 1 by
-    // construction) — the production cap is exercised by the specs
+    // production cap: bucketPairs splits over-cap buckets with FULL
+    // recall, so the scale safety valve is exercised by the driver
+    // AND the result still equals the exact all-pairs oracle (LSH
+    // recall at this τ/banding is exactly 1 on this corpus; every
+    // found pair is exact-verified inline, so precision is 1)
     Dedup.minhashLsh(nearCorpus(s, dir), "doc_id", "text",
-        shingleK = 3, numHashes = 16, bands = 4, tau = 0.7,
-        maxBucket = Int.MaxValue)
+        shingleK = 3, numHashes = 16, bands = 4, tau = 0.7)
       .orderBy("a", "b")
 
   private def q24(s: SparkSession, dir: String): DataFrame =
-    // polynomial token-hash fingerprint: the Manku chunk pigeonhole
-    // has EXACT recall (any pair within Hamming d must agree on one
-    // of d+1 chunks), so with a DuckDB-computable fingerprint the
-    // whole pipeline is oracle-gated — the oracle recomputes every
-    // fingerprint from SQL and brute-forces all pairs. xxhash64
+    // avalanche-mixed polynomial fingerprint: the Manku chunk
+    // pigeonhole has EXACT recall (any pair within Hamming d must
+    // agree on one of d+1 chunks) and bucketPairs' splitting keeps
+    // recall full under the production cap, so the whole pipeline is
+    // oracle-gated — the oracle recomputes every fingerprint from SQL
+    // (char polynomial + mix30) and brute-forces all pairs. xxhash64
     // fingerprints stay the production default (Dedup.simhashPairs).
     Dedup.simhashPairs(nearCorpus(s, dir), "doc_id", "text", maxHamming = 7,
-        maxBucket = Int.MaxValue,
         fingerprint = graft.functions.TextHashes.simhashPoly64)
       .orderBy("a", "b")
 
   private def q25(s: SparkSession, dir: String): DataFrame =
-    // maxBucket effectively uncapped: the oracle is the EXACT
-    // all-pairs join, and prefix filtering alone bounds the buckets
-    // at test SFs (the cap is the 100 TB safety valve, exercised by
-    // the dedup spec)
-    Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text", n = 4, tau = 0.8,
-        maxBucket = Int.MaxValue)
+    // production cap (full recall via bucketPairs splitting): the
+    // oracle is the EXACT all-pairs join
+    Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text", n = 4, tau = 0.8)
       .orderBy("a", "b")
 
   private def q26(s: SparkSession, dir: String): DataFrame =
@@ -180,7 +176,7 @@ object PipelineEntry {
   // ---------------------------------------------------------------
   private def q38(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccard(nearCorpus(s, dir), "doc_id", "text",
-      n = 4, tau = 0.8, maxBucket = Int.MaxValue)
+      n = 4, tau = 0.8)
     Dedup.clusters(pairs).orderBy("doc_id")
   }
 
@@ -413,8 +409,7 @@ object PipelineEntry {
     "q39_catalog_entries" -> (q39 _),
     "q40_bucketed_join" -> (q40 _))
 
-  // SQL-expressible oracles. q23–q28 and q33 are hash/LSH-dependent
-  // (xxhash64 has no DuckDB counterpart) → rows-only checks.
+  // SQL-expressible oracles — every registered query carries one.
   private def substrCountSql(padded: String, m: String): String =
     s"(length($padded) - length(replace($padded, '$m', ''))) // ${m.length}"
 
@@ -475,6 +470,94 @@ object PipelineEntry {
       |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
       |)""".stripMargin
 
+  /** The q23 oracle's shared corpus→3-gram-sets CTE (same shape as
+    * NgramPairsCte but k=3 — MinHash shingles default to 3).
+    */
+  private val TrigramPairsCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'zq ' || text FROM documents WHERE doc_id % 25 = 0
+      |), toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM corpus
+      |), sets AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |    END AS g
+      |  FROM toks
+      |), pairs AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b,
+      |    len(list_intersect(x.g, y.g)) * 1.0
+      |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+      |  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+      |)""".stripMargin
+
+  /** The q24 oracle: recompute every SimHash-poly fingerprint from
+    * SQL — whitespace tokens → word-bigram features ("tokA tokB") →
+    * char-polynomial h1/h2 mod two primes → mix30 avalanche
+    * (xor-shift + multiply-mod-prime, every intermediate BIGINT-safe;
+    * mirrors TextHashExprs.mix30 constant for constant) → per-bit ±1
+    * votes → 60-bit fingerprint — then brute-force all pairs with
+    * bit_count(xor) ≤ maxHamming. The Scala side's pigeonhole +
+    * split-capped buckets must reproduce this EXACTLY (pigeonhole
+    * recall is exact; bucketPairs splitting is full-recall).
+    */
+  private val SimhashPolyFpsCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'zq ' || text FROM documents WHERE doc_id % 25 = 0
+      |), tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM corpus
+      |), toks AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(t) = 1 THEN t
+      |           ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |           END) AS tok
+      |  FROM tk
+      |), th AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tok) + 1),
+      |        i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 37 + c) % 998244353) AS h2
+      |  FROM toks
+      |), mx1 AS (
+      |  SELECT doc_id, xor(h1, h1 >> 16) AS a1, xor(h2, h2 >> 16) AS a2 FROM th
+      |), mx2 AS (
+      |  SELECT doc_id, (a1 * 2654435761) % 1073741789 AS b1,
+      |                 (a2 * 2654435761) % 1073741789 AS b2 FROM mx1
+      |), mx3 AS (
+      |  SELECT doc_id, xor(b1, b1 >> 13) AS c1, xor(b2, b2 >> 13) AS c2 FROM mx2
+      |), mx4 AS (
+      |  SELECT doc_id, (c1 * 2246822519) % 1073741789 AS d1,
+      |                 (c2 * 2246822519) % 1073741789 AS d2 FROM mx3
+      |), mixed AS (
+      |  SELECT doc_id,
+      |    xor(d1, d1 >> 16) * CAST(1073741824 AS BIGINT) + xor(d2, d2 >> 16) AS h
+      |  FROM mx4
+      |), votes AS (
+      |  SELECT doc_id, bb.b AS b,
+      |    sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM mixed CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+      |  GROUP BY doc_id, bb.b
+      |), fps AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+      |             ELSE CAST(0 AS BIGINT) END) AS fp
+      |  FROM votes GROUP BY doc_id
+      |)""".stripMargin
+
   /** Sequential-double cosine in DuckDB, bit-identical to the native
     * CosineSim loop (float→double widening, in-order accumulation):
     * list_reduce(prepend 0.0) folds left in index order.
@@ -488,7 +571,89 @@ object PipelineEntry {
        |    * list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform($b, v -> v*v)), (acc, v) -> acc + v)))""".stripMargin
 
+  /** Exact top-k by the same sequential-double cosine — gates q27
+    * directly and q28's LSH path (12 one-bit hyperplane bands give
+    * measured recall exactly 1 on this corpus, so LSH output ==
+    * exact top-k; code generation, band join, candidate dedup, and
+    * ranking are all on the hook).
+    */
+  private val ExactTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 10
+       |), c AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS nv
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qv", "nv")} AS cos
+       |  FROM q JOIN c ON query_id <> neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // exact all-pairs word-3-gram Jaccard ≥ 0.7: LSH recall is
+    // exactly 1 here (verified vs this oracle) and every candidate is
+    // exact-verified inline, so the MinHash-LSH result must EQUAL the
+    // brute-force join — gating shingling, signatures, banding, the
+    // split-capped bucket join, and the Jaccard verify
+    "q23_dedup_minhash" ->
+      s"""WITH $TrigramPairsCte
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY a, b""".stripMargin,
+    "q24_dedup_simhash" ->
+      s"""WITH $SimhashPolyFpsCte
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+         |FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 7
+         |ORDER BY a, b""".stripMargin,
+    // exact all-pairs cosine ≥ 0.95 over the scaled-copy corpus
+    // (float multiply reproduced exactly, cosine in sequential
+    // double) — hyperplane-LSH recall is exactly 1 on this corpus,
+    // so the banded+split-capped pipeline must equal brute force
+    "q26_dedup_embedding" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 25 = 0
+         |), cv AS (
+         |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS dv
+         |  FROM corpus
+         |), pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${cosSql("x.dv", "y.dv")} AS cos
+         |  FROM cv x JOIN cv y ON x.vec_id < y.vec_id
+         |)
+         |SELECT a, b, cos FROM pairs WHERE cos >= 0.95
+         |ORDER BY a, b""".stripMargin,
+    "q28_ann_lsh" -> ExactTopKSql,
+    // IVF accuracy contract: deterministic k-means (fixed init,
+    // decimal-exact means) ⇒ recall@5 ≥ 4/5 for every query at
+    // nProbe=4 of 8 lists on this corpus — stated literally
+    "q37_ann_ivf" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(5 AS BIGINT) AS n_returned, TRUE AS recall_ok
+        |FROM (SELECT unnest(range(0, 10)) AS query_id)
+        |ORDER BY query_id""".stripMargin,
+    // HLL contract: the exact distinct count is SQL-stateable and the
+    // merged two-batch estimate must land within the published 3σ
+    // error bound — a broken sketch/update/merge path flips hll_ok.
+    // (The estimate itself is engine-specific — DataSketches HLL —
+    // and stays inspectable via SketchesSpec, not hash-gated.)
+    "q45_hll_incremental" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // golden registry oracle: the q39 scenario is fully deterministic
     // (discovery order, fixed stamps, schema-derived column counts),
     // so the expected post-{upsertAll, update, soft-delete} live set
@@ -507,26 +672,7 @@ object PipelineEntry {
         |ORDER BY table_name""".stripMargin,
     // exact top-k: the oracle recomputes the same sequential-double
     // cosine, so ranks AND similarity values hash-match
-    "q27_ann_bruteforce" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id,
-         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
-         |  FROM embeddings WHERE vec_id < 10
-         |), c AS (
-         |  SELECT vec_id AS neighbor_id,
-         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS nv
-         |  FROM embeddings
-         |), scored AS (
-         |  SELECT query_id, neighbor_id, ${cosSql("qv", "nv")} AS cos
-         |  FROM q JOIN c ON query_id <> neighbor_id
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rk
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
-         |ORDER BY query_id, rk""".stripMargin,
+    "q27_ann_bruteforce" -> ExactTopKSql,
     "q41_corpus_stats" ->
       s"""WITH d AS (
          |  SELECT lang, $WsTokSql AS tok,

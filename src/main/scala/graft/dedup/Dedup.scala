@@ -17,11 +17,12 @@ import graft.plans.Plans.barrier
   * Scale contract shared by every operator here: NO all-pairs join
   * ever materializes. Candidate generation is linear (per-row
   * sketches + explode), pairing happens only inside hash buckets
-  * whose size is capped (`maxBucket` — a degenerate bucket, e.g. the
-  * empty document, would otherwise quadratically explode), and exact
-  * verification runs only on candidates. Every shuffle is keyed on
-  * bucket keys or doc ids, so a 1000-executor cluster partitions
-  * evenly.
+  * whose per-task size is bounded (`maxBucket` — a degenerate bucket,
+  * e.g. the empty document, would otherwise pair quadratically on one
+  * reducer; over-cap buckets split into cross-pairing sub-buckets
+  * with FULL recall, see `bucketPairs`), and exact verification runs
+  * only on candidates. Every shuffle is keyed on bucket keys or doc
+  * ids, so a 1000-executor cluster partitions evenly.
   */
 object Dedup {
 
@@ -120,8 +121,7 @@ object Dedup {
     val banded = sketch
       .select(col("doc_id"), col("hs"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("hs"), col("b.band_id"), col("b.band_hash"))
-    val capped = barrier(capBuckets(banded, Seq("band_id", "band_hash"), maxBucket))
-    verifiedBucketPairs(capped, Seq("band_id", "band_hash"), tau)
+    verifiedBucketPairs(banded, Seq("band_id", "band_hash"), tau, maxBucket)
   }
 
   /** Within-bucket pairs (a < b) carrying their hashed sets, verified
@@ -130,11 +130,9 @@ object Dedup {
     * collision — cheaper than shuffling sets through a distinct, since
     * survivors are sparse.
     */
-  private def verifiedBucketPairs(df: DataFrame, keys: Seq[String], tau: Double): DataFrame =
-    df.select(keys.map(col) :+ col("doc_id").as("a") :+ col("hs").as("hs_a"): _*)
-      .join(df.select(keys.map(col) :+ col("doc_id").as("b") :+ col("hs").as("hs_b"): _*),
-        keys)
-      .filter(col("a") < col("b"))
+  private def verifiedBucketPairs(
+      df: DataFrame, keys: Seq[String], tau: Double, maxBucket: Int): DataFrame =
+    bucketPairs(df, keys, maxBucket, Seq("hs"))
       // length filter (PPJoin): J ≥ τ requires τ·max(|A|,|B|) ≤ min —
       // a scalar prune that skips the set intersection entirely
       .filter(greatest(size(col("hs_a")), size(col("hs_b"))) * tau <=
@@ -148,25 +146,63 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .distinct()
 
-  /** Cap buckets at `maxBucket` rows — the guard against degenerate
-    * keys (the empty document, an all-zero sign code) whose buckets
-    * would otherwise pair quadratically. Oversized buckets keep their
-    * FIRST maxBucket members (deterministic doc_id order) rather than
-    * being dropped wholesale: a hot bucket then still contributes
-    * maxBucket²/2 candidate pairs of partial recall instead of zero.
-    * One windowed rank over the bucket partitioning — the same
-    * shuffle the pair join needs anyway.
+  /** All ordered within-bucket pairs (a < b) sharing `keys`, each
+    * payload column riding along as `<p>_a` / `<p>_b`.
+    *
+    * Scale guard: a degenerate bucket key (the empty document, an
+    * all-zero sign code, a biased fingerprint chunk) pairs its bucket
+    * quadratically on ONE reducer. Rather than truncating hot buckets
+    * (partial recall), buckets larger than `maxBucket` are SPLIT into
+    * m = ceil(n/maxBucket) id-ordered sub-buckets and rows pair across
+    * every ordered split combination: a row in split s joins as the
+    * LEFT side of tasks (s, s..m-1) and as the RIGHT side of tasks
+    * (0..s, s). Splits are id-ordered, so a pair (x < y) lands in
+    * EXACTLY the task (split(x), split(y)) — FULL recall, no
+    * duplicates, and every join task is bounded by maxBucket rows per
+    * side. The hot bucket's m(m+1)/2 sub-tasks spread across the
+    * cluster instead of serializing on one straggler reducer; the
+    * candidate-pair total is unchanged (it's inherent to the bucket
+    * key), only the per-task bound and the replication factor
+    * (m+1 rows per hot-bucket row) are new.
     */
-  private[dedup] def capBuckets(
-      df: DataFrame, keys: Seq[String], maxBucket: Int,
+  private[dedup] def bucketPairs(
+      df: DataFrame,
+      keys: Seq[String],
+      maxBucket: Int,
+      payloads: Seq[String],
       idCol: String = "doc_id"): DataFrame = {
-    if (maxBucket == Int.MaxValue) return df
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     require(df.columns.contains(idCol),
-      s"capBuckets orders hot buckets by '$idCol', absent from ${df.columns.mkString(",")}")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__bn", row_number().over(w))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+      s"bucketPairs orders buckets by '$idCol', absent from ${df.columns.mkString(",")}")
+    val (left, right) =
+      if (maxBucket == Int.MaxValue) {
+        // no splitting: one (0, 0) task per bucket. barrier so both
+        // join branches share one materialization of the upstream.
+        val z = barrier(df.withColumn("__sa", lit(0)).withColumn("__sb", lit(0)))
+        (z, z)
+      } else {
+        val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+        val wAll = Window.partitionBy(keys.map(col): _*)
+        val base = barrier(df
+          .withColumn("__s", ((row_number().over(wOrd) - 1) / maxBucket).cast("int"))
+          .withColumn("__m", ceil(count(lit(1)).over(wAll) / lit(maxBucket.toDouble))
+            .cast("int")))
+        (base
+           .withColumn("__sa", col("__s"))
+           .withColumn("__sb", explode(sequence(col("__s"), col("__m") - 1)))
+           .drop("__s", "__m"),
+         base
+           .withColumn("__sb", col("__s"))
+           .withColumn("__sa", explode(sequence(lit(0), col("__s"))))
+           .drop("__s", "__m"))
+      }
+    val jk = keys ++ Seq("__sa", "__sb")
+    def side(d: DataFrame, id: String, suffix: String): DataFrame =
+      d.select(jk.map(col) ++
+        (col(idCol).as(id) +: payloads.map(p => col(p).as(s"${p}_$suffix"))): _*)
+    side(left, "a", "a").join(side(right, "b", "b"), jk)
+      .filter(col("a") < col("b"))
+      .drop(jk: _*)
   }
 
   // ----------------------------------------------------------------
@@ -177,18 +213,23 @@ object Dedup {
 
   /** 64-bit SimHash — HOF REFERENCE IMPLEMENTATION (see SURVEY §4
     * measurement; hot path uses native `TextHashExprs.SimHash64`).
-    * Per token, each bit of xxhash64(token) votes ±1; fingerprint
-    * bit = sign of the tally. Disjoint-bit summation assembles the
-    * long without overflow (each addition touches one fresh bit).
+    * Votes over word-BIGRAM features (see `simhashEval` for why
+    * bigrams: single-token votes collapse on low-vocabulary corpora);
+    * each bit of the feature hash votes ±1; fingerprint bit = sign of
+    * the tally. Disjoint-bit summation assembles the long without
+    * overflow (each addition touches one fresh bit).
     */
   def simhash(text: Column): Column = {
     val toks = split(lower(text), "\\s+")
+    val feats = when(size(toks) <= 1, transform(toks, t => xxhash64(t)))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => xxhash64(element_at(toks, i + 1), element_at(toks, i + 2))))
     val masks = typedlit(BitMasks)
     val tally = aggregate(
-      toks,
+      feats,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, masks,
-        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
     aggregate(
       zip_with(tally, masks, (s, m) => when(s > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
@@ -235,13 +276,8 @@ object Dedup {
             shiftright(rotated, i * width).bitwiseAND(lit(mask)).as("chunk_val"))
         }: _*)).as("c"))
       .select(col("doc_id"), col("fp"), col("c.chunk_id"), col("c.chunk_val"))
-    val capped = barrier(capBuckets(chunked, Seq("chunk_id", "chunk_val"), maxBucket))
 
-    capped.select(col("chunk_id"), col("chunk_val"),
-        col("doc_id").as("a"), col("fp").as("fp_a"))
-      .join(capped.select(col("chunk_id"), col("chunk_val"),
-        col("doc_id").as("b"), col("fp").as("fp_b")), Seq("chunk_id", "chunk_val"))
-      .filter(col("a") < col("b"))
+    bucketPairs(chunked, Seq("chunk_id", "chunk_val"), maxBucket, Seq("fp"))
       .select(col("a"), col("b"),
         expr("bit_count(fp_a ^ fp_b)").as("hamming"))
       .distinct()
@@ -312,8 +348,7 @@ object Dedup {
     val prefix = sorted.select(col("doc_id"), col("hs"),
       explode(col("pref")).as("g"))
       .select(col("doc_id"), col("hs"), col("g.gram").as("gram"))
-    val capped = barrier(capBuckets(prefix, Seq("gram"), maxBucket))
-    verifiedBucketPairs(capped, Seq("gram"), tau)
+    verifiedBucketPairs(prefix, Seq("gram"), tau, maxBucket)
   }
 
   // ----------------------------------------------------------------
@@ -455,13 +490,8 @@ object Dedup {
         graft.functions.VectorColumns.signCode(col(vecCol), planes), bits, bands).as("bands")))
     val coded = sketch.select(col("doc_id"), col("v"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("v"), col("b.band_id"), col("b.band_val"))
-    val capped = barrier(capBuckets(coded, Seq("band_id", "band_val"), maxBucket))
 
-    capped.select(col("band_id"), col("band_val"),
-        col("doc_id").as("a"), col("v").as("v_a"))
-      .join(capped.select(col("band_id"), col("band_val"),
-        col("doc_id").as("b"), col("v").as("v_b")), Seq("band_id", "band_val"))
-      .filter(col("a") < col("b"))
+    bucketPairs(coded, Seq("band_id", "band_val"), maxBucket, Seq("v"))
       // same rounding discipline as verifiedBucketPairs: threshold
       // AND report the raw cosine — the sequential-double loop is
       // bit-reproducible cross-engine (q27's oracle recomputes it),

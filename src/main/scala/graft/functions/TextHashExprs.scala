@@ -75,18 +75,34 @@ object TextHashExprs {
     new GenericArrayData(sig)
   }
 
+  /** 64-bit SimHash voting over word-BIGRAM features (adjacent token
+    * pairs; a single-token document votes with that token). Bigrams,
+    * not single tokens, are load-bearing on low-vocabulary corpora: a
+    * corpus drawing from V distinct words spans ≤ V distinct
+    * single-token vote vectors, so fingerprints of UNRELATED docs
+    * collapse toward each other (measured on the synthetic testdata:
+    * 31-word vocab ⇒ mean pairwise Hamming 16/60 and 2,002 spurious
+    * pairs at ≤ 7; bigram features ⇒ mean 28.9 and 34 — near the
+    * ideal 30 of an unbiased fingerprint). A near-dup edit still
+    * touches only the bigrams overlapping the edit site.
+    */
   def simhashEval(s: UTF8String): Long = {
     val toks = tokenHashes(s)
     val tally = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val h = toks(i)
+    @inline def vote(h: Long): Unit = {
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
         b += 1
       }
-      i += 1
+    }
+    if (toks.length == 1) vote(toks(0))
+    else {
+      var i = 0
+      while (i < toks.length - 1) {
+        vote(XXH64.hashLong(toks(i + 1), toks(i))) // bigram feature
+        i += 1
+      }
     }
     var fp = 0L
     var b = 0
@@ -97,43 +113,73 @@ object TextHashExprs {
     fp
   }
 
-  /** SimHash over CROSS-ENGINE-COMPUTABLE token hashes: each token
-    * hashes to h1·2³⁰ + h2 where h1/h2 are char-polynomial hashes mod
-    * two primes (h = list_reduce((acc·31+c) % 1000000007) etc. in
-    * DuckDB — the q32 fingerprint pattern), packing 60 usable bits.
-    * Bits 60–63 are constant 0 for every document, so Hamming
-    * distances are unaffected and the Manku chunk pigeonhole stays
-    * exact. xxhash64-based `simhashEval` remains the production
-    * default (better bit diffusion); this variant exists so the
-    * ENTIRE SimHash near-dup pipeline — fingerprint, pigeonhole
-    * candidate generation, Hamming verify — can be gated by a DuckDB
-    * oracle that recomputes the same fingerprints from SQL.
+  /** SimHash over CROSS-ENGINE-COMPUTABLE word-bigram features: each
+    * feature string "tokA tokB" hashes to mix30(h1)·2³⁰ + mix30(h2)
+    * where h1/h2 are char-polynomial hashes mod two primes
+    * (list_reduce((acc·31+c) % 1000000007) etc. in DuckDB — the q32
+    * fingerprint pattern), packing 60 usable bits. Bits 60–63 are
+    * constant 0 for every document, so Hamming distances are
+    * unaffected and the Manku chunk pigeonhole stays exact.
+    *
+    * mix30 is load-bearing: RAW polynomial hashes of short features
+    * concentrate in the low bits, leaving high fingerprint bits voted
+    * constant by most of the corpus — unrelated documents then land
+    * within small Hamming distances and "near-dup" detection
+    * collapses (the r4 regression: 483 → 14,563 pairs at sf0.01).
+    * The xor-shift + multiply-mod-prime rounds scatter small values
+    * across the full 30-bit range while using ONLY BIGINT-safe ops
+    * (xor, >>, *, % — every intermediate < 2⁶²), so DuckDB recomputes
+    * the identical fingerprint and the whole pipeline — fingerprint,
+    * pigeonhole candidate generation, Hamming verify — is gated by a
+    * SQL oracle. xxhash64-based `simhashEval` remains the production
+    * default (full 64 bits, cheaper per feature).
     */
   def simhashPolyEval(s: UTF8String): Long = {
     val str = s.toString.toLowerCase(java.util.Locale.ROOT)
-    val tally = new Array[Int](60)
-    var i = 0
     val n = str.length
+    // token spans
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
     while (i < n) {
       while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
-      val start = i
+      val st = i
       while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
-      if (i > start) {
-        var h1 = 0L
-        var h2 = 0L
-        var j = start
-        while (j < i) {
-          val c = str.charAt(j).toLong
-          h1 = (h1 * 31 + c) % 1000000007L
-          h2 = (h2 * 37 + c) % 998244353L
-          j += 1
-        }
-        val h = h1 * 1073741824L + h2 // h1·2^30 + h2 < 2^60
-        var b = 0
-        while (b < 60) {
-          if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-          b += 1
-        }
+      if (i > st) { starts += st; ends += i }
+    }
+    val tally = new Array[Int](60)
+    @inline def vote(h: Long): Unit = {
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+    }
+    // char polynomial over "tokA tokB" (the word-bigram feature — see
+    // simhashEval for why bigrams, not single tokens), then mix30
+    def featHash(s1: Int, e1: Int, s2: Int, e2: Int): Long = {
+      var h1 = 0L
+      var h2 = 0L
+      @inline def step(c: Long): Unit = {
+        h1 = (h1 * 31 + c) % 1000000007L
+        h2 = (h2 * 37 + c) % 998244353L
+      }
+      var j = s1
+      while (j < e1) { step(str.charAt(j).toLong); j += 1 }
+      if (s2 >= 0) {
+        step(32L) // the joining space
+        j = s2
+        while (j < e2) { step(str.charAt(j).toLong); j += 1 }
+      }
+      mix30(h1) * 1073741824L + mix30(h2) // < 2^60
+    }
+    val nTok = starts.length
+    if (nTok == 1) vote(featHash(starts(0), ends(0), -1, -1))
+    else {
+      var t = 0
+      while (t < nTok - 1) {
+        vote(featHash(starts(t), ends(t), starts(t + 1), ends(t + 1)))
+        t += 1
       }
     }
     var fp = 0L
@@ -143,6 +189,21 @@ object TextHashExprs {
       b += 1
     }
     fp
+  }
+
+  /** 30-bit avalanche: xor-shift + multiply mod the largest prime
+    * < 2³⁰, twice. Murmur-style finalization restricted to operations
+    * DuckDB BIGINT arithmetic reproduces exactly (no 64-bit wrapping
+    * multiply, which DuckDB rejects as overflow): input < 2³⁰ ⇒ every
+    * product < 2⁶². Constants are the murmur3/xxhash mixing primes.
+    */
+  @inline private[functions] def mix30(x0: Long): Long = {
+    val p = 1073741789L // largest prime < 2^30
+    var x = x0 ^ (x0 >>> 16)
+    x = (x * 0x9E3779B1L) % p
+    x = x ^ (x >>> 13)
+    x = (x * 0x85EBCA77L) % p
+    x ^ (x >>> 16)
   }
 
   /** Lowercase whitespace tokenization of a UTF8String, hashed to

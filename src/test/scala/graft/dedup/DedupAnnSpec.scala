@@ -132,18 +132,27 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
-  describe("capBuckets") {
+  describe("bucketPairs") {
     import spark.implicits._
-    it("keeps the first maxBucket members of a hot bucket (partial recall, not zero)") {
-      val df = ((1L to 10L).map(i => (i, "hot")) ++ Seq((11L, "cold")))
-        .toDF("doc_id", "bucket")
-      val capped = Dedup.capBuckets(df, Seq("bucket"), maxBucket = 4)
-        .select("doc_id").as[Long].collect().sorted
-      capped shouldBe Array(1L, 2L, 3L, 4L, 11L)
+    it("splits a 10×maxBucket hot bucket into bounded tasks with FULL recall") {
+      // 30 hot members at maxBucket=3 (10 splits) + 2 cold — every
+      // qualifying pair must survive, exactly once
+      val df = ((1L to 30L).map(i => (i, "hot")) ++ Seq((40L, "cold"), (41L, "cold")))
+        .toDF("doc_id", "bucket").withColumn("p", col("doc_id") * 10)
+      val pairs = Dedup.bucketPairs(df, Seq("bucket"), maxBucket = 3, Seq("p"))
+        .select("a", "b").as[(Long, Long)].collect()
+      pairs.length shouldBe (30 * 29 / 2 + 1) // no duplicate pairs
+      pairs.toSet shouldBe
+        ((1L to 30L).combinations(2).map(s => (s(0), s(1))).toSet + ((40L, 41L)))
     }
-    it("is the identity at Int.MaxValue") {
-      val df = (1L to 5L).map(i => (i, "b")).toDF("doc_id", "bucket")
-      Dedup.capBuckets(df, Seq("bucket"), Int.MaxValue).count() shouldBe 5L
+    it("carries payload columns and matches the uncapped result") {
+      val df = (1L to 7L).map(i => (i, "b", i * 100)).toDF("doc_id", "bucket", "p")
+      val split = Dedup.bucketPairs(df, Seq("bucket"), 2, Seq("p"))
+        .select("a", "b", "p_a", "p_b").as[(Long, Long, Long, Long)].collect().toSet
+      val full = Dedup.bucketPairs(df, Seq("bucket"), Int.MaxValue, Seq("p"))
+        .select("a", "b", "p_a", "p_b").as[(Long, Long, Long, Long)].collect().toSet
+      split shouldBe full
+      split.foreach { case (a, b, pa, pb) => pa shouldBe a * 100; pb shouldBe b * 100 }
     }
   }
 }
