@@ -245,7 +245,11 @@ object PipelineEntry {
       .orderBy("doc_id")
 
   private def q33(s: SparkSession, dir: String): DataFrame = {
-    val attached = Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text")
+    // payloads are real minimal media containers; decodeBatches
+    // PARSES the bytes (JPEG SOF / PNG IHDR / WAV fmt / MP4 boxes) —
+    // the oracle recomputes the expected metadata from the synthesis
+    // formulas, so a broken parser or corrupted payload fails the gate
+    val attached = Multimodal.synthesizeAssets(t(s, dir, "documents"), "doc_id")
     val decoded = Multimodal.decodeBatches(attached)
     val frames = Multimodal.sampleFrames(decoded, everyN = 30)
       .groupBy("mime").agg(count(lit(1)).as("n_sampled_frames"))
@@ -637,6 +641,42 @@ object PipelineEntry {
          |SELECT a, b, cos FROM pairs WHERE cos >= 0.95
          |ORDER BY a, b""".stripMargin,
     "q28_ann_lsh" -> ExactTopKSql,
+    // golden multimodal oracle: payload synthesis derives every
+    // dimension from doc_id (Multimodal.synthW/H/Rate/Frames); decode
+    // must recover them from the ACTUAL container bytes, so the
+    // summary is recomputable here from the same formulas
+    "q33_multimodal_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, doc_id % 4 AS m FROM documents
+        |), p AS (
+        |  SELECT id, m,
+        |    CASE m WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+        |           WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |    CASE WHEN m IN (0, 1, 3) THEN CAST(64 + (id * 7) % 448 AS INT) END AS w,
+        |    CASE WHEN m IN (0, 1, 3) THEN CAST(64 + (id * 13) % 448 AS INT) END AS h,
+        |    CASE WHEN m = 3 THEN CAST(1 + id % 300 AS INT) ELSE 1 END AS nf,
+        |    CASE WHEN m = 2 THEN CAST(CASE id % 3 WHEN 0 THEN 8000
+        |      WHEN 1 THEN 16000 ELSE 44100 END AS INT) END AS sr
+        |  FROM d
+        |), r AS (
+        |  SELECT *, CASE WHEN w IS NOT NULL
+        |    THEN CAST(floor(w * least(224.0 / greatest(w, h), 1.0)) AS INT)
+        |    END AS tw
+        |  FROM p
+        |)
+        |SELECT mime,
+        |  count(*) AS n_assets,
+        |  CAST(256 * count(*) AS BIGINT) AS total_bytes,
+        |  min(w) AS min_width,
+        |  max(w) AS max_width,
+        |  max(nf) AS max_frames,
+        |  max(sr) AS max_sample_rate,
+        |  CAST(coalesce(sum(CASE WHEN nf > 1 THEN (nf - 1) // 30 + 1
+        |    ELSE 0 END), 0) AS BIGINT) AS n_sampled_frames,
+        |  count(tw) AS n_resized,
+        |  max(tw) AS max_target_w,
+        |  count(*) AS n_embedded
+        |FROM r GROUP BY mime ORDER BY mime""".stripMargin,
     // IVF accuracy contract: deterministic k-means (fixed init,
     // decimal-exact means) ⇒ recall@5 ≥ 4/5 for every query at
     // nProbe=4 of 8 lists on this corpus — stated literally

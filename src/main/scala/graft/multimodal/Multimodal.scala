@@ -7,33 +7,73 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media ride along as opaque `binary`
   * columns with typed metadata, and decode/feature-extraction runs as
   * a BATCHED per-partition operator — the Scala shape of PySpark's
-  * `mapInPandas` (iterator of batches in, iterator of batches out),
-  * which is where a real image/audio codec would be called.
+  * `mapInPandas` (iterator of batches in, iterator of batches out).
   *
-  * The decode itself is a clearly-marked STUB (this environment ships
-  * no media libraries): it derives deterministic fake dimensions from
-  * the payload checksum. Everything around it — the schema contract,
-  * the binary payload column, the batch iteration, the partition
-  * parallelism — is real and is what matters at 100 TB: decode cost
-  * scales with executors, and the payload bytes never shuffle (all
-  * derivations are per-row; only compact metadata aggregates move).
+  * The header decode is REAL: `MediaCodec` parses JPEG SOF markers,
+  * PNG IHDR chunks (CRC-checked), WAV RIFF/fmt chunks, and MP4
+  * ISO-BMFF boxes, emitting genuine width/height/frame/sample-rate
+  * metadata from the payload bytes. Only `featureBatches`' embedding
+  * vector remains a clearly-marked stub (an embedding model is not
+  * available in this environment). What matters at 100 TB holds
+  * throughout: decode cost scales with executors, and the payload
+  * bytes never shuffle — all derivations are per-row; only compact
+  * metadata aggregates move.
   */
 object Multimodal {
 
-  val MimeTypes: Seq[String] = Seq("image/jpeg", "audio/wav", "video/mp4")
+  val MimeTypes: Seq[String] =
+    Seq("image/jpeg", "image/png", "audio/wav", "video/mp4")
 
-  /** Attach a binary payload + typed metadata to a text corpus (the
-    * testdata has no real media, so the payload is the utf-8 bytes —
-    * the plumbing is identical for real image bytes).
+  /** Every synthesized payload is padded to this size, so corpus
+    * bytes are a pure function of asset count (and the parsers get
+    * exercised against trailing padding, which real sidecar-upload
+    * pipelines see too).
     */
-  def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      col(idCol).as("doc_id"),
-      col(textCol).cast("binary").as("payload"),
-      element_at(typedlit(MimeTypes), (pmod(col(idCol), lit(3)) + 1).cast("int"))
-        .as("mime"),
-      octet_length(col(textCol)).cast("long").as("byte_len"),
-      xxhash64(col(textCol)).as("checksum"))
+  val PaddedSize = 256
+
+  // deterministic per-asset properties, derived from the id — the
+  // SAME formulas appear in the q33 oracle SQL, which recomputes the
+  // expected metadata that decode must recover from the actual bytes
+  private[graft] def synthW(id: Long): Int = (64 + (id * 7) % 448).toInt
+  private[graft] def synthH(id: Long): Int = (64 + (id * 13) % 448).toInt
+  private[graft] def synthRate(id: Long): Int =
+    Seq(8000, 16000, 44100)((id % 3).toInt)
+  private[graft] def synthFrames(id: Long): Int = (1 + id % 300).toInt
+
+  /** Attach a real synthesized media payload to each row: a VALID
+    * minimal JPEG/PNG/WAV/MP4 container (see MediaCodec) whose
+    * dimensions derive deterministically from the id. This stands in
+    * for reading sidecar media files next to the text corpus; the
+    * schema contract (binary payload + mime + typed metadata) is what
+    * a real ingest produces.
+    */
+  def synthesizeAssets(docs: DataFrame, idCol: String): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val mimes = MimeTypes // avoid closing over `this`
+    val out = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mime = mimes(java.lang.Math.floorMod(id, 4L).toInt)
+        val raw = mime match {
+          case "image/jpeg" => MediaCodec.synthesizeJpeg(synthW(id), synthH(id))
+          case "image/png"  => MediaCodec.synthesizePng(synthW(id), synthH(id))
+          case "audio/wav"  => MediaCodec.synthesizeWav(synthRate(id))
+          case "video/mp4"  =>
+            MediaCodec.synthesizeMp4(synthW(id), synthH(id), synthFrames(id))
+        }
+        require(raw.length <= PaddedSize,
+          s"synthesized $mime payload ${raw.length}B exceeds $PaddedSize")
+        Row(id, mime, java.util.Arrays.copyOf(raw, PaddedSize))
+      }
+    }(Encoders.row(schema))
+    out
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("checksum", xxhash64(col("payload")))
+  }
 
   val DecodedType: StructType = StructType(Seq(
     StructField("width", IntegerType),
@@ -42,30 +82,26 @@ object Multimodal {
     StructField("sample_rate", IntegerType)))
 
   /** Batched decode: partitions stream through in `batchSize` groups
-    * (the mapInPandas batch shape — a real codec amortizes setup per
-    * batch). STUB: dimensions are derived deterministically from the
-    * checksum instead of decoding bytes.
+    * (the mapInPandas batch shape — a codec amortizes setup per
+    * batch). The parse is real header decoding (MediaCodec); a
+    * malformed payload decodes to an all-null struct instead of
+    * failing the job — corpus-scale decode quarantines, it doesn't
+    * die.
     */
   def decodeBatches(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(StructField("decoded", DecodedType))
     val mimeIdx = df.schema.fieldIndex("mime")
-    val checksumIdx = df.schema.fieldIndex("checksum")
+    val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // >>> STUB decode: a real implementation hands `batch`'s
-        // payload bytes to a native decoder here and reads back real
-        // width/height/frames/sample_rate. Fake values are pure
-        // functions of the checksum so runs are reproducible. <<<
         batch.map { r =>
-          val mime = r.getString(mimeIdx)
-          val cs = r.getLong(checksumIdx)
-          def d(mod: Int, off: Int): Int = (Math.floorMod(cs, mod) + off).toInt
-          val decoded = mime match {
-            case "image/jpeg" => Row(d(448, 64), d(448, 64), 1, null)
-            case "audio/wav"  => Row(null, null, 1, Seq(8000, 16000, 44100)(d(3, 0)))
-            case "video/mp4"  => Row(d(448, 64), d(448, 64), d(300, 1), null)
-            case _            => Row(null, null, null, null)
-          }
+          val decoded =
+            MediaCodec.parse(r.getString(mimeIdx), r.getAs[Array[Byte]](payloadIdx))
+              .map(m => Row(m.width.map(Int.box).orNull,
+                m.height.map(Int.box).orNull,
+                m.nFrames.map(Int.box).orNull,
+                m.sampleRate.map(Int.box).orNull))
+              .getOrElse(Row(null, null, null, null))
           Row.fromSeq(r.toSeq :+ decoded)
         }
       }
@@ -74,10 +110,10 @@ object Multimodal {
 
   /** Frame sampling over decoded video assets: every `everyN`-th
     * frame index becomes a row, carrying a deterministic per-frame
-    * checksum (stub for the frame bytes a real decoder would emit).
-    * Pure per-row sequence+explode — a 10⁹-video corpus fans out to
-    * frame rows with zero shuffle; downstream feature extraction
-    * joins on (doc_id, frame_idx).
+    * checksum (stand-in for the frame bytes a pixel decoder would
+    * emit). Pure per-row sequence+explode — a 10⁹-video corpus fans
+    * out to frame rows with zero shuffle; downstream feature
+    * extraction joins on (doc_id, frame_idx).
     */
   def sampleFrames(decoded: DataFrame, everyN: Int): DataFrame = {
     require(everyN >= 1, "everyN must be >= 1")
@@ -91,12 +127,11 @@ object Multimodal {
 
   /** Resize planning over decoded visual assets: target box fit with
     * aspect preserved (the real computation — only the pixel
-    * resampling itself would live in the stubbed codec). Pure per-row
+    * resampling itself would live in a pixel codec). Pure per-row
     * arithmetic on the decoded metadata; audio rows pass through with
     * null targets.
     */
   def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
     val w = col("decoded.width")
     val h = col("decoded.height")
     val scale = least(lit(maxSide) / greatest(w, h).cast("double"), lit(1.0))
@@ -109,9 +144,10 @@ object Multimodal {
 
   /** Batched feature extraction STUB: emits a deterministic
     * `dim`-float vector per asset (derived from the checksum — a real
-    * implementation hands the batch to an embedding model here). The
-    * batch shape mirrors decodeBatches; the output column plugs
-    * directly into graft.ann / graft.dedup.embeddingPairs.
+    * implementation hands the batch to an embedding model here, which
+    * this environment does not ship). The batch shape mirrors
+    * decodeBatches; the output column plugs directly into graft.ann /
+    * graft.dedup.embeddingPairs.
     */
   def featureBatches(df: DataFrame, dim: Int = 8, batchSize: Int = 64): DataFrame = {
     val outSchema = df.schema.add(

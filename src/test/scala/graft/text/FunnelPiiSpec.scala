@@ -98,9 +98,9 @@ class FunnelPiiSpec extends SparkSpec {
   describe("multimodal resize + features") {
     import graft.multimodal.Multimodal
     it("resizePlan fits the box preserving aspect and never upscales") {
-      val docs = Seq((3L, "video doc three")).toDF("doc_id", "text") // %3==0 → image
+      val docs = Seq((3L, "video doc three")).toDF("doc_id", "text") // %4==3 → video
       val plan = Multimodal.resizePlan(
-          Multimodal.decodeBatches(Multimodal.attachBinary(docs, "doc_id", "text")),
+          Multimodal.decodeBatches(Multimodal.synthesizeAssets(docs, "doc_id")),
           maxSide = 224)
         .select("decoded.width", "decoded.height", "target_w", "target_h")
         .collect()(0)
@@ -114,7 +114,7 @@ class FunnelPiiSpec extends SparkSpec {
     it("featureBatches is deterministic with the requested dimension") {
       val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
       def run() = Multimodal.featureBatches(
-          Multimodal.decodeBatches(Multimodal.attachBinary(docs, "doc_id", "text")),
+          Multimodal.decodeBatches(Multimodal.synthesizeAssets(docs, "doc_id")),
           dim = 8)
         .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
       val (a, b) = (run(), run())

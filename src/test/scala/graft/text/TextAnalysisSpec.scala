@@ -45,28 +45,42 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   describe("Multimodal") {
-    it("attaches typed metadata and decodes deterministically in batches") {
+    it("decode PARSES the real container bytes back to the synthesized dims") {
       import spark.implicits._
-      val docs = (0L until 10L).map(i => i -> s"payload-$i").toDF("doc_id", "text")
+      val docs = (0L until 12L).map(i => i -> s"payload-$i").toDF("doc_id", "text")
       val dec = Multimodal.decodeBatches(
-        Multimodal.attachBinary(docs, "doc_id", "text"), batchSize = 3)
-      dec.count() shouldBe 10
-      // deterministic: same input → same decoded dims
-      val a = dec.select("doc_id", "decoded.width").collect().toSet
-      val b = Multimodal.decodeBatches(
-        Multimodal.attachBinary(docs, "doc_id", "text"), batchSize = 7)
-        .select("doc_id", "decoded.width").collect().toSet
-      a shouldBe b
-      // mime assignment is id-stable and width only set for visual media
+        Multimodal.synthesizeAssets(docs, "doc_id"), batchSize = 3)
+      dec.count() shouldBe 12
+      // decoded dims equal the synthesis formulas — recovered from the
+      // payload bytes, not carried through metadata
+      dec.filter(col("mime") =!= "audio/wav")
+        .select("doc_id", "decoded.width", "decoded.height")
+        .collect().foreach { r =>
+          r.getInt(1) shouldBe Multimodal.synthW(r.getLong(0))
+          r.getInt(2) shouldBe Multimodal.synthH(r.getLong(0))
+        }
       dec.filter(col("mime") === "audio/wav")
-        .select("decoded.sample_rate").collect()
-        .foreach(r => r.getInt(0) should be > 0)
+        .select("doc_id", "decoded.sample_rate").collect()
+        .foreach(r => r.getInt(1) shouldBe Multimodal.synthRate(r.getLong(0)))
+      // batch size must not change results
+      val b = Multimodal.decodeBatches(
+        Multimodal.synthesizeAssets(docs, "doc_id"), batchSize = 7)
+        .select("doc_id", "decoded.width").collect().toSet
+      dec.select("doc_id", "decoded.width").collect().toSet shouldBe b
+    }
+    it("a corrupted payload decodes to nulls instead of failing the job") {
+      import graft.multimodal.MediaCodec
+      MediaCodec.parse("image/jpeg", Array[Byte](1, 2, 3)) shouldBe None
+      MediaCodec.parse("image/png",
+        MediaCodec.synthesizePng(10, 10).updated(20, 9.toByte)) shouldBe None // CRC
+      MediaCodec.parse("video/mp4", Array.fill[Byte](32)(0)) shouldBe None
+      MediaCodec.parse("audio/wav", "RIFFxxxx".getBytes) shouldBe None
     }
     it("sampleFrames emits every Nth frame index for video assets only") {
       import spark.implicits._
       val docs = (0L until 30L).map(i => i -> s"p$i").toDF("doc_id", "text")
       val dec = Multimodal.decodeBatches(
-        Multimodal.attachBinary(docs, "doc_id", "text"))
+        Multimodal.synthesizeAssets(docs, "doc_id"))
       val frames = Multimodal.sampleFrames(dec, everyN = 10)
       frames.select("mime").distinct().as[String].collect() shouldBe
         Array("video/mp4")

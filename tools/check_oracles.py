@@ -37,7 +37,9 @@ def norm(v):
 def canon(names, rows):
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
-    return cols, sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    # None-safe sort key (tuples with None don't compare in py3)
+    key = lambda t: tuple((v is None, str(v)) for v in t)
+    return cols, sorted((tuple(norm(r[i]) for i in order) for r in rows), key=key)
 
 
 fails = 0
