@@ -507,7 +507,88 @@ object ExtendedEntry {
         ("o_orderkey", "o_totalprice")))
       .orderBy("pair")
 
+  // ---------------------------------------------------------------
+  // q69 — SQL-TEXT models with ref()/source() resolution (reference
+  // dbt_project.py write_model/compile_model: models are SQL bodies;
+  // compile resolves ref/source into relations). Deps auto-extracted
+  // from the SQL, materializations mixed: ephemeral staging (inlined
+  // by Catalyst through the temp view, like dbt's CTE inlining) →
+  // persisted table → view sink reading the post-write relation.
+  // ---------------------------------------------------------------
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.dag.{Dag, SqlModels}
+    import graft.dag.SqlModels.SqlModel
+    val wh = s"target/scratch/q69_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val models = Seq(
+      SqlModel("stg_orders",
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+          |FROM {{ source('lake', 'orders') }}
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'""".stripMargin),
+      SqlModel("cust_totals",
+        """SELECT o_custkey, count(*) AS n_orders,
+          |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+          |FROM {{ ref('stg_orders') }}
+          |GROUP BY o_custkey""".stripMargin,
+        Dag.Table),
+      SqlModel("segment_stats",
+        """SELECT c.c_mktsegment AS segment, count(*) AS n_customers,
+          |  CAST(sum(t.total_price) AS DOUBLE) AS revenue,
+          |  CAST(sum(t.n_orders) AS BIGINT) AS n_orders
+          |FROM {{ ref('cust_totals') }} t
+          |JOIN {{ source('lake', 'customer') }} c ON c.c_custkey = t.o_custkey
+          |GROUP BY c.c_mktsegment""".stripMargin,
+        Dag.View))
+    val built = SqlModels.runMaterialized(s, models, wh,
+      (_, tbl) => t(s, dir, tbl))
+    built("segment_stats").orderBy("segment")
+  }
+
+  // ---------------------------------------------------------------
+  // q70 — archive upload ingestion + bucket-URI source: CSVs bundled
+  // into a tar.gz (the reference's upload shape,
+  // file_upload_service.py:80-94), extracted pure-JVM, then read
+  // through the dlt-style bucket_url + file_glob + credentials
+  // surface (dlt_runner.py:191-206) over file://.
+  // ---------------------------------------------------------------
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Archive, FileSource}
+    val base = s"target/scratch/q70_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // the "upload": dimension tables exported as CSVs, bundled tar.gz
+    val entries = Seq("nation", "region").map { name =>
+      val stage = s"$base/stage/$name"
+      t(s, dir, name).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      (s"$name.csv",
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(part.toUri)))
+    }
+    Archive.createTarGz(entries, s"$base/upload.tar.gz")
+    val extracted = Archive.extract(s"$base/upload.tar.gz", s"$base/extracted")
+    require(extracted.toSet == Set("nation.csv", "region.csv"),
+      s"unexpected archive contents: $extracted")
+    // bucket-URI read with credential passthrough (scheme-selected
+    // filesystem; S3A conf keys land even though file:// ignores them)
+    val bucket = "file://" + new java.io.File(s"$base/extracted").getAbsolutePath
+    val nation = FileSource.readBucket(s, bucket, "csv",
+      fileGlob = Some("nation*.csv"),
+      credentials = Map("aws_access_key_id" -> "AKIA_TEST",
+        "aws_secret_access_key" -> "test_secret"))
+    val region = FileSource.readBucket(s, bucket, "csv",
+      fileGlob = Some("region*.csv"))
+    nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_archive_ingest" -> (q70 _),
+    "q69_sql_models" -> (q69 _),
     "q68_correlation" -> (q68 _),
     "q67_run_ledger" -> (q67 _),
     "q66_stream_stream_join" -> (q66 _),
@@ -570,6 +651,24 @@ object ExtendedEntry {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q70_archive_ingest" ->
+      """SELECT r_name, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q69_sql_models" ->
+      """WITH stg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |), ct AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+        |  FROM stg GROUP BY o_custkey
+        |)
+        |SELECT c_mktsegment AS segment, count(*) AS n_customers,
+        |  CAST(sum(total_price) AS DOUBLE) AS revenue,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders
+        |FROM ct JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "q68_correlation" ->
       Seq(("o_custkey", "o_totalprice"), ("o_orderkey", "o_custkey"),
         ("o_orderkey", "o_totalprice"))

@@ -12,10 +12,13 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q68)") {
-      SparkEntry.queries.size shouldBe 68
+    it("covers the full SURVEY inventory (q01..q70)") {
+      SparkEntry.queries.size shouldBe 70
       val nums = SparkEntry.queries.keySet.map(_.take(3))
-      nums shouldBe (1 to 68).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 70).map(i => f"q$i%02d").toSet
+    }
+    it("every registered query carries a DuckDB oracle") {
+      SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet shouldBe empty
     }
     it("oracle SQL never references scratch paths or spark-only syntax markers") {
       SparkEntry.oracleSql.values.foreach { sql =>
