@@ -328,11 +328,16 @@ object Dedup {
     val base = barrier(docs.select(col(idCol).as("doc_id"),
       featurize(col(textCol)).as("hs")))
     val exploded = base.select(col("doc_id"), explode(col("hs")).as("gram"))
-    // document frequency via a window over the SAME exploded frame —
-    // not a groupBy+self-join, which would re-run the (relatively
-    // expensive) gram extraction once per join branch
-    val withDf = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("gram")))
+    // document frequency via two-phase SALTED count + join-back: a
+    // window over partitionBy(gram) would serialize the Zipf-head
+    // gram's rows through one reducer (the named 100× straggler);
+    // salted partials spread the hot gram over 16 reducers with
+    // map-side combine, and the join-back is a shuffle join AQE can
+    // skew-split. `exploded` re-derives from the barrier'd sketch, so
+    // the gram extraction still runs once.
+    val gramDf = graft.ops.Skew.saltedAgg(exploded, Seq("gram"), salt = 16,
+      Seq(("df", lit(1), "count")))
+    val withDf = exploded.join(gramDf, "gram")
     // rebuild each doc's set sorted by (df asc, gram) — the global
     // order — and re-derive the hash-sorted set from the same rows,
     // so no join back to `base` is needed
