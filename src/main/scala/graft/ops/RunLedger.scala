@@ -15,6 +15,15 @@ import org.apache.spark.sql.types._
   * an idempotent merge on run_id (last write wins), so replayed task
   * updates can't duplicate ledger rows. Timestamps are caller-supplied
   * epoch ms for reproducibility.
+  *
+  * CONCURRENCY CONTRACT — single writer. `record` stages the merged
+  * table and swaps it in (read-never-sees-partial-write), but the
+  * swap itself is not atomic across WRITERS: two concurrent `record`
+  * calls can lose one update (read-modify-write race on the staged
+  * parquet). This matches the reference, where ExecutionService
+  * writes go through one scheduler process. Fan multiple recording
+  * processes through a queue or per-writer ledger paths merged on
+  * read; do NOT share one ledger path between concurrent writers.
   */
 final class RunLedger(spark: SparkSession, path: String) {
 
