@@ -586,7 +586,49 @@ object ExtendedEntry {
       .orderBy("r_name")
   }
 
+  // ---------------------------------------------------------------
+  // q71 — dbt package management (dbt_project.py:501-527
+  // write_packages_yml + install_packages): a LOCAL package of
+  // SQL-text models is pinned in packages.yml, installed into
+  // dbt_packages/, loaded namespaced, and composed with a project
+  // model that refs the packaged model.
+  // ---------------------------------------------------------------
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.dag.{Packages, SqlModels}
+    val base = s"target/scratch/q71_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // author the package: two chained SQL-text models
+    val pkgModels = Paths.get(s"$base/graft_metrics/models")
+    Files.createDirectories(pkgModels)
+    Files.writeString(pkgModels.resolve("stg_lineitem.sql"),
+      """SELECT l_orderkey, l_returnflag,
+        |  CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS net
+        |FROM {{ source('lake', 'lineitem') }}""".stripMargin)
+    Files.writeString(pkgModels.resolve("flag_revenue.sql"),
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(net) AS DOUBLE) AS revenue
+        |FROM {{ ref('stg_lineitem') }}
+        |GROUP BY l_returnflag""".stripMargin)
+    Packages.writePackagesFile(base, Seq(
+      Packages.PackageSpec("graft_metrics", Some(s"$base/graft_metrics"),
+        version = Some("1.0.0"))))
+    val installed = Packages.install(base)
+    require(installed.map(_.name) == Seq("graft_metrics") &&
+      installed.head.modelFiles.size == 2,
+      s"unexpected install result: $installed")
+    // project model composes with the namespaced packaged model
+    val models = Packages.loadModels(base, "graft_metrics") :+
+      SqlModels.SqlModel("report",
+        "SELECT * FROM {{ ref('graft_metrics__flag_revenue') }}")
+    SqlModels.run(s, models, (_, tbl) => t(s, dir, tbl))("report")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_dbt_packages" -> (q71 _),
     "q70_archive_ingest" -> (q70 _),
     "q69_sql_models" -> (q69 _),
     "q68_correlation" -> (q68 _),
@@ -651,6 +693,12 @@ object ExtendedEntry {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q71_dbt_packages" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q70_archive_ingest" ->
       """SELECT r_name, count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey

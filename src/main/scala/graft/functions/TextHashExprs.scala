@@ -197,7 +197,7 @@ object TextHashExprs {
     * multiply, which DuckDB rejects as overflow): input < 2³⁰ ⇒ every
     * product < 2⁶². Constants are the murmur3/xxhash mixing primes.
     */
-  @inline private[functions] def mix30(x0: Long): Long = {
+  @inline private[graft] def mix30(x0: Long): Long = {
     val p = 1073741789L // largest prime < 2^30
     var x = x0 ^ (x0 >>> 16)
     x = (x * 0x9E3779B1L) % p

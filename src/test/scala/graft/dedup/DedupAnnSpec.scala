@@ -42,6 +42,20 @@ class DedupAnnSpec extends SparkSpec {
         .select(TextHashes.simhash64(col("text"))).as[Long].collect()
       fps(0) shouldBe fps(1)
     }
+    it("simhashPoly64 matches independently computed golden vectors (cross-engine contract)") {
+      // pinned from an independent Python implementation of the
+      // char-polynomial + mix30 + bigram-vote pipeline — guards the
+      // DuckDB-oracle contract against silent refactors
+      import graft.functions.TextHashExprs
+      TextHashExprs.mix30(0L) shouldBe 0L
+      TextHashExprs.mix30(1L) shouldBe 472368083L
+      TextHashExprs.mix30(114801L) shouldBe 802903180L
+      TextHashExprs.mix30(1000000006L) shouldBe 902493993L
+      val fps = docs(1L -> "one two three four", 2L -> "single")
+        .select(TextHashes.simhashPoly64(col("text"))).as[Long].collect()
+      fps(0) shouldBe 390346662085881597L
+      fps(1) shouldBe 684070614965306856L
+    }
     it("minhashSignature has numHashes slots, each a set minimum") {
       val sig = docs(1L -> "a b c d e f")
         .select(TextHashes.minhashSignature(
