@@ -57,6 +57,30 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "graft_simhash64(text) takes 1 argument")
       }),
+    (FunctionIdentifier("graft_simhash_poly64"),
+      info("graft_simhash_poly64",
+        "_FUNC_(text) - 60-bit SimHash over polynomial+mix30 bigram hashes (cross-engine-computable)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t) => SimHashPoly64(t)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash_poly64(text) takes 1 argument")
+      }),
+    (FunctionIdentifier("graft_word_bigrams"),
+      info("graft_word_bigrams",
+        "_FUNC_(text) - word bigram strings (single-space tokenization)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t) => WordBigrams(t)
+        case _ => throw new IllegalArgumentException(
+          "graft_word_bigrams(text) takes 1 argument")
+      }),
+    (FunctionIdentifier("graft_bigram_max_mult"),
+      info("graft_bigram_max_mult",
+        "_FUNC_(text) - max word-bigram multiplicity (Gopher repetition core)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t) => BigramMaxMultiplicity(t)
+        case _ => throw new IllegalArgumentException(
+          "graft_bigram_max_mult(text) takes 1 argument")
+      }),
     (FunctionIdentifier("graft_lang_predict"),
       info("graft_lang_predict",
         "_FUNC_(text) - marker-stopword language ID (argmax, 'und' on no hits)"),

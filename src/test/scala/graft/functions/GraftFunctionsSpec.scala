@@ -17,6 +17,11 @@ class GraftFunctionsSpec extends SparkSpec {
           |    graft_word_shingle_hashes(text, 2), 8)) AS sig_n
           |FROM gfs_docs""".stripMargin)
         .as[(Long, Int, Int)].head()
+      // the full registered surface resolves from SQL
+      spark.sql(
+        """SELECT graft_simhash_poly64(text), size(graft_word_bigrams(text)),
+          |  graft_bigram_max_mult(text), graft_lang_predict(text)
+          |FROM gfs_docs""".stripMargin).collect().length shouldBe 1
       val viaColumns = Seq("a b c d").toDF("text")
         .select(Seq(TextHashes.simhash64(col("text")).as("fp"),
           org.apache.spark.sql.functions.size(
