@@ -1,11 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 
 /** Dev-only plan probe: print executed-plan summaries for a set of
   * queries (shuffle/scan/codegen shape audit backing SURVEY §4).
+  * Counts by TREE TRAVERSAL, descending into AQE query stages —
+  * the AQE shell's toString hides WholeStageCodegen markers and
+  * stage-internal nodes (Spark 4.1).
   * Usage: runMain graft.JudgeProbe [qname ...]
   */
 object JudgeProbe {
+
+  private def count(root: SparkPlan, pred: SparkPlan => Boolean): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      if (pred(p)) n += 1
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(root)
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
@@ -22,15 +43,17 @@ object JudgeProbe {
         "q58_profile_stats", "q29_lang_id")
     for (q <- names) {
       val df = SparkEntry.queries(q)(spark, sfDir)
-      df.count() // trigger AQE final plan
-      val plan = df.queryExecution.executedPlan.toString
-      def n(p: String) = p.r.findAllIn(plan).length
-      println(s"[probe] $q scans=${n("FileScan|Scan parquet")} " +
-        s"exchanges=${n("Exchange (hash|range|single)")} " +
-        s"broadcasts=${n("BroadcastExchange")} wscg=${n("\\*\\(\\d+\\)")} " +
-        s"expand=${n("Expand")}")
-      if (q == "q53_sample_stratified")
-        println(plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+      // collect() executes THIS df's queryExecution (count() would
+      // build and execute a different plan, leaving this one an
+      // unexecuted AQE shell with no codegen stages compiled)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      println(s"[probe] $q " +
+        s"scans=${count(plan, _.isInstanceOf[FileSourceScanExec])} " +
+        s"exchanges=${count(plan, _.isInstanceOf[ShuffleExchangeLike])} " +
+        s"broadcasts=${count(plan, _.isInstanceOf[BroadcastExchangeLike])} " +
+        s"wscg=${count(plan, _.isInstanceOf[WholeStageCodegenExec])} " +
+        s"expand=${count(plan, _.isInstanceOf[ExpandExec])}")
     }
     spark.stop()
   }
