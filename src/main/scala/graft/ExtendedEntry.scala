@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 import graft.ops.{Sampling, Skew}
 import graft.sources.Tables
@@ -627,7 +628,98 @@ object ExtendedEntry {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------
+  // q72 — decontamination at 100 TB scale: bloom prefilter → exact
+  // verify (graft.dedup.Bloom). Same corpus split and thresholds as
+  // q64, and by construction the same answer — the bloom changes the
+  // PLAN (map-side sketch filter on the huge train side instead of
+  // shipping every gram into the join), not the result, so q64's
+  // oracle gates it exactly.
+  // ---------------------------------------------------------------
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Bloom
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zq "), col("text")).as("text")))
+    Bloom.contaminationBloom(train, evalSet, "doc_id", "text",
+        n = 4, minShared = 3)
+      .orderBy("train_id", "eval_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q73 — REST API ingestion (dlt rest_api source): a localhost HTTP
+  // server stands in for the remote API (zero-egress env), serving
+  // the nation table as bearer-auth'd JSON pages; RestSource fetches
+  // the pages EXECUTOR-side (page-number pagination fans out) and
+  // parses via from_json/inline. The oracle is the table itself — a
+  // dropped page, failed auth, or bad parse loses rows and trips it.
+  // ---------------------------------------------------------------
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.RestSource
+    val src = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect() // 25-row dim: the "remote" dataset
+    def item(r: org.apache.spark.sql.Row) =
+      s"""{"n_nationkey":${r.getInt(0)},"n_name":"${r.getString(1)}",""" +
+        s""""n_regionkey":${r.getInt(2)}}"""
+    val pageSize = 7
+    val token = "Bearer graft-rest-token"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/nation", { exchange =>
+      val ok = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .contains(token)
+      val body =
+        if (!ok) """{"error":"unauthorized"}"""
+        else {
+          val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          val page = q.split("&").collectFirst {
+            case kv if kv.startsWith("page=") => kv.drop(5).toInt
+          }.getOrElse(0)
+          val items = src.slice(page * pageSize, (page + 1) * pageSize)
+          s"""{"total":${src.length},"items":[${items.map(item).mkString(",")}]}"""
+        }
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(if (ok) 200 else 401, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      RestSource.readPaged(s, s"http://127.0.0.1:${server.getAddress.getPort}/nation",
+          schema,
+          RestSource.PageConfig(pageSize = pageSize,
+            headers = Map("Authorization" -> token)))
+        .orderBy("n_nationkey")
+        // materialize while the fixture server is still up — consumers
+        // evaluate after this function returns (and stops it)
+        .localCheckpoint(true)
+    } finally server.stop(0)
+  }
+
+  // ---------------------------------------------------------------
+  // q74 — percentile profiling: GK-sketch approx quantiles (the one-
+  // pass mergeable 100 TB path) contract-checked against exact type-1
+  // discrete quantiles (cross-engine value compare vs quantile_disc,
+  // rank-error flag for the sketch bound).
+  // ---------------------------------------------------------------
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Profile.quantiles(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq(0.25, 0.5, 0.75, 0.95, 0.99))
+      .orderBy("column_name", "q")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_quantile_profile" -> (q74 _),
+    "q73_rest_ingest" -> (q73 _),
+    "q72_decontaminate_bloom" -> (q72 _),
     "q71_dbt_packages" -> (q71 _),
     "q70_archive_ingest" -> (q70 _),
     "q69_sql_models" -> (q69 _),
@@ -692,6 +784,40 @@ object ExtendedEntry {
        |FROM orders""".stripMargin
   }
 
+  /** Shared oracle for q64/q72: both compute train docs sharing ≥3
+    * distinct word 4-grams with an eval doc; q72 merely routes the
+    * same computation through the bloom-prefiltered two-phase plan.
+    */
+  private val decontaminateSql: String =
+    """WITH ev AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+      |), tr AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+      |  UNION ALL SELECT doc_id + 1000000, 'zq ' || text FROM ev
+      |), esets AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |    END AS g
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |        FROM ev)
+      |), tsets AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |    END AS g
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |        FROM tr)
+      |)
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |  CAST(len(list_intersect(t.g, e.g)) AS BIGINT) AS n_shared
+      |FROM tsets t JOIN esets e ON len(list_intersect(t.g, e.g)) >= 3
+      |ORDER BY train_id, eval_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q71_dbt_packages" ->
       """SELECT l_returnflag, count(*) AS n_items,
@@ -749,35 +875,36 @@ object ExtendedEntry {
         |  AND p.purch_ms >= c.click_ms
         |  AND p.purch_ms <= c.click_ms + 86400000
         |ORDER BY c.user_id, c.click_id, p.purch_id""".stripMargin,
-    "q64_decontaminate" ->
-      """WITH ev AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
-        |), tr AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
-        |  UNION ALL SELECT doc_id + 1000000, 'zq ' || text FROM ev
-        |), esets AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-        |    END AS g
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |        FROM ev)
-        |), tsets AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
-        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-        |    END AS g
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |        FROM tr)
+    // q74: exact side must equal quantile_disc (same ceil(q·n) type-1
+    // convention, probed); the approx side is asserted via its flag
+    "q74_quantile_profile" ->
+      """WITH qs AS (SELECT unnest(CAST([0.25,0.5,0.75,0.95,0.99] AS DOUBLE[])) AS q),
+        |vals AS (
+        |  SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |), ranked AS (
+        |  SELECT column_name, v,
+        |    row_number() OVER (PARTITION BY column_name ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY column_name) AS n
+        |  FROM vals
         |)
-        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
-        |  CAST(len(list_intersect(t.g, e.g)) AS BIGINT) AS n_shared
-        |FROM tsets t JOIN esets e ON len(list_intersect(t.g, e.g)) >= 3
-        |ORDER BY train_id, eval_id""".stripMargin,
+        |SELECT r.column_name, qs.q, r.v AS exact_v, true AS approx_ok
+        |FROM ranked r
+        |JOIN qs ON r.rn = greatest(1, CAST(ceil(qs.q * r.n) AS BIGINT))
+        |ORDER BY column_name, q""".stripMargin,
+    // q73 round-trips nation through the REST source; the oracle is
+    // the table itself
+    "q73_rest_ingest" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    // q72 runs the same decontamination through the bloom-prefiltered
+    // plan; identical answer ⇒ identical oracle
+    "q72_decontaminate_bloom" -> decontaminateSql,
+    "q64_decontaminate" -> decontaminateSql,
     "q65_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -29,10 +29,14 @@ object Bloom {
     * sketch. Distributed build: partial sketches per partition,
     * merged associatively (TypedImperativeAggregate), so the driver
     * receives one `numBits/8`-byte blob — never the keys.
+    *
+    * Returns `null` when `df` has no non-null keys (Spark's aggregate
+    * yields no sketch); callers must handle it — `mightContain` over a
+    * `Literal(null)` sketch evaluates to null, i.e. filters all rows.
     */
   def build(df: DataFrame, keyCol: Column, expectedItems: Long,
       numBits: Long): Array[Byte] = {
-    val agg = BloomFilterAggregate(expression(keyCol.cast("long")),
+    val agg = new BloomFilterAggregate(expression(keyCol.cast("long")),
       Literal(expectedItems), Literal(numBits))
     df.select(column(agg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -74,12 +78,25 @@ object Bloom {
         explode(graft.functions.TextHashes.wordShingleHashes(col(textCol), n))
           .as("gram"))
 
-    val evalGrams = grams(eval, "eval_id")
+    // evalGrams feeds three passes (count, sketch build, exact join);
+    // cache covers the two eager ones here so eval texts tokenize+hash
+    // once for them. The lazy join pass recomputes the (small) eval
+    // side at consumer evaluation — cheap next to the train scan.
+    val evalGrams = grams(eval, "eval_id").cache()
     // one cheap count over the (small) eval side sizes the sketch;
     // bitsPerKey=16 ≈ 0.05% fp at the optimal hash count
     val items = math.max(evalGrams.count(), 1L)
+    // Spark's BloomFilterAggregate silently clamps numBits to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default
+    // 2^26); cap at that conf ourselves so the fp-rate math stays
+    // honest. A clamp only raises the fp rate — the exact join still
+    // removes every false positive.
+    val maxNumBits = train.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        (1L << 26).toString).toLong
     val sketch = build(evalGrams, col("gram"), items,
-      math.min(items * bitsPerKey.toLong, 1L << 27))
+      math.min(items * bitsPerKey.toLong, maxNumBits))
+    evalGrams.unpersist(blocking = false)
 
     grams(train, "train_id")
       .filter(mightContain(sketch, col("gram")))

@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * The header decode is REAL: `MediaCodec` parses JPEG SOF markers,
   * PNG IHDR chunks (CRC-checked), WAV RIFF/fmt chunks, and MP4
   * ISO-BMFF boxes, emitting genuine width/height/frame/sample-rate
-  * metadata from the payload bytes. Only `featureBatches`' embedding
-  * vector remains a clearly-marked stub (an embedding model is not
-  * available in this environment). What matters at 100 TB holds
+  * metadata from the payload bytes. `featureBatches` computes a real
+  * content-derived descriptor (L2-normalized folded byte-bigram
+  * histogram); a learned embedding model would drop into the same
+  * batched operator. What matters at 100 TB holds
   * throughout: decode cost scales with executors, and the payload
   * bytes never shuffle — all derivations are per-row; only compact
   * metadata aggregates move.
@@ -142,28 +143,43 @@ object Multimodal {
         when(h.isNotNull, floor(h * scale).cast("int")))
   }
 
-  /** Batched feature extraction STUB: emits a deterministic
-    * `dim`-float vector per asset (derived from the checksum — a real
-    * implementation hands the batch to an embedding model here, which
-    * this environment does not ship). The batch shape mirrors
-    * decodeBatches; the output column plugs directly into graft.ann /
-    * graft.dedup.embeddingPairs.
+  /** Batched feature extraction: a REAL content-derived descriptor —
+    * the L2-normalized folded byte-BIGRAM histogram of the payload
+    * (the classic content-based-retrieval baseline: n-gram histogram
+    * features, here over raw bytes so it works for any mime type).
+    * Each adjacent byte pair hashes (Fibonacci multiplier) into one of
+    * `dim` buckets; the normalized bucket counts are the vector.
+    * Identical payloads ⇒ identical vectors; payloads with similar
+    * byte-pair distributions ⇒ high cosine — exactly the contract
+    * graft.ann / graft.dedup.embeddingPairs need downstream. A model
+    * embedding drops in by replacing the histogram body; the batch
+    * shape (mapInPandas-style grouped iterator) is what it would run
+    * over.
     */
   def featureBatches(df: DataFrame, dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
     val outSchema = df.schema.add(
       StructField("features", ArrayType(FloatType, containsNull = false)))
-    val checksumIdx = df.schema.fieldIndex("checksum")
+    val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // >>> STUB embed: real code runs the batch through a model <<<
+        // batched so a heavier extractor (pixel codec, model) amortizes
+        // per-batch setup; the histogram itself is one pass over bytes
         batch.map { r =>
-          val cs = r.getLong(checksumIdx)
-          val vec = Array.tabulate(dim) { i =>
-            // splitmix-ish per-slot mix of the checksum — deterministic
-            val z = (cs + 0x9e3779b97f4a7c15L * (i + 1))
-            val m = (z ^ (z >>> 31)) * 0xbf58476d1ce4e5b9L
-            ((m >>> 11).toDouble / (1L << 53).toDouble).toFloat
+          val bytes = r.getAs[Array[Byte]](payloadIdx)
+          val counts = new Array[Long](dim)
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val pair = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+            // Fibonacci-hash fold of the 16-bit pair into dim buckets
+            val h = (pair * 0x9E3779B9) >>> 16
+            counts(h % dim) += 1
+            i += 1
           }
+          val norm = math.sqrt(counts.map(c => c.toDouble * c).sum)
+          val vec =
+            if (norm == 0.0) Array.fill(dim)(0f)
+            else counts.map(c => (c / norm).toFloat)
           Row.fromSeq(r.toSeq :+ vec.toSeq)
         }
       }

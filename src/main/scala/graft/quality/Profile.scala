@@ -90,4 +90,98 @@ object Profile {
       }: _*)).as("r"))
       .select("r.*")
   }
+
+  /** Percentile profiling at scale: `percentile_approx` (Spark's
+    * Greenwald-Khanna sketch — ONE pass, mergeable partials, bounded
+    * memory; the only way to profile percentiles of a 100 TB column)
+    * CONTRACT-checked in-line against the exact interpolated
+    * percentile. Output, one row per (column, q):
+    *
+    *   (column_name, q, exact_v, approx_ok)
+    *
+    * `exact_v` is the type-1 discrete quantile — the element at rank
+    * `max(1, ceil(q·n))` of the sorted non-null values. An element OF
+    * the data, not an interpolation, so the cross-engine compare
+    * (DuckDB `quantile_disc` uses the same convention) is bit-exact
+    * with no float-formula coupling. `approx_ok` verifies the
+    * sketch's published guarantee — the approx value's RANK sits
+    * within `n / accuracy` of the target rank (GK bounds rank error,
+    * not value error, so that is the honest check).
+    *
+    * The approx path is the 100 TB path (one pass, no sort). The
+    * exact+check columns are the verification harness and cost a
+    * per-column sort plus a second scan; production profiling at
+    * scale calls `percentile_approx` alone and trusts the bound this
+    * gate proves.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty && qs.nonEmpty, "quantiles needs columns and qs")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), "q must be in [0,1]")
+    val qArr = array(qs.map(lit): _*)
+    val pass1 = cols.flatMap { c =>
+      Seq(
+        percentile_approx(col(c).cast("double"), qArr, lit(accuracy))
+          .as(s"${c}__a"),
+        count(col(c)).as(s"${c}__n"))
+    }
+    val first = df.agg(pass1.head, pass1.tail: _*).head()
+
+    // exact type-1 quantiles: global sort per column, pick the rows
+    // at the target ranks (row_number over one ordered window)
+    val exactByCol: Map[String, Map[Long, Double]] = cols.map { c =>
+      val n = first.getLong(first.fieldIndex(s"${c}__n"))
+      val targets = qs.map(q => math.max(1L, math.ceil(q * n).toLong)).distinct
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      val hits =
+        if (n == 0) Map.empty[Long, Double]
+        else df.select(col(c).cast("double").as("v")).na.drop()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn").isin(targets: _*))
+          .collect().map(r => r.getInt(1).toLong -> r.getDouble(0)).toMap
+      c -> hits
+    }.toMap
+
+    // rank check: a tied value occupies the rank INTERVAL
+    // [count(x < v) + 1, count(x <= v)], so the sketch honors its
+    // bound iff that interval comes within n/accuracy of the target
+    // rank (+1 for rank convention)
+    val checks = cols.flatMap { c =>
+      // an all-null column has no sketch: emit empty interval (flag false)
+      val approx = Option(first.getSeq[Any](first.fieldIndex(s"${c}__a")))
+      qs.indices.flatMap { i =>
+        approx match {
+          case Some(a) =>
+            Seq(
+              sum(when(col(c).cast("double") < lit(a(i)), 1L).otherwise(0L))
+                .as(s"${c}__lo$i"),
+              sum(when(col(c).cast("double") <= lit(a(i)), 1L).otherwise(0L))
+                .as(s"${c}__hi$i"))
+          case None =>
+            Seq(max(lit(0L)).as(s"${c}__lo$i"), max(lit(0L)).as(s"${c}__hi$i"))
+        }
+      }
+    }
+    val ranks = df.agg(checks.head, checks.tail: _*).head()
+
+    val rows = cols.flatMap { c =>
+      val n = first.getLong(first.fieldIndex(s"${c}__n"))
+      val tol = n.toDouble / accuracy + 1
+      qs.zipWithIndex.map { case (q, i) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val exact = exactByCol(c).get(target)
+        def get(name: String) = {
+          val fi = ranks.fieldIndex(name)
+          if (ranks.isNullAt(fi)) 0L else ranks.getLong(fi)
+        }
+        val lo = get(s"${c}__lo$i") + 1 // first rank the value occupies
+        val hi = get(s"${c}__hi$i")     // last rank the value occupies
+        val ok = n > 0 && hi >= lo &&
+          target >= lo - tol && target <= hi + tol
+        (c, q, exact, ok)
+      }
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("column_name", "q", "exact_v", "approx_ok")
+  }
 }

@@ -33,6 +33,28 @@ class ProfileSpec extends SparkSpec {
       // var_samp of {10,10,20,30}: mean 17.5, ss = 56.25*2+6.25+156.25
       y.getDouble(7) shouldBe (275.0 / 3) +- 1e-12
     }
+    it("quantiles: exact type-1 values, approx within GK rank bound") {
+      // 1..100 shuffled + nulls: exact quantile at q is ceil(q*100)
+      val vals = scala.util.Random.shuffle((1 to 100).toList)
+      val df = (vals.map(v => Integer.valueOf(v)) ++
+        Seq[Integer](null, null)).toDF("x")
+      val out = Profile.quantiles(df, Seq("x"), Seq(0.25, 0.5, 0.75, 0.99),
+          accuracy = 10000)
+        .orderBy("q").collect()
+      out.map(_.getDouble(2)) shouldBe Array(25.0, 50.0, 75.0, 99.0)
+      all(out.map(_.getBoolean(3))) shouldBe true
+      // coarse sketch still satisfies ITS OWN (looser) bound
+      val coarse = Profile.quantiles(df, Seq("x"), Seq(0.5), accuracy = 10)
+        .collect()
+      coarse.head.getBoolean(3) shouldBe true
+    }
+    it("quantiles: empty column yields null exact and false flag") {
+      val df = Seq[(java.lang.Double, Long)]((null, 1L), (null, 2L))
+        .toDF("x", "k")
+      val out = Profile.quantiles(df, Seq("x"), Seq(0.5)).collect()
+      out.head.isNullAt(2) shouldBe true
+      out.head.getBoolean(3) shouldBe false
+    }
     it("correlation: perfect, inverse, and degenerate pairs") {
       val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
         (3.0, 6.0, -3.0, 5.0))

@@ -76,6 +76,32 @@ class TextAnalysisSpec extends SparkSpec {
       MediaCodec.parse("video/mp4", Array.fill[Byte](32)(0)) shouldBe None
       MediaCodec.parse("audio/wav", "RIFFxxxx".getBytes) shouldBe None
     }
+    it("featureBatches extracts a real unit-norm byte-bigram descriptor") {
+      import spark.implicits._
+      val docs = (0L until 16L).map(i => i -> s"p$i").toDF("doc_id", "text")
+      val feats = Multimodal.featureBatches(
+          Multimodal.synthesizeAssets(docs, "doc_id"), dim = 8, batchSize = 5)
+        .select("doc_id", "mime", "features")
+        .as[(Long, String, Seq[Float])].collect()
+      feats.length shouldBe 16
+      // real descriptor contract: unit L2 norm, content-derived
+      feats.foreach { case (_, _, v) =>
+        v.length shouldBe 8
+        math.abs(v.map(x => x.toDouble * x).sum - 1.0) should be < 1e-5
+      }
+      // identical payloads ⇒ identical vectors (ids 0 and 0 trivially;
+      // regenerate and compare run-to-run determinism instead)
+      val again = Multimodal.featureBatches(
+          Multimodal.synthesizeAssets(docs, "doc_id"), dim = 8, batchSize = 3)
+        .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+      feats.foreach { case (id, _, v) => again(id) shouldBe v }
+      // distinct container types must separate: a WAV byte-pair
+      // distribution is not a JPEG's
+      val byMime = feats.groupBy(_._2).view.mapValues(_.head._3).toMap
+      val j = byMime("image/jpeg"); val w = byMime("audio/wav")
+      val cos = j.zip(w).map { case (a, b) => a.toDouble * b }.sum
+      cos should be < 0.999
+    }
     it("sampleFrames emits every Nth frame index for video assets only") {
       import spark.implicits._
       val docs = (0L until 30L).map(i => i -> s"p$i").toDF("doc_id", "text")
