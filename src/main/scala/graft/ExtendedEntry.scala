@@ -501,11 +501,17 @@ object ExtendedEntry {
   // corr() merges partial moments in partial order — not
   // bit-reproducible across engines; this is).
   // ---------------------------------------------------------------
+  // corr rounded to 9 decimals: the decimal power sums are exact, but
+  // their conversion to double can differ by 1 ulp between engines,
+  // and the catastrophic cancellation in n·Σxy − ΣxΣy amplifies that
+  // to ~1e-13 relative — observed cross-engine. 9 decimals is far
+  // inside both engines' agreement and far beyond any analytical use.
   private def q68(s: SparkSession, dir: String): DataFrame =
     graft.quality.Profile.correlation(t(s, dir, "orders"), Seq(
         ("o_custkey", "o_totalprice"),
         ("o_orderkey", "o_custkey"),
         ("o_orderkey", "o_totalprice")))
+      .withColumn("corr", round(col("corr"), 9))
       .orderBy("pair")
 
   // ---------------------------------------------------------------
@@ -778,9 +784,9 @@ object ExtendedEntry {
     val dx = s"($n * ${s2(x, x)} - ${s1(x)} * ${s1(x)})"
     val dy = s"($n * ${s2(y, y)} - ${s1(y)} * ${s1(y)})"
     s"""SELECT '${x}__$y' AS pair, count(*) AS n_rows,
-       |  CASE WHEN $dx > 0 AND $dy > 0 THEN
+       |  round(CASE WHEN $dx > 0 AND $dy > 0 THEN
        |    ($n * ${s2(x, y)} - ${s1(x)} * ${s1(y)}) / sqrt($dx * $dy)
-       |  END AS corr
+       |  END, 9) AS corr
        |FROM orders""".stripMargin
   }
 
