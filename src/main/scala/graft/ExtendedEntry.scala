@@ -722,7 +722,126 @@ object ExtendedEntry {
         Seq(0.25, 0.5, 0.75, 0.95, 0.99))
       .orderBy("column_name", "q")
 
+  // ---------------------------------------------------------------
+  // q75 — Google Sheets ingestion (google_sheets_source.py: all
+  // worksheets of a spreadsheet → tables, header row → records): a
+  // localhost fixture speaks the Sheets REST API v4 metadata + values
+  // shapes with bearer auth; SheetsSource discovers the worksheets,
+  // snake_cases the header row, types via schema, and the two sheets
+  // join downstream. A missed sheet, dropped row, bad auth, or
+  // broken header typing trips the oracle.
+  // ---------------------------------------------------------------
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SheetsSource
+    val supplier = t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey").collect()
+    val nation = t(s, dir, "nation")
+      .select("n_nationkey", "n_name").orderBy("n_nationkey").collect()
+    def cell(v: Any) = "\"" + v.toString.replace("\"", "\\\"") + "\""
+    def row(vs: Seq[Any]) = vs.map(cell).mkString("[", ",", "]")
+    // FORMATTED_VALUE shape: every cell a string; headers exercise
+    // the reference's snake_case ingestion naming
+    val sheets = Map(
+      "Supplier Dim" -> (Seq("S Suppkey", "S Name", "S Nationkey") +:
+        supplier.toSeq.map(r => Seq(r.getLong(0), r.getString(1), r.getInt(2)))),
+      "Nation Dim" -> (Seq("N Nationkey", "N Name") +:
+        nation.toSeq.map(r => Seq(r.getInt(0), r.getString(1)))))
+    val token = "Bearer graft-sheets-token"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v4/spreadsheets/sheetfix1", { exchange =>
+      val ok = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .contains(token)
+      val path = exchange.getRequestURI.getPath // decoded: %20 → ' '
+      val body =
+        if (!ok) """{"error":"unauthorized"}"""
+        else if (!path.contains("/values/"))
+          sheets.keys.toSeq.sorted.map(t =>
+              s"""{"properties":{"title":${cell(t)}}}""")
+            .mkString("""{"sheets":[""", ",", "]}")
+        else {
+          val name = path.substring(path.indexOf("/values/") + 8)
+          val rows = sheets.getOrElse(name, Seq.empty)
+          s"""{"range":${cell(name)},"majorDimension":"ROWS",""" +
+            s""""values":[${rows.map(row).mkString(",")}]}"""
+        }
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(if (ok) 200 else 401, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      import graft.sources.SheetsSource.SheetsConfig
+      import org.apache.spark.sql.types.LongType
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val tables = SheetsSource.read(s, endpoint,
+        s"https://docs.google.com/spreadsheets/d/sheetfix1/edit", // id-from-URL path
+        cfg = SheetsConfig(headers = Map("Authorization" -> token)),
+        schemas = Map(
+          "supplier_dim" -> StructType(Seq(
+            StructField("s_suppkey", LongType),
+            StructField("s_name", StringType),
+            StructField("s_nationkey", IntegerType))),
+          "nation_dim" -> StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType)))))
+      tables("supplier_dim")
+        .join(tables("nation_dim"),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_suppliers"))
+        .orderBy("n_name")
+        .localCheckpoint(true) // materialize while the fixture is up
+    } finally server.stop(0)
+  }
+
+  // ---------------------------------------------------------------
+  // q76 — MongoDB ingestion (mongodb_source.py: collections →
+  // replace-disposition tables, ObjectIds stringified): an orders
+  // subset round-trips through CANONICAL Extended JSON v2 (the
+  // mongodump interchange format) — $oid/_id, $numberLong,
+  // $numberDouble, $date wrappers — and MongoSource's schema-driven
+  // unwrap types it back. The oracle recomputes the collection from
+  // the orders table, so a dropped wrapper, bad ms-epoch date, or
+  // lossy double round-trip trips it.
+  // ---------------------------------------------------------------
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MongoSource
+    import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+    val base = s"target/scratch/q76_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // the "dump": mongodump canonical EJSON, one doc per line,
+    // generated distributed (string concat is codegen'd)
+    t(s, dir, "orders").filter(col("o_orderkey") < 6000)
+      .select(concat(
+        lit("{\"_id\":{\"$oid\":\""),
+        format_string("%024x", col("o_orderkey")),
+        lit("\"},\"o_custkey\":{\"$numberLong\":\""),
+        col("o_custkey").cast("string"),
+        lit("\"},\"o_totalprice\":{\"$numberDouble\":\""),
+        col("o_totalprice").cast("string"), // shortest round-trip repr
+        lit("\"},\"o_orderdate\":{\"$date\":{\"$numberLong\":\""),
+        unix_millis(col("o_orderdate").cast("timestamp")).cast("string"),
+        lit("\"}}}")).as("value"))
+      .write.mode("overwrite").text(s"$base/orders.json")
+    val tables = MongoSource.read(s, base,
+      schemas = Map("orders" -> StructType(Seq(
+        StructField("_id", StringType),
+        StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType)))),
+      cfg = MongoSource.MongoConfig(mode = "canonical"))
+    tables("orders")
+      .select(col("_id"), col("o_custkey"), col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"))
+      .orderBy("_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_mongo_ingest" -> (q76 _),
+    "q75_sheets_ingest" -> (q75 _),
     "q74_quantile_profile" -> (q74 _),
     "q73_rest_ingest" -> (q73 _),
     "q72_decontaminate_bloom" -> (q72 _),
@@ -907,6 +1026,20 @@ object ExtendedEntry {
     "q73_rest_ingest" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    // q75 round-trips supplier+nation through the Sheets API shapes;
+    // the oracle recomputes the join from the source tables
+    "q75_sheets_ingest" ->
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // q76 round-trips an orders subset through canonical Extended
+    // JSON; oid hex, long, shortest-repr double, and ms-epoch date
+    // must all survive exactly
+    "q76_mongo_ingest" ->
+      """SELECT printf('%024x', o_orderkey) AS _id, o_custkey,
+        |  o_totalprice, epoch_ms(o_orderdate) AS order_ms
+        |FROM orders WHERE o_orderkey < 6000
+        |ORDER BY _id""".stripMargin,
     // q72 runs the same decontamination through the bloom-prefiltered
     // plan; identical answer ⇒ identical oracle
     "q72_decontaminate_bloom" -> decontaminateSql,

@@ -207,6 +207,35 @@ object PipelineEntry {
       .orderBy("query_id")
   }
 
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    // Product quantization + exact rerank (Jégou et al. 2011). Like
+    // q37/IVF the method is inherently lossy, so the output IS the
+    // accuracy contract: recall@5 vs exact brute force, per query —
+    // deterministic (id-order codebook init, decimal-exact means).
+    // Params from a sweep on this corpus (near-uniform embeddings —
+    // PQ's worst case): 16 subspaces × 64 codewords, rerank 50 ⇒
+    // measured recall 5/5 on every query (m=8/k=16/depth=20 bottomed
+    // at 1/5). The contract asserts ≥4/5 to gate the method, not
+    // luck. The raw neighbor lists are spec-tested (PqSpec).
+    import graft.ann.Pq
+    val vecs = t(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding",
+      dim = 64, m = 16, k = 64, iters = 3)
+    val approx = Pq.pqTopK(vecs, queries, "vec_id", "embedding",
+      dim = 64, k = 5, books, rerankDepth = 50)
+    val exact = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+    approx
+      .join(exact.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_returned"),
+        (col("n_hit") >= lit(4)).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   private def q29(s: SparkSession, dir: String): DataFrame =
     // native one-pass argmax expression: the composed-Column form
     // (12 replace-chains + CASE + plan barrier) codegen'd a huge
@@ -409,6 +438,7 @@ object PipelineEntry {
     "q32_fingerprint" -> (q32 _),
     "q33_multimodal_meta" -> (q33 _),
     "q37_ann_ivf" -> (q37 _),
+    "q77_ann_pq" -> (q77 _),
     "q38_dedup_clusters" -> (q38 _),
     "q39_catalog_entries" -> (q39 _),
     "q40_bucketed_join" -> (q40 _))
@@ -681,6 +711,13 @@ object PipelineEntry {
     // decimal-exact means) ⇒ recall@5 ≥ 4/5 for every query at
     // nProbe=4 of 8 lists on this corpus — stated literally
     "q37_ann_ivf" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(5 AS BIGINT) AS n_returned, TRUE AS recall_ok
+        |FROM (SELECT unnest(range(0, 10)) AS query_id)
+        |ORDER BY query_id""".stripMargin,
+    // same contract shape as q37: PQ+rerank must return exactly 5
+    // neighbors per query with recall@5 ≥ 4/5 against brute force
+    "q77_ann_pq" ->
       """SELECT CAST(query_id AS BIGINT) AS query_id,
         |  CAST(5 AS BIGINT) AS n_returned, TRUE AS recall_ok
         |FROM (SELECT unnest(range(0, 10)) AS query_id)

@@ -125,6 +125,70 @@ object VectorExprs {
       31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
   }
 
+  /** Asymmetric PQ cosine (ADC): cosine between an exact query vector
+    * and the product-quantization RECONSTRUCTION of a corpus row,
+    * straight from its m-byte code — the reconstruction is never
+    * materialized. One fused loop over dim; the codebooks
+    * (m × k × dim/m doubles) ride along as a codegen reference object,
+    * exactly like NearestCentroid's centroids. (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the ADC
+    * variant, §IV.A.)
+    */
+  def pqCosineEval(q: ArrayData, codes: ArrayData,
+      books: Array[Array[Array[Double]]], qFloat: Boolean): Double = {
+    val (nq0, gq) = toDoubles(q, qFloat)
+    var dot = 0.0; var nq = 0.0; var nr = 0.0
+    var off = 0
+    var j = 0
+    while (j < books.length) {
+      val cw = books(j)(codes.getInt(j))
+      var i = 0
+      val m = math.min(cw.length, math.max(0, nq0 - off))
+      while (i < m) {
+        val x = gq(off + i); val y = cw(i)
+        dot += x * y; nq += x * x; nr += y * y
+        i += 1
+      }
+      off += cw.length
+      j += 1
+    }
+    dot / math.sqrt(nq * nr)
+  }
+
+  case class PqCosine(left: Expression, right: Expression,
+      books: Array[Array[Array[Double]]]) extends BinaryExpression {
+    require(books.nonEmpty, "need codebooks")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_cosine"
+    private lazy val qf = elemIsFloat(left)
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      pqCosineEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        books, qf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("books", books, "double[][][]")
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorExprs.pqCosineEval($a, $b, $ref, $qf)")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqCosine =
+      copy(left = l, right = r)
+
+    override def equals(o: Any): Boolean = o match {
+      case PqCosine(l, r, b) =>
+        l == left && r == right && b.length == books.length &&
+          b.zip(books).forall { case (x, y) =>
+            x.length == y.length &&
+              x.zip(y).forall { case (u, v) => java.util.Arrays.equals(u, v) }
+          }
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * (31 * left.hashCode() + right.hashCode()) +
+        books.map(_.map(java.util.Arrays.hashCode).toSeq).toSeq.hashCode()
+  }
+
   /** Random-hyperplane sign code: bit p set iff dot(v, planeₚ) ≥ 0.
     * The plane matrix is captured in the expression and referenced
     * from generated code (not re-literalized per element).
@@ -174,4 +238,8 @@ object VectorColumns {
 
   def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
     column(NearestCentroid(expression(v), centroids.map(_.toArray).toArray))
+
+  def pqCosine(q: Column, codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    column(PqCosine(expression(q), expression(codes),
+      books.map(_.map(_.toArray).toArray).toArray))
 }

@@ -86,6 +86,13 @@ object RestSource {
       s"GET $url failed after ${maxRetries + 1} attempts", lastErr)
   }
 
+  /** One-off GET with the standard retry policy — driver-side
+    * metadata probes (also used by SheetsSource).
+    */
+  private[sources] def fetchOnce(url: String, headers: Map[String, String],
+      maxRetries: Int, backoffMs: Long): String =
+    fetch(newClient(), url, headers, maxRetries, backoffMs)
+
   /** Parse raw page bodies into item rows: `from_json` against the
     * envelope schema, then `inline` explodes the items array into
     * columns — all Catalyst, so this part scales with executors
