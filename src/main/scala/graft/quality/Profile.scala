@@ -127,20 +127,40 @@ object Profile {
     }
     val first = df.agg(pass1.head, pass1.tail: _*).head()
 
-    // exact type-1 quantiles: global sort per column, pick the rows
-    // at the target ranks (row_number over one ordered window)
-    val exactByCol: Map[String, Map[Long, Double]] = cols.map { c =>
+    // exact type-1 quantiles: ONE job for all columns. Rows collapse
+    // to (column, value, count) with map-side partial aggregation
+    // FIRST (tie-dense columns shrink by orders of magnitude), then a
+    // running-count window over the DISTINCT values — partitioned by
+    // column, so columns sort in parallel and each sorted partition
+    // holds at most that column's distinct values, never the rows.
+    // The element at target rank t is the first value whose running
+    // count reaches t. Harness-only: production profiling at scale is
+    // the approx sketch above.
+    val targetsByCol: Map[String, Seq[Long]] = cols.map { c =>
       val n = first.getLong(first.fieldIndex(s"${c}__n"))
-      val targets = qs.map(q => math.max(1L, math.ceil(q * n).toLong)).distinct
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      val hits =
-        if (n == 0) Map.empty[Long, Double]
-        else df.select(col(c).cast("double").as("v")).na.drop()
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn").isin(targets: _*))
-          .collect().map(r => r.getInt(1).toLong -> r.getDouble(0)).toMap
-      c -> hits
+      c -> qs.map(q => math.max(1L, math.ceil(q * n).toLong)).distinct
     }.toMap
+    val allTargets = targetsByCol.values.flatten.toSeq.distinct
+    val exactByCol: Map[String, Map[Long, Double]] = {
+      val counts = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("cn"), col(c).cast("double").as("v"))): _*)).as("p"))
+        .select(col("p.cn"), col("p.v")).na.drop(Seq("v"))
+        .groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cn").orderBy(col("v"))
+      // a value with running count cum occupies ranks (cum-cnt, cum]
+      val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+      val hitsRaw = cum.filter(allTargets.map(t =>
+          col("cum") >= t && (col("cum") - col("cnt")) < t).reduce(_ || _))
+        .select("cn", "v", "cnt", "cum").collect()
+      cols.map { c =>
+        val rows = hitsRaw.filter(_.getString(0) == c)
+        c -> targetsByCol(c).flatMap { t =>
+          rows.find(r => r.getLong(3) >= t && r.getLong(3) - r.getLong(2) < t)
+            .map(r => t -> r.getDouble(1))
+        }.toMap
+      }.toMap
+    }
 
     // rank check: a tied value occupies the rank INTERVAL
     // [count(x < v) + 1, count(x <= v)], so the sketch honors its
