@@ -839,7 +839,40 @@ object ExtendedEntry {
       .orderBy("_id")
   }
 
+  // ---------------------------------------------------------------
+  // q78 — z-order layout + file skipping: orders clustered on the
+  // Morton interleave of (o_custkey, o_totalprice) bucket indices,
+  // physically written as 16 bit-prefix partitions (one shuffle),
+  // then the per-file min/max skipping index is read BACK from the
+  // written layout and a box predicate marks which files a pruned
+  // scan would touch. Everything is closed-form (fixed-bound buckets,
+  // no range sampling), so DuckDB restates the entire pipeline —
+  // bucketing, 8-bit interleave, prefix pid, stats, pruning flag.
+  // ---------------------------------------------------------------
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ZOrder
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val st = orders.agg(
+      min(col("o_custkey").cast("double")), max(col("o_custkey").cast("double")),
+      min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val (xlo, xhi, ylo, yhi) =
+      (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
+    val laid = ZOrder.assign(orders, "o_custkey", "o_totalprice",
+      xlo, xhi, ylo, yhi, bits = 8, partitionBits = 4)
+    val base = s"target/scratch/q78_${sanitize(dir)}"
+    laid.repartition(col("pid")).sortWithinPartitions("zv")
+      .write.mode("overwrite").partitionBy("pid").parquet(base)
+    // the skipping index is computed over the layout AS WRITTEN
+    val back = s.read.parquet(base)
+    ZOrder.skippingStats(back, "o_custkey", "o_totalprice",
+        xlo + 0.4 * (xhi - xlo), xlo + 0.6 * (xhi - xlo),
+        ylo + 0.4 * (yhi - ylo), ylo + 0.6 * (yhi - ylo))
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_zorder_layout" -> (q78 _),
     "q76_mongo_ingest" -> (q76 _),
     "q75_sheets_ingest" -> (q75 _),
     "q74_quantile_profile" -> (q74 _),
@@ -1040,6 +1073,37 @@ object ExtendedEntry {
         |  o_totalprice, epoch_ms(o_orderdate) AS order_ms
         |FROM orders WHERE o_orderkey < 6000
         |ORDER BY _id""".stripMargin,
+    // q78 restates the whole z-order pipeline: fixed-bound buckets,
+    // Morton interleave, bit-prefix pid, per-file min/max, box flag
+    "q78_zorder_layout" ->
+      s"""WITH s AS (
+         |  SELECT CAST(min(o_custkey) AS DOUBLE) AS xlo,
+         |    CAST(max(o_custkey) AS DOUBLE) AS xhi,
+         |    min(o_totalprice) AS ylo, max(o_totalprice) AS yhi
+         |  FROM orders
+         |), b AS (
+         |  SELECT o_custkey, o_totalprice, xlo, xhi, ylo, yhi,
+         |    CAST(floor(((CAST(o_custkey AS DOUBLE) - xlo) * 256.0)
+         |      / ((xhi - xlo) + 1e-9)) AS BIGINT) AS xb,
+         |    CAST(floor(((CAST(o_totalprice AS DOUBLE) - ylo) * 256.0)
+         |      / ((yhi - ylo) + 1e-9)) AS BIGINT) AS yb
+         |  FROM orders, s
+         |), z AS (
+         |  SELECT *, (${graft.ops.ZOrder.z2Sql("xb", "yb", 8)}) AS zv FROM b
+         |), g AS (
+         |  SELECT zv >> 12 AS pid, count(*) AS n_rows,
+         |    min(o_custkey) AS x_min, max(o_custkey) AS x_max,
+         |    min(o_totalprice) AS y_min, max(o_totalprice) AS y_max,
+         |    min(xlo) AS xlo, min(xhi) AS xhi,
+         |    min(ylo) AS ylo, min(yhi) AS yhi
+         |  FROM z GROUP BY 1
+         |)
+         |SELECT pid, n_rows, x_min, x_max, y_min, y_max,
+         |  NOT (x_max < xlo + 0.4 * (xhi - xlo)
+         |    OR x_min > xlo + 0.6 * (xhi - xlo)
+         |    OR y_max < ylo + 0.4 * (yhi - ylo)
+         |    OR y_min > ylo + 0.6 * (yhi - ylo)) AS would_scan
+         |FROM g ORDER BY pid""".stripMargin,
     // q72 runs the same decontamination through the bloom-prefiltered
     // plan; identical answer ⇒ identical oracle
     "q72_decontaminate_bloom" -> decontaminateSql,
