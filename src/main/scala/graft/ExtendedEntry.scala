@@ -871,7 +871,34 @@ object ExtendedEntry {
       .orderBy("pid")
   }
 
+  // ---------------------------------------------------------------
+  // q79 — STREAMING decontamination (q64's incremental twin, batch
+  // parity): the same corpus as q64 flows through
+  // Streams.decontaminateStream — stream-static broadcast join
+  // against the eval gram index (stateless on the stream side), one
+  // watermark-bounded windowed count. Registered in batch mode (the
+  // unified Dataset API runs the identical plan); StreamsSpec runs
+  // the MemoryStream side: append-mode parity + late-arrival drop.
+  // Same answer as q64 by construction ⇒ same oracle.
+  // ---------------------------------------------------------------
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 25 === 0)
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+      .unionByName(evalSet.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zq "), col("text")).as("text")))
+      .select(col("doc_id").as("train_id"), col("text"),
+        // deterministic synthetic arrival time (2024-01-01 + id ms)
+        timestamp_millis(lit(1704067200000L) + col("doc_id")).as("event_time"))
+    val evalGrams = evalSet.select(col("doc_id").as("eval_id"),
+      explode(graft.functions.TextHashes.wordShingleHashes(col("text"), 4))
+        .as("gram"))
+    Streams.decontaminateStream(train, evalGrams, nGram = 4, minShared = 3)
+      .orderBy("train_id", "eval_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_stream_decontaminate" -> (q79 _),
     "q78_zorder_layout" -> (q78 _),
     "q76_mongo_ingest" -> (q76 _),
     "q75_sheets_ingest" -> (q75 _),
@@ -1108,6 +1135,8 @@ object ExtendedEntry {
     // plan; identical answer ⇒ identical oracle
     "q72_decontaminate_bloom" -> decontaminateSql,
     "q64_decontaminate" -> decontaminateSql,
+    // q79 streams the identical computation; same answer, same oracle
+    "q79_stream_decontaminate" -> decontaminateSql,
     "q65_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

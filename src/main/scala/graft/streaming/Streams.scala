@@ -141,4 +141,45 @@ object Streams {
           }
       }
   }
+
+  // --- streaming decontamination (incremental twin of q64) ---
+
+  /** Streaming decontamination — `Dedup.contamination`'s incremental
+    * twin: TRAIN docs arrive as a stream and are checked in flight
+    * against a STATIC eval-set gram index (the production shape:
+    * filter a live crawl against fixed benchmark suites before it
+    * lands).
+    *
+    * Scale/state story:
+    *  - the eval side is small by definition (benchmarks) and
+    *    BROADCAST; the stream-static join is STATELESS on the stream
+    *    side — no join state accumulates, ever;
+    *  - the only stateful operator is the windowed count of shared
+    *    grams per (train, eval) pair, bounded by the event-time
+    *    watermark the caller sets upstream;
+    *  - `wordShingleHashes` emits DISTINCT 8-byte gram hashes per
+    *    doc, so the join-row count per pair IS the intersection size
+    *    and nothing but (id, window, gram-hash) triples shuffle.
+    *
+    * `docs` needs (train_id, text, event_time); `evalGrams` needs
+    * (eval_id, gram) with grams distinct per eval doc. The SAME code
+    * path serves a batch frame (verify/oracle, q79) and a
+    * readStream/MemoryStream input (StreamsSpec parity + late-drop).
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      evalGrams: DataFrame,
+      nGram: Int = 4,
+      minShared: Int = 1): DataFrame = {
+    val trainGrams = docs.select(col("train_id"), col("event_time"),
+      explode(graft.functions.TextHashes.wordShingleHashes(col("text"), nGram))
+        .as("gram"))
+    trainGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(window(col("event_time"), "1 hour"),
+        col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("train_id", "eval_id", "n_shared")
+  }
 }

@@ -74,6 +74,59 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  describe("decontaminateStream") {
+    it("matches the batch contamination result in append mode and drops late docs") {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      // eval doc 100 shares a 2-gram window with train docs 1 and 2;
+      // doc 3 is clean
+      val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("eval_id", "text")
+      val evalGrams = evalDocs.select(col("eval_id"),
+        explode(graft.functions.TextHashes.wordShingleHashes(col("text"), 2))
+          .as("gram"))
+      val t1 = "alpha beta gamma zz"   // shares "alpha beta","beta gamma"
+      val t2 = "beta gamma delta yy"   // shares "beta gamma","gamma delta"
+      val t3 = "unrelated words only here"
+
+      // batch expectation via the library's batch operator
+      val batch = graft.dedup.Dedup.contamination(
+        Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text"),
+        evalDocs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, minShared = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      val input = MemoryStream[(Long, String, Long)]
+      val docs = input.toDF().toDF("train_id", "text", "min")
+        .withColumn("event_time",
+          timestamp_millis(expr("86400000 + min * 60000")))
+        .withWatermark("event_time", "1 second")
+        .select("train_id", "text", "event_time")
+      val out = Streams.decontaminateStream(docs, evalGrams,
+        nGram = 2, minShared = 2)
+      val q = out.writeStream.format("memory")
+        .queryName("decon_out").outputMode("append").start()
+      try {
+        input.addData((1L, t1, 0L), (3L, t3, 1L))
+        q.processAllAvailable()
+        input.addData((2L, t2, 5L))
+        q.processAllAvailable()
+        // watermark sentinel far past the 1-hour window closes it
+        input.addData((99L, "zzz", 600L))
+        q.processAllAvailable()
+        val got = spark.table("decon_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got shouldBe batch
+        got shouldBe Set((1L, 100L, 2L), (2L, 100L, 2L))
+
+        // a contaminated doc arriving AFTER the watermark passed its
+        // window is dropped — state stays bounded, output final
+        input.addData((4L, t1, 2L))
+        q.processAllAvailable()
+        spark.table("decon_out").count() shouldBe 2L
+      } finally q.stop()
+    }
+  }
+
   describe("dedupStream") {
     it("drops duplicate keys arriving within the watermark window") {
       import spark.implicits._
