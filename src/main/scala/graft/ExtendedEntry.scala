@@ -897,7 +897,31 @@ object ExtendedEntry {
       .orderBy("train_id", "eval_id")
   }
 
+  // ---------------------------------------------------------------
+  // q80 — small-file compaction (lakehouse OPTIMIZE/bin-pack): the
+  // documents table is deliberately shattered into 64 tiny files,
+  // then compacted toward a byte target through a shuffle-free
+  // coalesce rewrite with a staged rename swap. The contract output
+  // is cross-engine-stateable: exact row preservation against the
+  // source table plus the compaction-effect flag.
+  // ---------------------------------------------------------------
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Compaction
+    val base = s"target/scratch/q80_${sanitize(dir)}/documents"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val docs = t(s, dir, "documents")
+    docs.repartition(64).write.parquet(base) // the "streaming ingest debris"
+    val st = Compaction.compact(s, base, targetBytes = 64L * 1024 * 1024)
+    import s.implicits._
+    Seq((st.nRows,
+        st.nRows == docs.count(),
+        st.nFilesAfter < st.nFilesBefore / 4))
+      .toDF("n_rows", "rows_preserved", "compacted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_compaction" -> (q80 _),
     "q79_stream_decontaminate" -> (q79 _),
     "q78_zorder_layout" -> (q78 _),
     "q76_mongo_ingest" -> (q76 _),
@@ -1137,6 +1161,11 @@ object ExtendedEntry {
     "q64_decontaminate" -> decontaminateSql,
     // q79 streams the identical computation; same answer, same oracle
     "q79_stream_decontaminate" -> decontaminateSql,
+    // q80: the rewrite must preserve every row of the shattered
+    // table and actually collapse the file count
+    "q80_compaction" ->
+      """SELECT count(*) AS n_rows, TRUE AS rows_preserved,
+        |  TRUE AS compacted FROM documents""".stripMargin,
     "q65_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
