@@ -88,6 +88,14 @@ object GraftExtensions {
         case Seq(t) => LangPredict(t)
         case _ => throw new IllegalArgumentException(
           "graft_lang_predict(text) takes 1 argument")
+      }),
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine",
+        "_FUNC_(a, b) - fused cosine similarity of two float/double arrays"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => graft.functions.VectorExprs.CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine(a, b) takes 2 arguments")
       }))
 
   /** Imperative registration into a live session. */

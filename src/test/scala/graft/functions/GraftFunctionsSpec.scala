@@ -31,6 +31,16 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(viaSql._2 == viaColumns._2)
       assert(viaSql._3 == 8)
     }
+    it("registers graft_cosine over float and double arrays") {
+      GraftExtensions.register(spark)
+      val r = spark.sql(
+        """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS same,
+          |  graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth""".stripMargin)
+        .head()
+      r.getDouble(0) shouldBe 1.0 +- 1e-12
+      r.getDouble(1) shouldBe 0.0 +- 1e-12
+    }
     it("rejects a non-literal shingle size") {
       GraftExtensions.register(spark)
       an[Exception] should be thrownBy
