@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Plans.barrier
+
+/** Paragraph / segment-level exact deduplication — the C4 /
+  * RefinedWeb "remove repeated boilerplate spans" primitive: dedup at
+  * a granularity FINER than the document, then reconstruct each
+  * document from its surviving segments. Reference behavior covered:
+  * datanika's document dedup family (`tasks/benchmark_dedup.py`)
+  * extended to the sub-document granularity an LLM training pipeline
+  * needs (navbars, license headers, quote chains repeat across pages
+  * that are NOT near-duplicates of each other as whole docs).
+  *
+  * Global first-occurrence wins: a segment is kept on the
+  * lexicographically smallest (doc_id, pos) at which its exact text
+  * appears anywhere in the corpus; every later copy is dropped.
+  *
+  * 100 TB shape:
+  *  - the winner election groups on (xxhash64(seg), length(seg)) —
+  *    an 8-byte + 4-byte key, never the segment text — and
+  *    `min(struct(doc_id, pos))` is a partially-aggregatable agg, so
+  *    a boilerplate segment repeated a billion times collapses to ONE
+  *    row per map task before the shuffle (skew-safe where a window
+  *    `row_number() OVER (PARTITION BY seg)` would funnel every copy
+  *    into one reducer).
+  *  - the join back is winners (one row per DISTINCT segment) against
+  *    the segment stream on the same hash key — per-key build side is
+  *    a single row, so AQE's skew split applies cleanly.
+  *  - reconstruction groups by doc_id: per-group state is bounded by
+  *    one document's own segments (collect_list here is per-doc, not
+  *    per-corpus).
+  */
+object SegmentDedup {
+
+  /** Fixed `words`-word windows of a single-space text, as an array
+    * column — the segmenter used when the corpus has no natural
+    * paragraph breaks. For text with real structure, pass the
+    * segments yourself via `dedupSegmentsOf` (e.g.
+    * `split(text, "\n\n")`).
+    */
+  def wordChunks(text: Column, words: Int): Column = {
+    val toks = split(trim(text), " ")
+    // ceil(n / words) without double math: (n + words - 1) / words
+    val nseg = floor((size(toks) + lit(words - 1)) / lit(words)).cast("int")
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(toks, i * words + 1, lit(words)), " ")))
+  }
+
+  /** Explode docs into (doc_id, pos, seg) rows for an arbitrary
+    * segment-array expression.
+    */
+  def segments(docs: DataFrame, idCol: String, segArr: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), posexplode(segArr).as(Seq("pos", "seg")))
+
+  /** First-occurrence segment dedup + document reconstruction over an
+    * arbitrary segmenter. Returns one row per input doc:
+    * (doc_id, n_segs, n_kept, text_kept) — text_kept is the doc's
+    * surviving segments re-joined in original order ("" when every
+    * segment lost its election).
+    */
+  def dedupSegmentsOf(docs: DataFrame, idCol: String, segArr: Column): DataFrame = {
+    // barrier: totals + election + join-back all fan out from ONE
+    // materialized segment explode
+    val segs = barrier(segments(docs, idCol, segArr))
+    val keyed = segs
+      .withColumn("h", xxhash64(col("seg")))
+      .withColumn("slen", length(col("seg")))
+    // q22 precedent: hash + length as the election key — the shuffle
+    // never carries segment text twice, and length guards h collisions
+    val winners = keyed.groupBy("h", "slen")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("h"), col("slen"),
+        col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+    val kept = keyed.join(winners,
+      keyed("h") === winners("h") && keyed("slen") === winners("slen") &&
+        keyed("doc_id") === winners("w_doc") && keyed("pos") === winners("w_pos"))
+      .select(keyed("doc_id"), keyed("pos"), keyed("seg"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          _.getField("seg")), " ").as("text_kept"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Word-window convenience: segment by fixed `words`-word chunks. */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      words: Int): DataFrame =
+    dedupSegmentsOf(docs, idCol, wordChunks(col(textCol), words))
+}

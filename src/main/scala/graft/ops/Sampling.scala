@@ -52,6 +52,90 @@ object Sampling {
       lit((fraction * buckets).toLong))
   }
 
+  /** Cross-engine deterministic 30-bit avalanche of a non-negative
+    * integral column — TextHashExprs.mix30 restated as Column
+    * arithmetic (xor-shift + multiply mod the largest prime < 2³⁰,
+    * twice). Every intermediate fits signed 64-bit, so ANSI Spark and
+    * DuckDB BIGINT arithmetic agree bit-for-bit — this is the hash to
+    * use when the sampling decision itself must be reproducible in
+    * plain SQL (oracles, cross-engine handoffs). Input must be
+    * < 2³⁰; pre-fold wider keys (e.g. `pmod(xxhash64(k), 1 << 30)`)
+    * when reproducibility only needs to hold within one engine.
+    */
+  def mix30(key: Column): Column = {
+    val p = lit(1073741789L) // largest prime < 2^30
+    val x0 = key.cast("long")
+    val x1 = x0.bitwiseXOR(shiftright(x0, 16))
+    val x2 = pmod(x1 * lit(0x9E3779B1L), p)
+    val x3 = x2.bitwiseXOR(shiftright(x2, 13))
+    val x4 = pmod(x3 * lit(0x85EBCA77L), p)
+    x4.bitwiseXOR(shiftright(x4, 16))
+  }
+
+  /** SQL text of the same mix, for oracle authorship. */
+  def mix30Sql(key: String): String = {
+    val p = 1073741789L
+    val x1 = s"xor($key, $key >> 16)"
+    val x2 = s"((($x1) * ${0x9E3779B1L}) % $p)"
+    val x3 = s"xor($x2, ($x2) >> 13)"
+    val x4 = s"((($x3) * ${0x85EBCA77L}) % $p)"
+    s"xor($x4, ($x4) >> 16)"
+  }
+
+  /** Token-budget mixture sampling — "make the training corpus w_web
+    * web, w_books books, w_code code by TOKENS, keeping as much data
+    * as the mixture allows". The binding stratum (the one whose
+    * supply runs out first at its target share) is kept whole; every
+    * other stratum is down-sampled to its proportional budget by a
+    * deterministic per-row hash threshold.
+    *
+    * Per stratum s with token supply T_s and target weight w_s:
+    *   budget B = min_s(T_s / w_s); keep fraction f_s = B·w_s / T_s.
+    * A row is kept iff mix30(key) % 2²⁰ < floor(f_s · 2²⁰) — no RNG
+    * state, the same rows every run and every engine.
+    *
+    * 100 TB shape: the supply scan is one partial-aggregatable
+    * groupBy over (stratum, tokens); fractions are |strata| driver
+    * scalars folded into a literal CASE; the keep decision is a pure
+    * per-row predicate evaluated inside the scan — the sampled
+    * corpus never shuffles at all.
+    *
+    * Returns the kept rows. Strata missing from `weights` are
+    * dropped (weight 0).
+    */
+  def mixtureByTokens(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      tokensCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be > 0")
+    val supply = df.groupBy(col(strataCol).as("s"))
+      .agg(sum(tokensCol).cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = mixtureFractions(supply, weights)
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (e, (s, f)) =>
+        when(col(strataCol) === s, lit(math.floor(f * (1L << 20)).toLong))
+          .otherwise(e)
+    }
+    df.filter(pmod(mix30(col(keyCol)), lit(1L << 20)) < thr)
+  }
+
+  /** The driver-side fraction math, exposed for tests and oracles:
+    * budget = min over weighted strata of supply/weight, fraction_s =
+    * budget·w_s / supply_s (the binding stratum gets exactly 1.0).
+    */
+  def mixtureFractions(supply: Map[String, Long],
+      weights: Map[String, Double]): Map[String, Double] = {
+    val present = weights.filter { case (s, _) => supply.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) Map.empty
+    else {
+      val budget = present.map { case (s, w) => supply(s) / w }.min
+      present.map { case (s, w) => s -> (budget * w / supply(s)) }
+    }
+  }
+
   /** Column form of the stratified predicate (for reuse in SQL-side
     * mirrors/tests).
     */

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for LLM data pipelines: language ID, quality
@@ -280,4 +280,42 @@ object TextAnalysis {
           i => ascii(text.substr(i, lit(1)))),
         lit(0L),
         (acc, c) => (acc * 31 + c) % 1000000007L))
+
+  // ------------------------------------------------------------
+  // TF-IDF keyword extraction (q84)
+  // ------------------------------------------------------------
+
+  /** Top-`k` keywords per document by TF-IDF:
+    * score = tf(d, w) · ln((N+1) / (df(w)+1)), ranked per doc by
+    * (round(score, 9) desc, word). Ranking on the ROUNDED score keeps
+    * the ordering engine-portable: a 1-ulp ln() difference can only
+    * flip the order of true ties, and those break on the word.
+    *
+    * 100 TB shape: tf is a partial-aggregatable groupBy on
+    * (doc, word); df is a second partial agg over tf's output (one
+    * row per distinct (doc, word) — already deduplicated, so a stop
+    * word's count arrives pre-combined per partition); the join back
+    * to score is on `word` against a |vocab|-row side that AQE
+    * broadcasts when it fits. The per-doc top-k window partitions by
+    * doc_id — parallel, bounded by one doc's vocabulary. `nDocs` is
+    * the corpus doc count (one cheap count, or a known catalog stat).
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      nDocs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score",
+        round(col("tf") * log((lit(nDocs) + 1).cast("double") / (col("df") + 1)), 9))
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"),
+        col("df"), col("score"))
+  }
 }

@@ -46,4 +46,61 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashFraction(df, Seq("k"), 1.0).count() shouldBe 1000L
     }
   }
+
+  describe("mix30") {
+    it("matches TextHashExprs.mix30 exactly") {
+      import org.apache.spark.sql.functions.col
+      val keys = (0L until 512L) ++ Seq(1L << 29, (1L << 30) - 1)
+      val got = keys.toDF("k")
+        .select(col("k"), Sampling.mix30(col("k")).as("m"))
+        .as[(Long, Long)].collect().toMap
+      keys.foreach { k =>
+        got(k) shouldBe graft.functions.TextHashExprs.mix30(k)
+      }
+    }
+  }
+
+  describe("mixtureFractions") {
+    it("keeps the binding stratum whole, scales the rest to the budget") {
+      val f = Sampling.mixtureFractions(
+        Map("web" -> 700L, "books" -> 600L, "code" -> 600L),
+        Map("web" -> 0.7, "books" -> 0.2, "code" -> 0.1))
+      // budgets: web 1000, books 3000, code 6000 → web binds at 1000
+      f("web") shouldBe 1.0 +- 1e-12
+      f("books") shouldBe (1000.0 * 0.2 / 600) +- 1e-12
+      f("code") shouldBe (1000.0 * 0.1 / 600) +- 1e-12
+    }
+    it("ignores weighted strata with no supply; empty weights → empty") {
+      Sampling.mixtureFractions(Map("a" -> 10L), Map("a" -> 0.5, "b" -> 0.5))
+        .keySet shouldBe Set("a")
+      Sampling.mixtureFractions(Map("a" -> 10L), Map.empty) shouldBe Map.empty
+    }
+  }
+
+  describe("mixtureByTokens") {
+    it("achieves the target token mixture within hash-threshold noise") {
+      import org.apache.spark.sql.functions.{col, lit, sum}
+      val rows = (0L until 3000L).map { i =>
+        (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "books" else "code", 10L)
+      }
+      val d = rows.toDF("doc_id", "stratum", "tok")
+      val weights = Map("web" -> 0.6, "books" -> 0.3, "code" -> 0.1)
+      val kept = Sampling.mixtureByTokens(d, "stratum", "doc_id", col("tok"), weights)
+      val byStratum = kept.groupBy("stratum")
+        .agg(sum(col("tok")).as("t")).as[(String, Long)].collect().toMap
+      // supplies equal (10k each) → web binds; kept web = all 10000
+      byStratum("web") shouldBe 10000L
+      val total = byStratum.values.sum.toDouble
+      byStratum("books") / total shouldBe 0.3 +- 0.05
+      byStratum("code") / total shouldBe 0.1 +- 0.05
+      // deterministic: same rows on a rerun
+      Sampling.mixtureByTokens(d, "stratum", "doc_id", col("tok"), weights)
+        .select("doc_id").as[Long].collect().sorted shouldBe
+        kept.select("doc_id").as[Long].collect().sorted
+      // strata without a weight are dropped
+      Sampling.mixtureByTokens(d, "stratum", "doc_id", col("tok"),
+        Map("web" -> 1.0)).filter(col("stratum") =!= lit("web"))
+        .count() shouldBe 0L
+    }
+  }
 }

@@ -119,4 +119,32 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  describe("tfidfTopK") {
+    it("ranks rare-but-frequent words above ubiquitous ones") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "apple apple apple common common"),
+        (2L, "banana banana common common common"),
+        (3L, "cherry common common common common")).toDF("doc_id", "text")
+      val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 3L, 2)
+        .select("doc_id", "rank", "word")
+        .as[(Long, Int, String)].collect().sorted
+      // 'common' is in every doc → idf ln(4/4)=0 → never beats the
+      // doc-specific word; rank 2 falls to it anyway (only 2 words/doc)
+      out shouldBe Array(
+        (1L, 1, "apple"), (1L, 2, "common"),
+        (2L, 1, "banana"), (2L, 2, "common"),
+        (3L, 1, "cherry"), (3L, 2, "common"))
+    }
+    it("breaks exact score ties alphabetically") {
+      import spark.implicits._
+      val docs = Seq((1L, "beta alpha"), (2L, "gamma delta")).toDF("doc_id", "text")
+      val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2L, 2)
+        .select("doc_id", "rank", "word").as[(Long, Int, String)].collect().sorted
+      out shouldBe Array(
+        (1L, 1, "alpha"), (1L, 2, "beta"),
+        (2L, 1, "delta"), (2L, 2, "gamma"))
+    }
+  }
 }
