@@ -97,11 +97,54 @@ object CorpusEntry {
       .orderBy("doc_id", "rank")
   }
 
+  // ---------------------------------------------------------------
+  // q85 — CDC table diff: one full-outer hash join classifies every
+  // key as insert/update/delete vs a simulated next version of
+  // orders (deletes %97, price bumps %11, inserts %101 shifted by
+  // 10M). The oracle rebuilds the same "after" table in SQL and
+  // diffs it independently.
+  // ---------------------------------------------------------------
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Cdc
+    val before = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val after = before.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(11)) === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(before.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+    Cdc.diff(before, after, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q86 — distribution drift (PSI) of o_totalprice, 1995–97 orders
+  // vs 1998+ orders: fixed-bound 20-bin histogram per slice (one
+  // partial agg each), Laplace-smoothed shares, per-bin (q−p)·ln(q/p).
+  // ---------------------------------------------------------------
+  private val DriftCut = "1998-01-01"
+
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Drift
+    val orders = t(s, dir, "orders")
+    val cut = to_timestamp(lit(DriftCut))
+    Drift.psi(
+        orders.filter(col("o_orderdate") < cut),
+        orders.filter(col("o_orderdate") >= cut),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBins = 20)
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_paragraph_dedup" -> (q81 _),
     "q82_sequence_packing" -> (q82 _),
     "q83_mixture_sampling" -> (q83 _),
-    "q84_tfidf_keywords" -> (q84 _))
+    "q84_tfidf_keywords" -> (q84 _),
+    "q85_cdc_diff" -> (q85 _),
+    "q86_drift_psi" -> (q86 _))
 
   private val WsTok =
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
@@ -206,5 +249,64 @@ object CorpusEntry {
         |  FROM scored
         |)
         |SELECT doc_id, rank, word, tf, df, score
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q85_cdc_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |), a AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0
+        |         THEN o_totalprice + CAST(1.0 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', CAST(1.0 AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 101 = 0
+        |), j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |         WHEN a.o_orderkey IS NULL THEN 'delete'
+        |         WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |           OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |         THEN 'update' END AS change,
+        |    b.o_orderstatus AS before_o_orderstatus,
+        |    b.o_totalprice AS before_o_totalprice,
+        |    a.o_orderstatus AS after_o_orderstatus,
+        |    a.o_totalprice AS after_o_totalprice
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+        |)
+        |SELECT * FROM j WHERE change IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q86_drift_psi" ->
+      s"""WITH bb AS (
+         |  SELECT least(greatest(CAST(floor((o_totalprice - CAST(0.0 AS DOUBLE))
+         |      / CAST(25000.0 AS DOUBLE)) AS BIGINT), 0), 19) AS bin,
+         |    count(*) AS n
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$DriftCut' AND o_totalprice IS NOT NULL
+         |  GROUP BY 1
+         |), cc AS (
+         |  SELECT least(greatest(CAST(floor((o_totalprice - CAST(0.0 AS DOUBLE))
+         |      / CAST(25000.0 AS DOUBLE)) AS BIGINT), 0), 19) AS bin,
+         |    count(*) AS n
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$DriftCut' AND o_totalprice IS NOT NULL
+         |  GROUP BY 1
+         |), j AS (
+         |  SELECT bins.bin,
+         |    CAST(COALESCE(bb.n, 0) AS BIGINT) AS n_base,
+         |    CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_cur
+         |  FROM (SELECT unnest(range(0, 20)) AS bin) bins
+         |  LEFT JOIN bb USING (bin) LEFT JOIN cc USING (bin)
+         |), sh AS (
+         |  SELECT bin, n_base, n_cur,
+         |    (n_base + CAST(0.5 AS DOUBLE))
+         |      / (sum(n_base) OVER () + CAST(10.0 AS DOUBLE)) AS p,
+         |    (n_cur + CAST(0.5 AS DOUBLE))
+         |      / (sum(n_cur) OVER () + CAST(10.0 AS DOUBLE)) AS q
+         |  FROM j
+         |)
+         |SELECT bin, n_base, n_cur, round(p, 9) AS p, round(q, 9) AS q,
+         |  round((q - p) * ln(q / p), 9) AS psi_contrib
+         |FROM sh ORDER BY bin""".stripMargin)
 }
