@@ -138,13 +138,41 @@ object CorpusEntry {
       .orderBy("bin")
   }
 
+  // ---------------------------------------------------------------
+  // q87 — point-in-time join (feature-store / SCD2-history lookup):
+  // purchases open per-user "tier" versions (valid_from/valid_to via
+  // one lead window); click/view facts are enriched with the tier
+  // valid AT THEIR ts through the as-of carry — one shuffle + sort,
+  // never an interval theta-join. NOTE events.ts is epoch-nanos LONG
+  // under Tables.load's nanosAsLong; DuckDB sees TIMESTAMP_NS — the
+  // comparisons order identically.
+  // ---------------------------------------------------------------
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PointInTime
+    val ev = t(s, dir, "events")
+    val hist = PointInTime.historyFromChanges(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          greatest(least(floor(col("value") / 25.0).cast("long"), lit(3L)),
+            lit(0L)).as("tier")),
+      Seq("user_id"), "ts", tiebreak = Seq("event_id"))
+    val facts = ev.filter(col("event_type").isin("click", "view"))
+      .select("user_id", "ts", "event_type", "value")
+    PointInTime.join(facts, hist, Seq("user_id"), "ts", Seq("tier"))
+      .groupBy("event_type", "tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type", "tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_paragraph_dedup" -> (q81 _),
     "q82_sequence_packing" -> (q82 _),
     "q83_mixture_sampling" -> (q83 _),
     "q84_tfidf_keywords" -> (q84 _),
     "q85_cdc_diff" -> (q85 _),
-    "q86_drift_psi" -> (q86 _))
+    "q86_drift_psi" -> (q86 _),
+    "q87_pit_join" -> (q87 _))
 
   private val WsTok =
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
@@ -308,5 +336,24 @@ object CorpusEntry {
          |)
          |SELECT bin, n_base, n_cur, round(p, 9) AS p, round(q, 9) AS q,
          |  round((q - p) * ln(q / p), 9) AS psi_contrib
-         |FROM sh ORDER BY bin""".stripMargin)
+         |FROM sh ORDER BY bin""".stripMargin,
+    "q87_pit_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    greatest(least(CAST(floor(value / CAST(25.0 AS DOUBLE)) AS BIGINT), 3), 0) AS tier
+        |  FROM events WHERE event_type = 'purchase'
+        |), f AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |), j AS (
+        |  SELECT f.event_type, p.tier, f.value
+        |  FROM f LEFT JOIN p ON f.user_id = p.user_id
+        |    AND p.valid_from <= f.ts
+        |    AND (p.valid_to IS NULL OR f.ts < p.valid_to)
+        |)
+        |SELECT event_type, tier, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY event_type, tier
+        |ORDER BY event_type, tier""".stripMargin)
 }
