@@ -165,6 +165,41 @@ object CorpusEntry {
       .orderBy("event_type", "tier")
   }
 
+  // ---------------------------------------------------------------
+  // q88 — warehouse VACUUM (retention sweep, Compaction's pair):
+  // stage a live table plus three expired debris dirs (.staging/.old/
+  // __compact_tmp aged 2h) and one FRESH .staging that an in-flight
+  // swap might still own. Retention = 1h: the three expired go, the
+  // fresh one and the live table survive. Contract-gated.
+  // ---------------------------------------------------------------
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Vacuum
+    import org.apache.hadoop.fs.Path
+    val base = s"target/scratch/q88_${sanitize(dir)}"
+    val root = new Path(base)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val docs = t(s, dir, "documents")
+    docs.coalesce(2).write.parquet(s"$base/docs")
+    val debris = docs.limit(10).coalesce(1)
+    val now = System.currentTimeMillis()
+    Seq("docs.staging", "docs.old", "docs__compact_tmp").foreach { d =>
+      debris.write.parquet(s"$base/$d")
+      fs.setTimes(new Path(s"$base/$d"), now - 2 * 3600 * 1000L, -1)
+    }
+    debris.write.parquet(s"$base/docs2.staging") // fresh: must survive
+    val st = Vacuum.vacuum(s, base, retentionMs = 3600 * 1000L, now = now)
+    import s.implicits._
+    Seq((s.read.parquet(s"$base/docs").count(),
+        st.nCandidates, st.nDeleted,
+        fs.exists(new Path(s"$base/docs2.staging")),
+        fs.exists(new Path(s"$base/docs"))))
+      .toDF("n_rows", "n_candidates", "n_deleted", "fresh_kept", "table_kept")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_paragraph_dedup" -> (q81 _),
     "q82_sequence_packing" -> (q82 _),
@@ -172,7 +207,8 @@ object CorpusEntry {
     "q84_tfidf_keywords" -> (q84 _),
     "q85_cdc_diff" -> (q85 _),
     "q86_drift_psi" -> (q86 _),
-    "q87_pit_join" -> (q87 _))
+    "q87_pit_join" -> (q87 _),
+    "q88_vacuum" -> (q88 _))
 
   private val WsTok =
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
@@ -355,5 +391,9 @@ object CorpusEntry {
         |SELECT event_type, tier, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM j GROUP BY event_type, tier
-        |ORDER BY event_type, tier""".stripMargin)
+        |ORDER BY event_type, tier""".stripMargin,
+    "q88_vacuum" ->
+      """SELECT count(*) AS n_rows, 4 AS n_candidates, 3 AS n_deleted,
+        |  TRUE AS fresh_kept, TRUE AS table_kept
+        |FROM documents""".stripMargin)
 }

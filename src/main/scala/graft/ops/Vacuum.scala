@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Warehouse vacuum — the lakehouse VACUUM / retention sweep that
+  * pairs with Compaction's OPTIMIZE: staged-swap writers
+  * (ops/Writer.scala merge: `<table>.staging` → rename; `<table>.old`
+  * kept until the swap lands; ops/Compaction.scala:
+  * `<table>__compact_tmp`) leave debris behind when a run crashes
+  * between the write and the swap. At 100 TB that debris is real
+  * money and real LIST latency, but deleting it eagerly would race a
+  * concurrent in-flight swap — hence the retention window: only
+  * debris older than `retentionMs` goes, exactly Delta VACUUM's
+  * contract.
+  *
+  * Driver-side metadata op by design (one directory listing + a
+  * delete per expired entry) — the data plane is never touched and
+  * live table directories are NEVER candidates: eligibility is by
+  * naming convention, not content inspection.
+  */
+object Vacuum {
+
+  /** Staging-debris suffixes recognized as vacuum candidates. */
+  val DebrisSuffixes: Seq[String] = Seq(".staging", ".old", "__compact_tmp")
+
+  final case class Stats(
+      nExamined: Int, nCandidates: Int, nDeleted: Int, bytesReclaimed: Long)
+
+  /** Sweep `warehouseRoot`: delete every debris entry whose
+    * modification time is older than `now - retentionMs`. `now` is
+    * explicit (not System.currentTimeMillis) so runs are reproducible
+    * and testable — pass the wall clock in production.
+    */
+  def vacuum(spark: SparkSession, warehouseRoot: String,
+      retentionMs: Long, now: Long): Stats = {
+    require(retentionMs >= 0, "retentionMs must be >= 0")
+    val root = new Path(warehouseRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root)
+    val candidates = entries.filter(e =>
+      DebrisSuffixes.exists(e.getPath.getName.endsWith))
+    val cutoff = now - retentionMs
+    var deleted = 0
+    var bytes = 0L
+    candidates.foreach { e =>
+      if (e.getModificationTime < cutoff) {
+        val size = fs.getContentSummary(e.getPath).getLength
+        if (fs.delete(e.getPath, true)) {
+          deleted += 1
+          bytes += size
+        }
+      }
+    }
+    Stats(entries.length, candidates.length, deleted, bytes)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+class VacuumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  it("deletes only expired debris, never live tables or fresh staging") {
+    val base = "target/scratch/vacuum_spec"
+    val fs = fsOf(base)
+    fs.delete(new Path(base), true)
+    val df = Seq(1, 2, 3).toDF("x")
+    df.write.parquet(s"$base/live_table")
+    df.write.parquet(s"$base/t.staging")
+    df.write.parquet(s"$base/t.old")
+    df.write.parquet(s"$base/t__compact_tmp")
+    df.write.parquet(s"$base/fresh.staging")
+    val now = 1000000000000L
+    Seq("t.staging", "t.old", "t__compact_tmp").foreach(d =>
+      fs.setTimes(new Path(s"$base/$d"), now - 7200 * 1000L, -1))
+    fs.setTimes(new Path(s"$base/fresh.staging"), now - 60 * 1000L, -1)
+    fs.setTimes(new Path(s"$base/live_table"), now - 7200 * 1000L, -1)
+
+    val st = Vacuum.vacuum(spark, base, retentionMs = 3600 * 1000L, now = now)
+    st.nExamined shouldBe 5
+    st.nCandidates shouldBe 4
+    st.nDeleted shouldBe 3
+    st.bytesReclaimed should be > 0L
+    fs.exists(new Path(s"$base/live_table")) shouldBe true
+    fs.exists(new Path(s"$base/fresh.staging")) shouldBe true
+    fs.exists(new Path(s"$base/t.staging")) shouldBe false
+    fs.exists(new Path(s"$base/t.old")) shouldBe false
+    fs.exists(new Path(s"$base/t__compact_tmp")) shouldBe false
+    // the live table still reads
+    spark.read.parquet(s"$base/live_table").count() shouldBe 3L
+  }
+
+  it("retention 0 sweeps all debris; an empty root is a no-op") {
+    val base = "target/scratch/vacuum_spec2"
+    val fs = fsOf(base)
+    fs.delete(new Path(base), true)
+    Seq(1).toDF("x").write.parquet(s"$base/a.old")
+    val now = 1000000000000L
+    fs.setTimes(new Path(s"$base/a.old"), now - 1L, -1)
+    Vacuum.vacuum(spark, base, 0L, now).nDeleted shouldBe 1
+    Vacuum.vacuum(spark, base, 0L, now) shouldBe Vacuum.Stats(0, 0, 0, 0L)
+  }
+}
