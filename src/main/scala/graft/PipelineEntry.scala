@@ -180,6 +180,29 @@ object PipelineEntry {
     Dedup.clusters(pairs).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q89 — end-to-end dedup application: pairs → clusters →
+  // applyClusters drops every non-survivor, and the cleaned corpus
+  // is summarized (counts + id/token checksums). The oracle replays
+  // the whole chain: recursive-CTE components over the exact pairs,
+  // anti-join, same sums.
+  // ---------------------------------------------------------------
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val docs = nearCorpus(s, dir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 4, tau = 0.8)
+    val cleaned = Dedup.applyClusters(docs, Dedup.clusters(pairs), "doc_id")
+    val wsTok = (length(trim(col("text")))
+      - length(replace(trim(col("text")), lit(" "), lit(""))) + 1).cast("long")
+    val kept = cleaned.agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("doc_id")).as("sum_kept_ids"),
+      sum(wsTok).as("sum_kept_tokens"))
+    docs.agg(count(lit(1)).as("n_total")).crossJoin(kept)
+      .select(col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        col("sum_kept_ids"), col("sum_kept_tokens"))
+  }
+
   private def q37(s: SparkSession, dir: String): DataFrame = {
     // IVF is inherently lossy below nProbe = nLists, so unlike q28 it
     // cannot be parameterized to exact equality without degenerating
@@ -440,6 +463,7 @@ object PipelineEntry {
     "q37_ann_ivf" -> (q37 _),
     "q77_ann_pq" -> (q77 _),
     "q38_dedup_clusters" -> (q38 _),
+    "q89_dedup_apply" -> (q89 _),
     "q39_catalog_entries" -> (q39 _),
     "q40_bucketed_join" -> (q40 _))
 
@@ -833,6 +857,33 @@ object PipelineEntry {
       s"""WITH $NgramPairsCte
          |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8
          |ORDER BY a, b""".stripMargin,
+    // the q38 chain extended by the apply step: non-survivors
+    // anti-joined out of the corpus, cleaned-corpus checksums
+    "q89_dedup_apply" ->
+      s"""WITH RECURSIVE $NgramPairsCte,
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs WHERE jaccard >= 0.8
+         |  UNION
+         |  SELECT b, a FROM pairs WHERE jaccard >= 0.8
+         |), nodes AS (
+         |  SELECT DISTINCT x AS id FROM edges
+         |), r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.x, r.m FROM edges e JOIN r ON e.y = r.id
+         |), dropped AS (
+         |  SELECT id FROM r GROUP BY id HAVING min(m) <> id
+         |), kept AS (
+         |  SELECT c.doc_id, c.text FROM corpus c
+         |  LEFT JOIN dropped d ON c.doc_id = d.id WHERE d.id IS NULL
+         |)
+         |SELECT (SELECT count(*) FROM corpus) AS n_total,
+         |  count(*) AS n_kept,
+         |  (SELECT count(*) FROM dropped) AS n_dropped,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+         |  CAST(sum(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+         |    AS BIGINT) AS sum_kept_tokens
+         |FROM kept""".stripMargin,
     // connected components over the exact pairs via recursive CTE:
     // every node's cluster id is the min label reachable through the
     // undirected edge set — exactly Dedup.clusters' contract.

@@ -472,6 +472,22 @@ object Dedup {
         coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
+  /** Apply a cluster resolution to the corpus: drop every member
+    * that is not its cluster's survivor (`cluster_id == doc_id`),
+    * keep everything unpaired. The drop list is a LEFT-ANTI join
+    * against only the non-survivor assignments — at 100 TB the
+    * corpus streams once and the anti side is proportional to the
+    * duplicates found, not to the corpus (AQE broadcasts it when it
+    * fits). This is the end-to-end "dedup my corpus" action: pairs →
+    * `clusters` → `applyClusters` → cleaned corpus.
+    */
+  def applyClusters(docs: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   // ----------------------------------------------------------------
   // embedding-cosine near-dup — q26
   // ----------------------------------------------------------------

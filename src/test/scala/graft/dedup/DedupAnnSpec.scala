@@ -113,6 +113,13 @@ class DedupAnnSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect()
       out shouldBe Array((1L, 2L, 0L))
     }
+    it("applyClusters keeps survivors and unpaired docs, drops members") {
+      import spark.implicits._
+      val corpus = docs(1L -> "a", 2L -> "b", 3L -> "c", 9L -> "solo")
+      val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+      Dedup.applyClusters(corpus, clusters, "doc_id")
+        .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 9L)
+    }
   }
 
   describe("VectorOps + Ann") {
