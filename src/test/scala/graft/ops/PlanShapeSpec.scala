@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-shape guards for the corpus-prep operators: the properties
+  * that make them survive 100× are PLAN properties, so they are
+  * asserted here against the executed plan — a refactor that
+  * reintroduces a global single-partition window or an all-pairs
+  * join fails the suite, not just the benchmark.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+      case q: QueryStageExec => walk(q.plan)(f)
+      case other => other.children.foreach(walk(_)(f))
+    }
+  }
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    walk(p)(out += _)
+    out.toSeq
+  }
+
+  it("Packing never plans a global (empty-partition-key) window") {
+    val df = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("id", "tok")
+    val out = Packing.packSpans(df, "id", "tok", blockSize = 64L)
+    out.collect()
+    val windows = nodes(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    windows should not be empty
+    // every window partitions by the bucket column — none is global
+    windows.foreach(_.partitionSpec should not be empty)
+  }
+
+  it("mixtureByTokens keeps the sampled side shuffle-free") {
+    val df = (1L to 500L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", 3L))
+      .toDF("doc_id", "stratum", "tok")
+    val kept = Sampling.mixtureByTokens(df, "stratum", "doc_id",
+      col("tok"), Map("a" -> 0.5, "b" -> 0.5))
+    kept.collect()
+    // the keep predicate is a pure row filter: zero exchanges in the
+    // kept-rows plan (the supply agg ran eagerly inside the call)
+    nodes(kept.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
+  }
+
+  it("SegmentDedup's election carries no segment text in the grouping key") {
+    import graft.dedup.SegmentDedup
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val docs = (1L to 50L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val out = SegmentDedup.dedupSegments(docs, "doc_id", "text", 2)
+    out.collect()
+    // the winner-election aggregate (min(struct) plans as an object/
+    // sort aggregate) keys by (h, slen) — hash + length, never the
+    // segment text itself
+    val aggs = nodes(out.queryExecution.executedPlan)
+      .collect { case a: BaseAggregateExec => a }
+    aggs.filter(_.groupingExpressions.map(_.name).toSet == Set("h", "slen")) should
+      not be empty
+    aggs.filter(_.groupingExpressions.exists(_.name == "seg")) shouldBe empty
+  }
+}
