@@ -123,33 +123,77 @@ object Profile {
       Seq(
         percentile_approx(col(c).cast("double"), qArr, lit(accuracy))
           .as(s"${c}__a"),
-        count(col(c)).as(s"${c}__n"))
+        count(col(c)).as(s"${c}__n"),
+        // bounds ride the same scan: they seed the exact harness's
+        // range buckets below for free
+        min(col(c).cast("double")).as(s"${c}__lo"),
+        max(col(c).cast("double")).as(s"${c}__hi"))
     }
     val first = df.agg(pass1.head, pass1.tail: _*).head()
 
-    // exact type-1 quantiles: ONE job for all columns. Rows collapse
-    // to (column, value, count) with map-side partial aggregation
-    // FIRST (tie-dense columns shrink by orders of magnitude), then a
-    // running-count window over the DISTINCT values — partitioned by
-    // column, so columns sort in parallel and each sorted partition
-    // holds at most that column's distinct values, never the rows.
-    // The element at target rank t is the first value whose running
-    // count reaches t. Harness-only: production profiling at scale is
-    // the approx sketch above.
+    // exact type-1 quantiles: ONE pipeline for all columns. Rows
+    // collapse to (column, value, count) with map-side partial
+    // aggregation FIRST (tie-dense columns shrink by orders of
+    // magnitude). The running count over each column's sorted
+    // distinct values is then a TWO-PHASE prefix sum — NOT a window
+    // partitioned only by column, which would sort every distinct
+    // value of a high-cardinality column in one reducer (the classic
+    // 100×-scale killer): values range-bucket on fixed bounds from a
+    // cheap min/max agg, per-(column,bucket) subtotal prefix sums
+    // fold on the driver (≤ cols·nBuckets scalars), and the
+    // within-bucket running sum is a window partitioned by
+    // (column, bucket) — every bucket sorts in parallel. The element
+    // at target rank t is the value whose cumulative interval
+    // (cum-cnt, cum] contains t. Harness-only: production profiling
+    // at scale is the approx sketch above.
     val targetsByCol: Map[String, Seq[Long]] = cols.map { c =>
       val n = first.getLong(first.fieldIndex(s"${c}__n"))
       c -> qs.map(q => math.max(1L, math.ceil(q * n).toLong)).distinct
     }.toMap
     val allTargets = targetsByCol.values.flatten.toSeq.distinct
     val exactByCol: Map[String, Map[Long, Double]] = {
-      val counts = df.select(explode(array(cols.map(c =>
-          struct(lit(c).as("cn"), col(c).cast("double").as("v"))): _*)).as("p"))
-        .select(col("p.cn"), col("p.v")).na.drop(Seq("v"))
-        .groupBy("cn", "v").agg(count(lit(1)).as("cnt"))
+      val nBuckets = 64
+      // fixed-width range buckets from pass1's bounds: a literal,
+      // monotone-in-v expression — deterministic, no sampling
+      def bucketOf(c: String, v: org.apache.spark.sql.Column) = {
+        val fiLo = first.fieldIndex(s"${c}__lo")
+        if (first.isNullAt(fiLo)) lit(0L)
+        else {
+          val lo = first.getDouble(fiLo)
+          val hi = first.getDouble(first.fieldIndex(s"${c}__hi"))
+          val w = if (hi > lo) (hi - lo) / nBuckets else 1.0
+          least(greatest(floor((v - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+            lit(nBuckets - 1L))
+        }
+      }
+      def exploded = df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("cn"), col(c).cast("double").as("v"),
+            bucketOf(c, col(c).cast("double")).as("b"))): _*)).as("p"))
+        .select(col("p.cn"), col("p.v"), col("p.b")).na.drop(Seq("v"))
+      // phase 1: per-(column,bucket) ROW subtotals straight off the
+      // scan — ≤ cols·nBuckets rows to the driver, prefix-summed here
+      val subtotals = exploded.groupBy("cn", "b")
+        .agg(count(lit(1)).as("bsum"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val bases = subtotals.keys.toSeq.sorted.groupBy(_._1).flatMap {
+        case (cn, ks) =>
+          ks.scanLeft((cn, -1L) -> 0L) { case ((_, acc), k) =>
+            k -> (acc + subtotals(k))
+          }.init.zip(ks).map { case (((_, _), base), k) => k -> base }
+      }
+      val baseDf = broadcast(df.sparkSession
+        .createDataFrame(bases.toSeq.map { case ((cn, b), base) => (cn, b, base) })
+        .toDF("cn", "b", "base"))
+      // phase 2: distinct-value counts, then the within-bucket running
+      // sum — a window partitioned by (column, bucket), so every
+      // bucket sorts in PARALLEL (never one reducer per column)
+      val counts = exploded.groupBy("cn", "b", "v").agg(count(lit(1)).as("cnt"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cn").orderBy(col("v"))
+        .partitionBy("cn", "b").orderBy(col("v"))
       // a value with running count cum occupies ranks (cum-cnt, cum]
-      val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+      val cum = counts.join(baseDf, Seq("cn", "b"))
+        .withColumn("cum", col("base") + sum(col("cnt")).over(w))
       val hitsRaw = cum.filter(allTargets.map(t =>
           col("cum") >= t && (col("cum") - col("cnt")) < t).reduce(_ || _))
         .select("cn", "v", "cnt", "cum").collect()

@@ -48,6 +48,12 @@ class ProfileSpec extends SparkSpec {
         .collect()
       coarse.head.getBoolean(3) shouldBe true
     }
+    it("quantiles: a constant column (degenerate bucket width) is exact") {
+      val df = Seq.fill(50)(7.5).toDF("x")
+      val out = Profile.quantiles(df, Seq("x"), Seq(0.25, 0.5, 0.99)).collect()
+      all(out.map(_.getDouble(2))) shouldBe 7.5
+      all(out.map(_.getBoolean(3))) shouldBe true
+    }
     it("quantiles: empty column yields null exact and false flag") {
       val df = Seq[(java.lang.Double, Long)]((null, 1L), (null, 2L))
         .toDF("x", "k")
