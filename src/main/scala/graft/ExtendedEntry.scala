@@ -920,7 +920,50 @@ object ExtendedEntry {
       .toDF("n_rows", "rows_preserved", "compacted")
   }
 
+  // ---------------------------------------------------------------
+  // q90 — global ORDER BY layout (total-order file clustering):
+  // deterministic fixed-bound range pids (no sampled boundaries),
+  // one shuffle to write, per-file min/max read BACK from the
+  // written layout; gate checks disjoint increasing ranges across
+  // the file order (monotone_ok via lag) and range-predicate
+  // pruning. DuckDB restates the entire pipeline from lineitem.
+  // ---------------------------------------------------------------
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ZOrder
+    val base = s"target/scratch/q90_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    val b = li.agg(min(col("l_extendedprice")).cast("double"),
+      max(col("l_extendedprice")).cast("double")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    // sort by (pid, v): the dynamic-partition write REQUIRES a sort
+    // on the partition column and would insert its own (unstable,
+    // pid-only) sort otherwise, destroying the value order inside
+    // each file
+    ZOrder.assignSorted(li, "l_extendedprice", lo, hi, 16)
+      .repartition(col("pid"))
+      .sortWithinPartitions("pid", "l_extendedprice")
+      .write.partitionBy("pid").parquet(base)
+    // stats come from the WRITTEN layout, not the pre-write plan
+    val back = s.read.parquet(base)
+      .groupBy(col("pid").cast("long").as("pid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("v_min"),
+        max(col("l_extendedprice")).as("v_max"))
+    val w = Window.orderBy("pid") // <= 16 rows: metadata-sized window
+    val probeLo = lo + 0.45 * (hi - lo)
+    val probeHi = lo + 0.55 * (hi - lo)
+    back
+      .withColumn("monotone_ok",
+        coalesce(lag(col("v_max"), 1).over(w) < col("v_min"), lit(true)))
+      .withColumn("would_scan",
+        !(col("v_max") < probeLo || col("v_min") > probeHi))
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_sorted_layout" -> (q90 _),
     "q80_compaction" -> (q80 _),
     "q79_stream_decontaminate" -> (q79 _),
     "q78_zorder_layout" -> (q78 _),
@@ -1166,6 +1209,26 @@ object ExtendedEntry {
     "q80_compaction" ->
       """SELECT count(*) AS n_rows, TRUE AS rows_preserved,
         |  TRUE AS compacted FROM documents""".stripMargin,
+    "q90_sorted_layout" ->
+      """WITH s AS (
+        |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hi
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT l_extendedprice AS v, lo, hi,
+        |    CAST(floor(((CAST(l_extendedprice AS DOUBLE) - lo) * 16.0)
+        |      / ((hi - lo) + 1e-9)) AS BIGINT) AS pid
+        |  FROM lineitem, s
+        |), g AS (
+        |  SELECT pid, count(*) AS n_rows, min(v) AS v_min, max(v) AS v_max,
+        |    min(lo) AS lo, min(hi) AS hi
+        |  FROM b GROUP BY pid
+        |)
+        |SELECT pid, n_rows, v_min, v_max,
+        |  COALESCE(lag(v_max) OVER (ORDER BY pid) < v_min, TRUE) AS monotone_ok,
+        |  NOT (v_max < lo + 0.45 * (hi - lo)
+        |    OR v_min > lo + 0.55 * (hi - lo)) AS would_scan
+        |FROM g ORDER BY pid""".stripMargin,
     "q65_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -65,6 +65,22 @@ object ZOrder {
       .withColumn("pid", shiftright(col("zv"), 2 * bits - partitionBits))
   }
 
+  /** 1-D total-order layout (the plain ORDER BY clustering — Delta
+    * OPTIMIZE ... ZORDER BY a single column degenerates to this;
+    * Iceberg calls it a sort order): deterministic fixed-bound range
+    * partitions from the same `bucket` arithmetic, so the file
+    * boundaries are a pure function of (lo, hi, partitions) — unlike
+    * `repartitionByRange`, whose sampled boundaries move run to run.
+    * Callers write with `.repartition(col("pid"))
+    * .sortWithinPartitions(vCol)` + `partitionBy("pid")`: one
+    * shuffle, and consecutive files carry disjoint, increasing value
+    * ranges — a range predicate then prunes to the few files whose
+    * [min,max] it intersects.
+    */
+  def assignSorted(df: DataFrame, vCol: String,
+      lo: Double, hi: Double, partitions: Int): DataFrame =
+    df.withColumn("pid", bucket(col(vCol), lo, hi, partitions))
+
   /** Per-file (= per-pid) skipping index over the laid-out data: the
     * min/max ranges a scan planner consults, plus whether a box
     * predicate on (xCol, yCol) would have to scan the file.

@@ -72,4 +72,40 @@ class ZOrderSpec extends SparkSpec {
       zScan should be <= 4
     }
   }
+
+  describe("assignSorted (1-D total-order layout)") {
+    it("written files carry disjoint increasing ranges and are sorted inside") {
+      import org.apache.hadoop.fs.Path
+      val rnd = new scala.util.Random(7)
+      val df = (1 to 2000).map(i => (i.toLong, rnd.nextDouble() * 500))
+        .toDF("id", "v")
+      val base = "target/scratch/sorted_layout_spec"
+      val fs = new Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(base), true)
+      // (pid, v) sort: satisfies the dynamic-partition write's sort
+      // requirement, so Spark doesn't insert its own pid-only
+      // (unstable) sort over it
+      ZOrder.assignSorted(df, "v", 0.0, 500.0, 8)
+        .repartition(col("pid")).sortWithinPartitions("pid", "v")
+        .write.partitionBy("pid").parquet(base)
+      // disjoint increasing ranges across pid order
+      val stats = spark.read.parquet(base)
+        .groupBy(col("pid").cast("long").as("pid"))
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .orderBy("pid").as[(Long, Double, Double)].collect()
+      stats.sliding(2).foreach {
+        case Array(a, b) => a._3 should be < b._2
+        case _ =>
+      }
+      // inside one physical file the rows are value-sorted (single
+      // small file -> single input split -> collect preserves order)
+      val pid0 = fs.listStatus(new Path(s"$base/pid=0"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      pid0 should not be empty
+      val rows = spark.read.parquet(pid0.head.getPath.toString)
+        .select("v").as[Double].collect()
+      rows shouldBe rows.sorted
+    }
+  }
 }
