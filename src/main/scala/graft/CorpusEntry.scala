@@ -200,7 +200,29 @@ object CorpusEntry {
       .toDF("n_rows", "n_candidates", "n_deleted", "fresh_kept", "table_kept")
   }
 
+  // ---------------------------------------------------------------
+  // q91 — percentile-thresholded quality filter ("drop the bottom
+  // decile"): the exact type-1 p10 of the quality score (via the
+  // q74-proven two-phase quantile harness) becomes the keep
+  // predicate; per-language survivor stats are the gate. The
+  // threshold itself is data-derived — no magic constants.
+  // ---------------------------------------------------------------
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val prof = graft.quality.Profile.quantiles(scored, Seq("quality"), Seq(0.1))
+      .head()
+    val thr = prof.getAs[Double]("exact_v")
+    scored.filter(col("quality") >= thr)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("quality")), 9).as("min_quality"))
+      .withColumn("threshold", round(lit(thr), 9))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_quality_filter" -> (q91 _),
     "q81_paragraph_dedup" -> (q81 _),
     "q82_sequence_packing" -> (q82 _),
     "q83_mixture_sampling" -> (q83 _),
@@ -395,5 +417,17 @@ object CorpusEntry {
     "q88_vacuum" ->
       """SELECT count(*) AS n_rows, 4 AS n_candidates, 3 AS n_deleted,
         |  TRUE AS fresh_kept, TRUE AS table_kept
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q91_quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${PipelineEntry.QualitySql} AS quality
+         |  FROM documents
+         |), thr AS (
+         |  SELECT quantile_disc(quality, 0.1) AS t FROM scored
+         |)
+         |SELECT lang, count(*) AS n_kept,
+         |  round(min(quality), 9) AS min_quality,
+         |  round(min(t), 9) AS threshold
+         |FROM scored, thr WHERE quality >= t
+         |GROUP BY lang ORDER BY lang""".stripMargin)
 }
