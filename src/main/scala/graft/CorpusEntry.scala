@@ -221,7 +221,31 @@ object CorpusEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------
+  // q92 — context-length truncation: cap every doc at 32 tokens (the
+  // trainer's max-sequence clip), keeping the prefix. Pure per-row
+  // expression — zero shuffles beyond the output sort. The gate
+  // verifies the truncated CONTENT via the cross-engine rolling
+  // fingerprint, not just the counts.
+  // ---------------------------------------------------------------
+  private val MaxTokens = 32
+
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val n = size(toks).cast("long")
+    val clipped = when(n > MaxTokens,
+      array_join(slice(toks, 1, MaxTokens), " ")).otherwise(trim(col("text")))
+    t(s, dir, "documents").select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        least(n, lit(MaxTokens.toLong)).as("kept_tokens"),
+        (n > MaxTokens).as("was_truncated"),
+        TextAnalysis.rollingFingerprint(clipped).as("fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_truncate_tokens" -> (q92 _),
     "q91_quality_filter" -> (q91 _),
     "q81_paragraph_dedup" -> (q81 _),
     "q82_sequence_packing" -> (q82 _),
@@ -429,5 +453,27 @@ object CorpusEntry {
          |  round(min(quality), 9) AS min_quality,
          |  round(min(t), 9) AS threshold
          |FROM scored, thr WHERE quality >= t
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q92_truncate_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+         |    CAST($WsTok AS BIGINT) AS n, trim(text) AS tt
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n, least(n, $MaxTokens) AS kept,
+         |    n > $MaxTokens AS was_truncated,
+         |    CASE WHEN n > $MaxTokens
+         |         THEN array_to_string(w[1:$MaxTokens], ' ') ELSE tt END AS txt
+         |  FROM t
+         |)
+         |SELECT doc_id, n AS n_tokens, CAST(kept AS BIGINT) AS kept_tokens,
+         |  was_truncated,
+         |  CASE WHEN length(txt) = 0 THEN 0 ELSE
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(txt) + 1),
+         |          i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007)
+         |  END AS fp
+         |FROM c ORDER BY doc_id""".stripMargin)
 }
