@@ -96,7 +96,34 @@ object GraftExtensions {
         case Seq(a, b) => graft.functions.VectorExprs.CosineSim(a, b)
         case _ => throw new IllegalArgumentException(
           "graft_cosine(a, b) takes 2 arguments")
+      }),
+    (FunctionIdentifier("graft_mix30"),
+      info("graft_mix30",
+        "_FUNC_(k) - cross-engine 30-bit avalanche (deterministic sampling " +
+          "hash; input must be < 2^30)"),
+      (children: Seq[Expression]) => children match {
+        case Seq(k) => mix30Expr(k)
+        case _ => throw new IllegalArgumentException(
+          "graft_mix30(k) takes 1 argument")
       }))
+
+  /** TextHashExprs.mix30 as a resolved catalyst tree (the registry
+    * builder can't analyze Column-form unresolved functions, so the
+    * composition is spelled in catalyst nodes here; constants mirror
+    * TextHashExprs.mix30 and Sampling.mix30 — GraftFunctionsSpec pins
+    * all three equal).
+    */
+  private def mix30Expr(k: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseXor, Cast, Multiply, Pmod, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    val p = Literal(1073741789L) // largest prime < 2^30
+    val x0 = Cast(k, LongType)
+    val x1 = BitwiseXor(x0, ShiftRight(x0, Literal(16)))
+    val x2 = Pmod(Multiply(x1, Literal(0x9E3779B1L)), p)
+    val x3 = BitwiseXor(x2, ShiftRight(x2, Literal(13)))
+    val x4 = Pmod(Multiply(x3, Literal(0x85EBCA77L)), p)
+    BitwiseXor(x4, ShiftRight(x4, Literal(16)))
+  }
 
   /** Imperative registration into a live session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

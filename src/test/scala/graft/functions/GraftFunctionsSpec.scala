@@ -41,6 +41,14 @@ class GraftFunctionsSpec extends SparkSpec {
       r.getDouble(0) shouldBe 1.0 +- 1e-12
       r.getDouble(1) shouldBe 0.0 +- 1e-12
     }
+    it("registers graft_mix30, matching the JVM mix and the Column form") {
+      GraftExtensions.register(spark)
+      val viaSql = spark.sql(
+        "SELECT graft_mix30(12345L) AS m, graft_mix30(0L) AS z").head()
+      viaSql.getLong(0) shouldBe
+        graft.functions.TextHashExprs.mix30(12345L)
+      viaSql.getLong(1) shouldBe graft.functions.TextHashExprs.mix30(0L)
+    }
     it("rejects a non-literal shingle size") {
       GraftExtensions.register(spark)
       an[Exception] should be thrownBy
