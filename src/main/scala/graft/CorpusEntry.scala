@@ -244,7 +244,20 @@ object CorpusEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q93 — BM25 ranked retrieval (lexical search, the sparse
+  // counterpart of the ANN family): top-20 docs for a 3-term query.
+  // Per-term scores round to 9dp and sum as DECIMAL (exact,
+  // order-independent), so shuffle reduction order can't flip ranks.
+  // ---------------------------------------------------------------
+  private val Bm25Terms = Seq("spark", "fast", "merge")
+
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+      Bm25Terms, topK = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_bm25_search" -> (q93 _),
     "q92_truncate_tokens" -> (q92 _),
     "q91_quality_filter" -> (q91 _),
     "q81_paragraph_dedup" -> (q81 _),
@@ -475,5 +488,41 @@ object CorpusEntry {
          |          i -> CAST(ascii(substr(txt, i, 1)) AS BIGINT))),
          |      (acc, c) -> (acc * 31 + c) % 1000000007)
          |  END AS fp
-         |FROM c ORDER BY doc_id""".stripMargin)
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // every float step mirrors the Column expression's association
+    // order; per-term scores round to 9dp then sum as DECIMAL, so the
+    // total is order-independent in both engines
+    "q93_bm25_search" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST($WsTok AS BIGINT) AS len FROM documents
+         |), corpus AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    (CAST(sum($WsTok) AS DOUBLE) / CAST(count(*) AS BIGINT)) AS avg_len
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+         |    FROM documents)
+         |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(round(
+         |      (ln(CAST(1.0 AS DOUBLE)
+         |          + ((CAST(c.n AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
+         |             / (d.df + CAST(0.5 AS DOUBLE))))
+         |       * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+         |      / (t.tf + (CAST(1.2 AS DOUBLE)
+         |          * (CAST(0.25 AS DOUBLE)
+         |             + ((CAST(0.75 AS DOUBLE) * l.len) / c.avg_len)))),
+         |      9) AS DECIMAL(28,9)) AS s
+         |  FROM tf t JOIN dfreq d USING (term)
+         |  JOIN lens l ON t.doc_id = l.doc_id, corpus c
+         |)
+         |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score,
+         |  count(*) AS n_terms_hit
+         |FROM scored GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
 }

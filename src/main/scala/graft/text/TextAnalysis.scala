@@ -300,6 +300,54 @@ object TextAnalysis {
     * doc_id — parallel, bounded by one doc's vocabulary. `nDocs` is
     * the corpus doc count (one cheap count, or a known catalog stat).
     */
+  /** BM25 ranked retrieval — the lexical-search counterpart of the
+    * dense ANN family: score every document against a bag of query
+    * terms and return the top `topK`.
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                        (tf(t,d) + k1·(1 − b + b·|d|/avgLen))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+    *
+    * Determinism across engines: each per-term score is rounded to
+    * 9 decimals and summed as DECIMAL — decimal addition is exact
+    * and order-independent, so the shuffle's reduction order can't
+    * flip ranks the way a double sum could. Ranking is on the
+    * rounded total with doc_id tiebreak.
+    *
+    * 100 TB shape: the term filter is a scan-level IN predicate
+    * (only query-term postings survive the explode), tf/df are
+    * partial-aggregatable groupBys, the df side is |terms| rows
+    * (broadcast), and top-k is TakeOrdered — no global sort
+    * materializes.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && topK > 0, "need terms and topK > 0")
+    val lens = docs.select(col(idCol).as("doc_id"),
+      wsTokenCount(col(textCol)).as("len"))
+    val corpus = docs.agg(count(lit(1)), sum(wsTokenCount(col(textCol)))).head()
+    val n = corpus.getLong(0)
+    val avgLen = corpus.getLong(1).toDouble / n
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgLen)))
+    tf.join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .withColumn("s", round(termScore, 9).cast("decimal(28,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast("double").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       nDocs: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

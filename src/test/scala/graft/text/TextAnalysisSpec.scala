@@ -120,6 +120,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  describe("bm25Search") {
+    it("ranks docs dense in rare query terms first") {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "rare rare rare pad pad pad"),   // dense in the rare term
+        (2L, "rare pad pad pad pad pad"),
+        (3L, "common pad pad pad pad pad"),
+        (4L, "common common pad pad pad pad"),
+        (5L, "common pad pad pad pad pad"),
+        (6L, "common pad pad pad pad pad")).toDF("doc_id", "text")
+      val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+        Seq("rare", "common"), topK = 3)
+        .select("doc_id").as[Long].collect()
+      // 'rare' (df=2) outweighs 'common' (df=4); tf breaks the rest
+      out.head shouldBe 1L
+      out should contain(2L)
+    }
+    it("is deterministic: two runs return identical rows in order") {
+      import spark.implicits._
+      val docs = (1L to 200L)
+        .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} pad"))
+        .toDF("doc_id", "text")
+      val q = Seq("w0", "w1", "w2")
+      val a = TextAnalysis.bm25Search(docs, "doc_id", "text", q, 10).collect()
+      val b = TextAnalysis.bm25Search(docs, "doc_id", "text", q, 10).collect()
+      a.map(_.toString) shouldBe b.map(_.toString)
+    }
+  }
+
   describe("tfidfTopK") {
     it("ranks rare-but-frequent words above ubiquitous ones") {
       import spark.implicits._
