@@ -256,7 +256,36 @@ object CorpusEntry {
     TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
       Bm25Terms, topK = 20)
 
+  // ---------------------------------------------------------------
+  // q94 — hybrid retrieval: BM25 top-20 (lexical) ∪ cosine top-20
+  // (dense, query = vec 0) fused by reciprocal-rank fusion
+  // (1/(60+r), the standard RRF constant). Both legs are rank-stable
+  // by construction (q93's decimal sums, q27's bit-reproducible
+  // sequential-double cosine), so the fused order is deterministic.
+  // The post-leg windows/sorts touch ≤20 rows — metadata-sized.
+  // ---------------------------------------------------------------
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, topK = 20)
+      .withColumn("lr", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lr"))
+    val vecs = t(s, dir, "embeddings")
+    val dense = graft.ann.Ann.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("dr"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)), 9))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "lr", "dr", "rrf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_hybrid_search" -> (q94 _),
     "q93_bm25_search" -> (q93 _),
     "q92_truncate_tokens" -> (q92 _),
     "q91_quality_filter" -> (q91 _),
@@ -493,36 +522,74 @@ object CorpusEntry {
     // order; per-term scores round to 9dp then sum as DECIMAL, so the
     // total is order-independent in both engines
     "q93_bm25_search" ->
-      s"""WITH lens AS (
-         |  SELECT doc_id, CAST($WsTok AS BIGINT) AS len FROM documents
-         |), corpus AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n,
-         |    (CAST(sum($WsTok) AS DOUBLE) / CAST(count(*) AS BIGINT)) AS avg_len
-         |  FROM documents
-         |), tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
-         |    FROM documents)
-         |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
-         |  GROUP BY doc_id, term
-         |), dfreq AS (
-         |  SELECT term, count(*) AS df FROM tf GROUP BY term
-         |), scored AS (
-         |  SELECT t.doc_id,
-         |    CAST(round(
-         |      (ln(CAST(1.0 AS DOUBLE)
-         |          + ((CAST(c.n AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
-         |             / (d.df + CAST(0.5 AS DOUBLE))))
-         |       * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
-         |      / (t.tf + (CAST(1.2 AS DOUBLE)
-         |          * (CAST(0.25 AS DOUBLE)
-         |             + ((CAST(0.75 AS DOUBLE) * l.len) / c.avg_len)))),
-         |      9) AS DECIMAL(28,9)) AS s
-         |  FROM tf t JOIN dfreq d USING (term)
-         |  JOIN lens l ON t.doc_id = l.doc_id, corpus c
+      s"""WITH $Bm25Cte
+         |SELECT doc_id, score, n_terms_hit
+         |FROM bm ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q94_hybrid_search" ->
+      s"""WITH $Bm25Cte, lextop AS (
+         |  SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20
+         |), lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS INT) AS lr
+         |  FROM lextop
+         |), qv AS (
+         |  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS a
+         |  FROM embeddings WHERE vec_id = 0
+         |), cv AS (
+         |  SELECT vec_id AS doc_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS b
+         |  FROM embeddings WHERE vec_id <> 0
+         |), cos AS (
+         |  SELECT doc_id, ${PipelineEntry.cosSql("a", "b")} AS cos
+         |  FROM cv, qv
+         |), dense AS (
+         |  SELECT doc_id, CAST(rk AS INT) AS dr FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY cos DESC, doc_id) AS rk
+         |    FROM cos)
+         |  WHERE rk <= 20
          |)
-         |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score,
-         |  count(*) AS n_terms_hit
-         |FROM scored GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+         |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lr, d.dr,
+         |  round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lr), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dr), CAST(0 AS DOUBLE)),
+         |    9) AS rrf
+         |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+
+  /** Shared BM25 CTE chain (lens → corpus stats → tf → df → rounded
+    * per-term decimal scores → per-doc totals). No leading WITH.
+    */
+  private lazy val Bm25Cte: String =
+    s"""lens AS (
+       |  SELECT doc_id, CAST($WsTok AS BIGINT) AS len FROM documents
+       |), corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    (CAST(sum($WsTok) AS DOUBLE) / CAST(count(*) AS BIGINT)) AS avg_len
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |    FROM documents)
+       |  WHERE term IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, term
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), bmscored AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(
+       |      (ln(CAST(1.0 AS DOUBLE)
+       |          + ((CAST(c.n AS DOUBLE) - d.df + CAST(0.5 AS DOUBLE))
+       |             / (d.df + CAST(0.5 AS DOUBLE))))
+       |       * (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+       |      / (t.tf + (CAST(1.2 AS DOUBLE)
+       |          * (CAST(0.25 AS DOUBLE)
+       |             + ((CAST(0.75 AS DOUBLE) * l.len) / c.avg_len)))),
+       |      9) AS DECIMAL(28,9)) AS s
+       |  FROM tf t JOIN dfreq d USING (term)
+       |  JOIN lens l ON t.doc_id = l.doc_id, corpus c
+       |), bm AS (
+       |  SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score,
+       |    count(*) AS n_terms_hit
+       |  FROM bmscored GROUP BY doc_id
+       |)""".stripMargin
 }

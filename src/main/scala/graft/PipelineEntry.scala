@@ -620,7 +620,7 @@ object PipelineEntry {
     * CosineSim loop (float→double widening, in-order accumulation):
     * list_reduce(prepend 0.0) folds left in index order.
     */
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |    list_transform(range(1, len($a) + 1), i -> $a[i]*$b[i])), (acc, v) -> acc + v)
        |  / sqrt(

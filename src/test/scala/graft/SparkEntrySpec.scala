@@ -12,10 +12,10 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q93)") {
-      SparkEntry.queries.size shouldBe 93
+    it("covers the full SURVEY inventory (q01..q94)") {
+      SparkEntry.queries.size shouldBe 94
       val nums = SparkEntry.queries.keySet.map(_.take(3))
-      nums shouldBe (1 to 93).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 94).map(i => f"q$i%02d").toSet
     }
     it("every registered query carries a DuckDB oracle") {
       SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet shouldBe empty
