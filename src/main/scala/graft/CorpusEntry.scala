@@ -71,11 +71,11 @@ object CorpusEntry {
       col("doc_id"),
       stratumCol(col("source")).as("stratum"),
       TextAnalysis.wsTokenCount(col("text")).as("tok"))
+    // ONE supply aggregate feeds both the sampler and the report's
+    // fraction column
+    val supply = Sampling.tokenSupply(d, "stratum", col("tok"))
     val kept = Sampling.mixtureByTokens(d, "stratum", "doc_id",
-      col("tok"), MixWeights)
-    // fraction column for the gate: same driver math, |strata| scalars
-    val supply = d.groupBy("stratum").agg(sum("tok").cast("long").as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      MixWeights, supply)
     val fr = Sampling.mixtureFractions(supply, MixWeights).toSeq
     val frDf = s.createDataFrame(fr).toDF("stratum", "f")
     kept.groupBy("stratum")
@@ -172,8 +172,7 @@ object CorpusEntry {
   // swap might still own. Retention = 1h: the three expired go, the
   // fresh one and the live table survive. Contract-gated.
   // ---------------------------------------------------------------
-  private def sanitize(dir: String): String =
-    dir.replaceAll("[^0-9a-zA-Z]", "_")
+  private def sanitize(dir: String): String = ExtendedEntry.sanitize(dir)
 
   private def q88(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Vacuum

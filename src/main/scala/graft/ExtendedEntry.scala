@@ -27,7 +27,10 @@ object ExtendedEntry {
 
   private def dec2(c: Column) = c.cast("decimal(18,2)")
 
-  private def sanitize(dir: String): String =
+  /** Scratch-path key for an SF dir — shared by every entry object
+    * so per-query scratch dirs follow one naming scheme.
+    */
+  private[graft] def sanitize(dir: String): String =
     dir.replaceAll("[^0-9a-zA-Z]", "_")
 
   /** Stateful streaming queries commit one state-store file PER

@@ -84,9 +84,15 @@ object SegmentDedup {
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
           _.getField("seg")), " ").as("text_kept"))
-    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    // anchor totals on the DOC LIST, not the exploded segments — a
+    // doc with an empty segment array explodes to zero rows and must
+    // still get its contracted (doc_id, 0, 0, "") output row
+    docs.select(col(idCol).as("doc_id"))
+      .join(segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs")),
+        Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segs"),
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }

@@ -56,7 +56,16 @@ object PointInTime {
       payload: Seq[String]): DataFrame = {
     require(!facts.columns.contains(ValidTo),
       s"facts already has a $ValidTo column")
-    val carried = AsOfJoin(facts, history, keys, factTs, ValidFrom,
+    // zero-width versions ([t, t) — produced by historyFromChanges
+    // when a key changes twice at one timestamp) match NO fact by
+    // interval semantics, but would TIE with their same-valid_from
+    // successor in the as-of carry and win nondeterministically.
+    // Drop them up front; among non-empty intervals a duplicated
+    // valid_from implies an overlapping history, which is caller
+    // error here as everywhere.
+    val live = history.filter(
+      col(ValidTo).isNull || col(ValidTo) > col(ValidFrom))
+    val carried = AsOfJoin(facts, live, keys, factTs, ValidFrom,
       payload :+ ValidTo)
     // the carry window guarantees valid_from <= ts; a gapped history
     // can still leave ts past the carried version's end

@@ -108,11 +108,28 @@ object Sampling {
       strataCol: String,
       keyCol: String,
       tokensCol: Column,
-      weights: Map[String, Double]): DataFrame = {
-    require(weights.values.forall(_ > 0), "weights must be > 0")
-    val supply = df.groupBy(col(strataCol).as("s"))
+      weights: Map[String, Double]): DataFrame =
+    mixtureByTokens(df, strataCol, keyCol, weights,
+      tokenSupply(df, strataCol, tokensCol))
+
+  /** Per-stratum token supply — the one aggregate the mixture math
+    * needs. Exposed so callers who also want the fractions (for a
+    * report column) aggregate ONCE and share the map.
+    */
+  def tokenSupply(df: DataFrame, strataCol: String,
+      tokensCol: Column): Map[String, Long] =
+    df.groupBy(col(strataCol).as("s"))
       .agg(sum(tokensCol).cast("long").as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Precomputed-supply variant of `mixtureByTokens`. */
+  def mixtureByTokens(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      supply: Map[String, Long]): DataFrame = {
+    require(weights.values.forall(_ > 0), "weights must be > 0")
     val fractions = mixtureFractions(supply, weights)
     val thr = fractions.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
       case (e, (s, f)) =>

@@ -161,9 +161,21 @@ object Profile {
         else {
           val lo = first.getDouble(fiLo)
           val hi = first.getDouble(first.fieldIndex(s"${c}__hi"))
+          // NaN hi (any NaN in the column makes max() NaN) fails the
+          // > test and degrades width to 1.0 — real values then clamp
+          // into the top bucket, still monotone
           val w = if (hi > lo) (hi - lo) / nBuckets else 1.0
-          least(greatest(floor((v - lit(lo)) / lit(w)).cast("long"), lit(0L)),
-            lit(nBuckets - 1L))
+          // NaN VALUES never
+          // reach the buckets: na.drop below excludes both null and
+          // NaN (the pre-existing convention — NaN counts toward n
+          // via count(col) but can't be an exact quantile value, so
+          // NaN-rank targets report a NULL exact). The isnan branch
+          // is defense-in-depth should that drop ever move: NaN
+          // sorts LAST in Spark's double ordering, so the last
+          // bucket is its only rank-correct home.
+          when(isnan(v), lit(nBuckets - 1L)).otherwise(
+            least(greatest(floor((v - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+              lit(nBuckets - 1L)))
         }
       }
       def exploded = df.select(explode(array(cols.map(c =>

@@ -285,21 +285,6 @@ object TextAnalysis {
   // TF-IDF keyword extraction (q84)
   // ------------------------------------------------------------
 
-  /** Top-`k` keywords per document by TF-IDF:
-    * score = tf(d, w) · ln((N+1) / (df(w)+1)), ranked per doc by
-    * (round(score, 9) desc, word). Ranking on the ROUNDED score keeps
-    * the ordering engine-portable: a 1-ulp ln() difference can only
-    * flip the order of true ties, and those break on the word.
-    *
-    * 100 TB shape: tf is a partial-aggregatable groupBy on
-    * (doc, word); df is a second partial agg over tf's output (one
-    * row per distinct (doc, word) — already deduplicated, so a stop
-    * word's count arrives pre-combined per partition); the join back
-    * to score is on `word` against a |vocab|-row side that AQE
-    * broadcasts when it fits. The per-doc top-k window partitions by
-    * doc_id — parallel, bounded by one doc's vocabulary. `nDocs` is
-    * the corpus doc count (one cheap count, or a known catalog stat).
-    */
   /** BM25 ranked retrieval — the lexical-search counterpart of the
     * dense ANN family: score every document against a bag of query
     * terms and return the top `topK`.
@@ -348,6 +333,21 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Top-`k` keywords per document by TF-IDF:
+    * score = tf(d, w) · ln((N+1) / (df(w)+1)), ranked per doc by
+    * (round(score, 9) desc, word). Ranking on the ROUNDED score keeps
+    * the ordering engine-portable: a 1-ulp ln() difference can only
+    * flip the order of true ties, and those break on the word.
+    *
+    * 100 TB shape: tf is a partial-aggregatable groupBy on
+    * (doc, word); df is a second partial agg over tf's output (one
+    * row per distinct (doc, word) — already deduplicated, so a stop
+    * word's count arrives pre-combined per partition); the join back
+    * to score is on `word` against a |vocab|-row side that AQE
+    * broadcasts when it fits. The per-doc top-k window partitions by
+    * doc_id — parallel, bounded by one doc's vocabulary. `nDocs` is
+    * the corpus doc count (one cheap count, or a known catalog stat).
+    */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       nDocs: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -42,6 +42,12 @@ class SegmentDedupSpec extends SparkSpec {
         .as[(Long, Long, Long, String)].head()
       out shouldBe ((7L, 2L, 1L, "p q"))
     }
+    it("a doc with no segments still gets its contracted output row") {
+      val docs = Seq((1L, "a b"), (2L, "   ")).toDF("doc_id", "text")
+      val out = SegmentDedup.dedupSegments(docs, "doc_id", "text", 2)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+      out shouldBe Array((1L, 1L, 1L, "a b"), (2L, 0L, 0L, ""))
+    }
     it("reconstruction preserves original segment order") {
       val docs = Seq(
         (1L, "dup dup"),

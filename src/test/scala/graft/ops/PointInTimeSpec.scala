@@ -39,6 +39,20 @@ class PointInTimeSpec extends SparkSpec {
         (25L, Some("v2")),
         (100L, Some("v3")))
     }
+    it("two changes at one timestamp resolve deterministically to the later version") {
+      // historyFromChanges gives the first change a zero-width
+      // [10, 10) interval; interval semantics say only the second
+      // version is ever visible
+      val changes = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"))
+        .toDF("k", "ts", "change_id", "v")
+      val hist = PointInTime.historyFromChanges(changes, Seq("k"), "ts",
+        tiebreak = Seq("change_id"))
+      val facts = Seq((1L, 10L), (1L, 15L)).toDF("k", "ts")
+      val out = PointInTime.join(facts, hist, Seq("k"), "ts", Seq("v"))
+        .orderBy("ts").select("ts", "v")
+        .as[(Long, Option[String])].collect()
+      out shouldBe Array((10L, Some("b")), (15L, Some("b")))
+    }
     it("facts before the first version or inside a gap get NULL payload") {
       val facts = Seq((1L, 5L), (1L, 35L), (2L, 50L)).toDF("k", "ts")
       val out = PointInTime.join(facts, history, Seq("k"), "ts", Seq("ver"))

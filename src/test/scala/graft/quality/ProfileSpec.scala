@@ -48,6 +48,16 @@ class ProfileSpec extends SparkSpec {
         .collect()
       coarse.head.getBoolean(3) shouldBe true
     }
+    it("quantiles: NaN counts toward n but can't be an exact value") {
+      // na.drop excludes NaN from the candidate values (pre-existing
+      // convention), while count(col) includes it in n — so a target
+      // rank landing ON the NaN reports a NULL exact
+      val df = Seq(1.0, 2.0, Double.NaN).toDF("x")
+      val out = Profile.quantiles(df, Seq("x"), Seq(0.5, 0.99))
+        .orderBy("q").collect()
+      out.head.getDouble(2) shouldBe 2.0      // rank ceil(0.5*3)=2 → 2.0
+      out(1).isNullAt(2) shouldBe true        // rank 3 → the dropped NaN
+    }
     it("quantiles: a constant column (degenerate bucket width) is exact") {
       val df = Seq.fill(50)(7.5).toDF("x")
       val out = Profile.quantiles(df, Seq("x"), Seq(0.25, 0.5, 0.99)).collect()
