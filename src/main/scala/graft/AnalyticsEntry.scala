@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Funnel, GapFill}
+import graft.sources.Tables
+
+/** q95+: the analytics/cleaning tail — event funnels, time-series
+  * gap fill, weighted sampling, text canonicalization, format
+  * coverage, robust outliers. Same conventions as the earlier entry
+  * objects: every query carries an exact DuckDB oracle; doubles are
+  * decimal-summed and round-9'd; ranks break ties on ids.
+  */
+object AnalyticsEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------
+  // q95 — ordered-step event funnel (signup → view → click →
+  // purchase, 48h conversion window from the first signup): furthest
+  // stage per user + total conversion span. ONE hash exchange on
+  // user_id; the cascading first-qualifying-step columns share one
+  // window sort.
+  // ---------------------------------------------------------------
+  private val FunnelHorizonUs = 48L * 3600 * 1000 * 1000
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Funnel.report(Funnel.stages(
+      // MICROsecond ts on both sides: DuckDB reads the parquet
+      // TIMESTAMP(NANOS) column at micros resolution (truncating),
+      // so spans computed on raw nanos would differ sub-µs
+      t(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us",
+      FunnelSteps.map(st => st -> (col("event_type") === st)),
+      horizon = Some(FunnelHorizonUs), tiebreak = Seq("event_id")))
+
+  // ---------------------------------------------------------------
+  // q96 — time-series gap fill: regularize events onto the dense
+  // (user × day) spine, daily decimal sums forward-filled per user
+  // (LOCF). The daily reduction is the only data-sized shuffle; the
+  // spine is metadata-sized and the fill window partitions by user.
+  // ---------------------------------------------------------------
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    GapFill.dailyFill(ev, "user_id",
+        to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long"))),
+        sum(col("value").cast("decimal(18,6)")).cast("double"))
+      .select(col("user_id"),
+        // DATE round-trips with different pandas dtypes per engine;
+        // ISO string compares exactly
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"),
+        round(col("day_val"), 9).as("day_val"),
+        round(col("day_val_filled"), 9).as("filled_val"),
+        col("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_event_funnel" -> (q95 _),
+    "q96_gap_fill" -> (q96 _))
+
+  /** Shared window spec text for the funnel oracle's running mins. */
+  private val FunnelWin =
+    """OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q95_event_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts, event_type, event_id
+         |  FROM events
+         |), a AS (
+         |  SELECT *, CASE WHEN event_type = 'signup' THEN ts END AS q0 FROM e
+         |), b AS (
+         |  SELECT *, min(q0) $FunnelWin AS r0 FROM a
+         |), c AS (
+         |  SELECT *, CASE WHEN event_type = 'view' AND r0 IS NOT NULL
+         |    AND ts <= r0 + $FunnelHorizonUs THEN ts END AS q1 FROM b
+         |), d AS (
+         |  SELECT *, min(q1) $FunnelWin AS r1 FROM c
+         |), f AS (
+         |  SELECT *, CASE WHEN event_type = 'click' AND r1 IS NOT NULL
+         |    AND ts <= r0 + $FunnelHorizonUs THEN ts END AS q2 FROM d
+         |), g AS (
+         |  SELECT *, min(q2) $FunnelWin AS r2 FROM f
+         |), h AS (
+         |  SELECT *, CASE WHEN event_type = 'purchase' AND r2 IS NOT NULL
+         |    AND ts <= r0 + $FunnelHorizonUs THEN ts END AS q3 FROM g
+         |), agg AS (
+         |  SELECT user_id, min(q0) AS f0, min(q1) AS f1,
+         |    min(q2) AS f2, min(q3) AS f3
+         |  FROM h GROUP BY user_id
+         |), st AS (
+         |  SELECT CASE WHEN f3 IS NOT NULL THEN 4 WHEN f2 IS NOT NULL THEN 3
+         |    WHEN f1 IS NOT NULL THEN 2 WHEN f0 IS NOT NULL THEN 1
+         |    ELSE 0 END AS stage, f0, f3
+         |  FROM agg
+         |)
+         |SELECT stage, count(*) AS n_keys,
+         |  CAST(COALESCE(sum(f3 - f0), 0) AS BIGINT) AS total_span
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "q96_gap_fill" ->
+      """WITH b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM b
+        |), daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT u.user_id, d.day
+        |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d
+        |), j AS (
+        |  SELECT sp.user_id, sp.day,
+        |    CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events,
+        |    daily.v AS day_val, daily.v IS NULL AS is_gap
+        |  FROM sp LEFT JOIN daily USING (user_id, day)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+        |  round(day_val, 9) AS day_val,
+        |  round(last_value(day_val IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS filled_val,
+        |  is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin)
+}
