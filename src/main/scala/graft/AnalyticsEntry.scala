@@ -59,9 +59,60 @@ object AnalyticsEntry {
       .orderBy("user_id", "day")
   }
 
+  // ---------------------------------------------------------------
+  // q97 — weighted sampling without replacement (A-ES): 100 docs
+  // drawn ∝ token count. The score is a pure scan-level expression
+  // (no corpus shuffle); top-k plans as TakeOrdered.
+  // ---------------------------------------------------------------
+  private val SampleK = 100
+
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    import graft.text.TextAnalysis
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("weight"))
+      .withColumn("samp_key",
+        Sampling.weightedSampleKey(col("doc_id"), col("weight")))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(SampleK)
+  }
+
+  // ---------------------------------------------------------------
+  // q98 — Unicode canonicalization (NFC + accent fold): crawled text
+  // mixes NFC/NFD encodings of the same glyphs, which silently
+  // breaks hash dedup and term matching. Mixed-normalization input
+  // is synthesized deterministically per doc (the corpus is ASCII);
+  // the native codegen'd expressions normalize it per-row at the
+  // scan. Oracle: DuckDB's own nfc_normalize / strip_accents.
+  // ---------------------------------------------------------------
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeFns
+    val suffix = when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("cafe\u0301 nai\u0308ve")) // NFD: combining marks
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        lit("caf\u00e9 na\u00efve")) // NFC: precomposed
+      .otherwise(lit("cafe naive")) // plain ASCII
+    val raw = concat(substring(trim(col("text")), 1, 24), lit(" "), suffix)
+    t(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        UnicodeFns.nfcNormalize(col("raw")).as("norm"),
+        (UnicodeFns.nfcNormalize(col("raw")) =!= col("raw")).as("changed"),
+        length(col("raw")).as("len_raw"))
+      .select(col("doc_id"), col("changed"), col("len_raw"),
+        length(col("norm")).as("len_norm"),
+        substring(col("norm"), -12, 12).as("norm_tail"),
+        substring(UnicodeFns.foldAccents(col("norm")), -12, 12)
+          .as("folded_tail"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_event_funnel" -> (q95 _),
-    "q96_gap_fill" -> (q96 _))
+    "q96_gap_fill" -> (q96 _),
+    "q97_weighted_sample" -> (q97 _),
+    "q98_nfc_normalize" -> (q98 _))
 
   /** Shared window spec text for the funnel oracle's running mins. */
   private val FunnelWin =
@@ -130,5 +181,33 @@ object AnalyticsEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS filled_val,
         |  is_gap
-        |FROM j ORDER BY user_id, day""".stripMargin)
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    "q97_weighted_sample" -> {
+      import graft.ops.Sampling
+      val wsTok =
+        "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST($wsTok AS BIGINT) AS weight FROM documents
+         |)
+         |SELECT doc_id, weight,
+         |  ${Sampling.weightedSampleKeySql("doc_id", "weight")} AS samp_key
+         |FROM d ORDER BY samp_key DESC, doc_id LIMIT $SampleK""".stripMargin
+    },
+    "q98_nfc_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, substr(trim(text), 1, 24) || ' ' ||
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |      WHEN 1 THEN 'caf' || chr(233) || ' na' || chr(239) || 've'
+        |      ELSE 'cafe naive' END AS r
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, r, nfc_normalize(r) AS norm FROM raw
+        |)
+        |SELECT doc_id, norm <> r AS changed,
+        |  CAST(length(r) AS INT) AS len_raw,
+        |  CAST(length(norm) AS INT) AS len_norm,
+        |  right(norm, 12) AS norm_tail,
+        |  right(strip_accents(norm), 12) AS folded_tail
+        |FROM n ORDER BY doc_id""".stripMargin)
 }

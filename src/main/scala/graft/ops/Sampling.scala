@@ -52,6 +52,28 @@ object Sampling {
       lit((fraction * buckets).toLong))
   }
 
+  /** Weighted-sampling score (Efraimidis–Spirtakis A-ES, Inf. Proc.
+    * Lett. 2006): draw u ∈ (0,1] deterministically from mix30(key)
+    * and score r = u^(1/w); the k LARGEST r are exactly a weighted
+    * sample without replacement ("sample 100 docs ∝ token count").
+    *
+    * The score is a pure scan-level expression — no RNG state, no
+    * shuffle of the corpus; callers take the top-k with
+    * orderBy(desc).limit(k), which Spark plans as TakeOrdered
+    * (per-partition heaps + a k·P-row driver merge). Rounded to 9dp
+    * so a 1-ulp pow() difference between engines cannot flip ranks
+    * except on exact ties, which break on the key.
+    */
+  def weightedSampleKey(key: Column, weight: Column): Column = {
+    val u = (mix30(key) + lit(1L)).cast("double") / lit(1073741790.0)
+    round(pow(u, lit(1.0) / weight), 9)
+  }
+
+  /** SQL text of the same score, for oracle authorship. */
+  def weightedSampleKeySql(key: String, weight: String): String =
+    s"round(pow((${mix30Sql(key)} + 1) / CAST(1073741790 AS DOUBLE), " +
+      s"CAST(1.0 AS DOUBLE) / $weight), 9)"
+
   /** Cross-engine deterministic 30-bit avalanche of a non-negative
     * integral column — TextHashExprs.mix30 restated as Column
     * arithmetic (xor-shift + multiply mod the largest prime < 2³⁰,
