@@ -108,11 +108,56 @@ object AnalyticsEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q99 — WITHIN-document segment dedup (q81's shuffle-free sibling):
+  // repeated 12-word windows inside one doc collapse to their first
+  // occurrence; segments shared across docs survive. Pure per-row
+  // array expression — zero exchanges beyond the output sort.
+  // ---------------------------------------------------------------
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.SegmentDedup
+    SegmentDedup.dedupSegmentsWithinDoc(
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+        "doc_id", "text", words = 12)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q100 — URL canonicalization + domain-level dedup: synthesized
+  // case/port/tracking-param variants of the same logical URLs
+  // collapse to one canonical form per (source-domain, lang, k).
+  // The canonicalizer is a pure scan-level projection; the only
+  // shuffle is the per-domain report aggregate.
+  // ---------------------------------------------------------------
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    val k = pmod(col("doc_id"), lit(50)).cast("string")
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".example.com"))),
+      lit("/"), col("lang"), lit("/art-"), k,
+      lit("?utm_source=feed&id="), k,
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("&ref=tw")).otherwise(lit("")),
+      lit("#s"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(Urls.domain(col("url")).as("domain"),
+        Urls.canonicalize(col("url")).as("canon"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"),
+        min(col("canon")).as("sample_url"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_event_funnel" -> (q95 _),
     "q96_gap_fill" -> (q96 _),
     "q97_weighted_sample" -> (q97 _),
-    "q98_nfc_normalize" -> (q98 _))
+    "q98_nfc_normalize" -> (q98 _),
+    "q99_doc_segment_dedup" -> (q99 _),
+    "q100_url_canonicalize" -> (q100 _))
 
   /** Shared window spec text for the funnel oracle's running mins. */
   private val FunnelWin =
@@ -209,5 +254,67 @@ object AnalyticsEntry {
         |  CAST(length(norm) AS INT) AS len_norm,
         |  right(norm, 12) AS norm_tail,
         |  right(strip_accents(norm), 12) AS folded_tail
-        |FROM n ORDER BY doc_id""".stripMargin)
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q99_doc_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), segs AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(w[pos*12+1 : least((pos+1)*12, len(w))], ' ') AS seg
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w) / 12.0) AS INT))) AS pos
+        |        FROM t)
+        |), win AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+        |  FROM segs
+        |)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+        |    '') AS text_kept
+        |FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q100_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'HTTPS://WWW.' || source || '.Example.COM:443'
+        |      ELSE 'https://' || source || '.example.com' END
+        |    || '/' || lang || '/art-' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '&ref=tw' ELSE '' END
+        |    || '#s' AS url
+        |  FROM documents
+        |), p AS (
+        |  SELECT url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\.', '')
+        |      AS host,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*?:([0-9]+)', 1) AS port,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM u
+        |), c AS (
+        |  SELECT host AS domain,
+        |    scheme || '://' || host ||
+        |    CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+        |      OR (scheme = 'http' AND port = '80')
+        |      THEN '' ELSE ':' || port END ||
+        |    CASE WHEN path = '' THEN '/' ELSE path END ||
+        |    CASE WHEN len(keep) > 0
+        |      THEN '?' || array_to_string(keep, '&') ELSE '' END AS canon
+        |  FROM (SELECT *, list_filter(string_split(q, '&'),
+        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%'
+        |        OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%' OR x = '')) AS keep
+        |    FROM p)
+        |)
+        |SELECT domain, count(*) AS n_urls,
+        |  count(DISTINCT canon) AS n_canonical,
+        |  min(canon) AS sample_url
+        |FROM c GROUP BY domain ORDER BY domain""".stripMargin)
 }

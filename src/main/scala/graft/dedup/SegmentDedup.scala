@@ -101,4 +101,29 @@ object SegmentDedup {
   def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
       words: Int): DataFrame =
     dedupSegmentsOf(docs, idCol, wordChunks(col(textCol), words))
+
+  /** WITHIN-document first-occurrence dedup — the shuffle-free
+    * little sibling of `dedupSegments`: the election scope is one
+    * document, so the whole operation is a per-row array expression
+    * evaluated at the scan (a doc's repeated quote chains / menu
+    * blocks collapse, but segments shared ACROSS docs survive).
+    *
+    * 100 TB shape: zero exchanges — this runs map-side wherever the
+    * corpus already lives, and composes with the streaming path
+    * (per-row expressions are trivially incremental). The per-row
+    * cost is O(segments²) comparisons within one document, bounded
+    * by doc length, not corpus size.
+    */
+  def dedupSegmentsWithinDoc(docs: DataFrame, idCol: String,
+      textCol: String, words: Int): DataFrame = {
+    val segs = wordChunks(col(textCol), words)
+    // keep segment i iff it does not appear among segments 0..i-1;
+    // array_position is 1-based and 0 = absent, i is the 0-based
+    // lambda index, so slice(segs, 1, i) is exactly "the prefix"
+    val kept = filter(segs, (s, i) => array_position(slice(segs, lit(1), i), s) === 0)
+    docs.select(col(idCol).as("doc_id"),
+      size(segs).cast("long").as("n_segs"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, " ").as("text_kept"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the normalization pass a web-crawl corpus
+  * applies BEFORE URL-level dedup: the same page arrives as
+  * `HTTPS://WWW.Site.COM:443/a?utm_source=feed&id=7#top` and
+  * `https://site.com/a?id=7`, and naive string dedup keeps both.
+  * Reference behavior covered: datanika's dedup family extended with
+  * the URL-keyed variant (C4 / CommonCrawl pipelines dedup by
+  * canonical URL before content dedup).
+  *
+  * Rules (the conservative, information-preserving subset):
+  * scheme+host lowercase; leading `www.` stripped; default ports
+  * (http:80, https:443) dropped; empty path → `/`; fragment dropped;
+  * tracking params (`utm_*`, `ref`, `fbclid`, `gclid`) removed,
+  * other params kept in order.
+  *
+  * Everything is built from codegen'd string/regexp expressions and
+  * one higher-order filter over the split query — a pure per-row
+  * scan-level projection (zero shuffles), and every step is
+  * restatable in ANSI-ish SQL so the oracle can verify the WHOLE
+  * pipeline cross-engine.
+  */
+object Urls {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+  private val PortRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*?:([0-9]+)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val QueryRe = "\\?([^#]*)"
+
+  def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
+
+  /** Lowercased host with any leading `www.` stripped. */
+  def domain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", "")
+
+  /** Tracking-parameter predicate (true = drop). */
+  private def isTracking(p: Column): Column =
+    p.like("utm_%") || p.like("ref=%") || p.like("fbclid=%") ||
+      p.like("gclid=%") || (p === "")
+
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val host = domain(url)
+    val port = regexp_extract(url, PortRe, 1)
+    val rawPath = regexp_extract(url, PathRe, 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val kept = filter(split(regexp_extract(url, QueryRe, 1), "&"),
+      p => !isTracking(p))
+    val portPart = when(port === "" ||
+      (sch === "https" && port === "443") ||
+      (sch === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    concat(sch, lit("://"), host, portPart, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class UrlsSpec extends AnyFunSpec with Matchers with SparkSpec {
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.canonicalize(col("u"))).as[String]
+      .collect().toSeq
+
+  describe("Urls.canonicalize") {
+    it("collapses case/port/tracking variants to one form") {
+      canon(
+        "HTTPS://WWW.Site.COM:443/a/B?utm_source=x&id=7&ref=tw#top",
+        "https://site.com/a/B?id=7",
+        "https://www.site.com:443/a/B?utm_medium=y&id=7") shouldBe
+        Seq.fill(3)("https://site.com/a/B?id=7")
+    }
+
+    it("keeps non-default ports and non-tracking params in order") {
+      canon("http://h.com:8080/p?b=2&a=1") shouldBe
+        Seq("http://h.com:8080/p?b=2&a=1")
+    }
+
+    it("drops default http port, empty path becomes /") {
+      canon("http://H.com:80?utm_x=1", "http://h.com/") shouldBe
+        Seq("http://h.com/", "http://h.com/")
+    }
+
+    it("path case is preserved (paths are case-sensitive)") {
+      canon("https://x.com/CaseSensitive") shouldBe
+        Seq("https://x.com/CaseSensitive")
+    }
+  }
+
+  describe("SegmentDedup.dedupSegmentsWithinDoc") {
+    import graft.dedup.SegmentDedup
+    it("drops repeats within a doc, keeps cross-doc repeats") {
+      val docs = Seq(
+        (1L, "a b a b c d"), // segs(2): "a b","a b","c d" -> kept "a b","c d"
+        (2L, "a b x y")) // "a b" survives here (scope is per-doc)
+        .toDF("doc_id", "text")
+      val out = SegmentDedup.dedupSegmentsWithinDoc(docs, "doc_id", "text", 2)
+        .orderBy("doc_id").collect()
+      out(0).getLong(1) shouldBe 3L
+      out(0).getLong(2) shouldBe 2L
+      out(0).getString(3) shouldBe "a b c d"
+      out(1).getLong(2) shouldBe 2L
+      out(1).getString(3) shouldBe "a b x y"
+    }
+
+    it("plans no shuffle (pure per-row expression)") {
+      val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val plan = SegmentDedup.dedupSegmentsWithinDoc(docs, "doc_id", "text", 2)
+        .queryExecution.executedPlan.toString
+      plan should not include "Exchange"
+    }
+  }
+}
