@@ -151,13 +151,53 @@ object AnalyticsEntry {
       .orderBy("domain")
   }
 
+  // ---------------------------------------------------------------
+  // q101 — ORC format round-trip (format coverage beyond the
+  // reference's csv/json/parquet): documents → ORC files → FileSource
+  // read-back (same glob/credential path as every other format) →
+  // per-lang aggregate. ORC shares parquet's pushdown/pruning
+  // machinery in Spark, so the 100 TB story is unchanged.
+  // ---------------------------------------------------------------
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileSource
+    val base = s"target/scratch/q101_${ExtendedEntry.sanitize(dir)}"
+    t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").orc(base)
+    FileSource.read(s, "orc", base, Some("*.orc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------
+  // q102 — robust outlier detection (median/MAD, Hampel): flag
+  // orders whose |price − median| > 3·1.4826·MAD. Median and MAD are
+  // exact type-1 quantiles from the two-phase harness (driver
+  // scalars); the flag itself is a scan-level predicate.
+  // ---------------------------------------------------------------
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Outliers
+    Outliers.flag(
+        t(s, dir, "orders").select("o_orderpriority", "o_totalprice"),
+        "o_totalprice")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        round(min("median"), 9).as("median"),
+        round(min("mad"), 9).as("mad"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_event_funnel" -> (q95 _),
     "q96_gap_fill" -> (q96 _),
     "q97_weighted_sample" -> (q97 _),
     "q98_nfc_normalize" -> (q98 _),
     "q99_doc_segment_dedup" -> (q99 _),
-    "q100_url_canonicalize" -> (q100 _))
+    "q100_url_canonicalize" -> (q100 _),
+    "q101_orc_roundtrip" -> (q101 _),
+    "q102_robust_outliers" -> (q102 _))
 
   /** Shared window spec text for the funnel oracle's running mins. */
   private val FunnelWin =
@@ -316,5 +356,25 @@ object AnalyticsEntry {
         |SELECT domain, count(*) AS n_urls,
         |  count(DISTINCT canon) AS n_canonical,
         |  min(canon) AS sample_url
-        |FROM c GROUP BY domain ORDER BY domain""".stripMargin)
+        |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
+    "q101_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q102_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT quantile_disc(o_totalprice, 0.5) AS med FROM orders
+        |), d AS (
+        |  SELECT o_orderpriority, abs(o_totalprice - m.med) AS ad, m.med
+        |  FROM orders, m
+        |), md AS (
+        |  SELECT quantile_disc(ad, 0.5) AS mad FROM d
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE ad >
+        |    CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad)
+        |    AS BIGINT) AS n_outliers,
+        |  round(min(med), 9) AS median, round(min(mad), 9) AS mad
+        |FROM d, md GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

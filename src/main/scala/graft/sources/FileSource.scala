@@ -12,7 +12,11 @@ import org.apache.spark.sql.types.StructType
   * schemas avoid the double-read of inference on big inputs.
   */
 object FileSource {
-  val SupportedTypes: Set[String] = Set("csv", "json", "parquet")
+  // csv/json/parquet are the reference's dlt file formats
+  // (dlt_runner.py:10-12); orc is graft's lakehouse extension —
+  // Spark reads/writes it natively with the same pushdown/pruning
+  // machinery as parquet
+  val SupportedTypes: Set[String] = Set("csv", "json", "parquet", "orc")
 
   def read(
       spark: SparkSession,
@@ -36,7 +40,8 @@ object FileSource {
 
   /** dlt filesystem-source defaults (dlt_runner.py:12). */
   val DefaultFileGlobs: Map[String, String] =
-    Map("csv" -> "*.csv", "json" -> "*.json", "parquet" -> "*.parquet")
+    Map("csv" -> "*.csv", "json" -> "*.json", "parquet" -> "*.parquet",
+      "orc" -> "*.orc")
 
   /** dlt AWS credential keys (dlt_runner.py:14) → Hadoop S3A conf. */
   private[sources] val CredentialConf: Map[String, String] = Map(
