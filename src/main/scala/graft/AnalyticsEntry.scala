@@ -189,6 +189,50 @@ object AnalyticsEntry {
       .orderBy("o_orderpriority")
   }
 
+  // ---------------------------------------------------------------
+  // q103 — per-GROUP exact percentiles (Profile.quantiles is global;
+  // this is the grouped surface): Spark's sort-based `percentile`
+  // aggregate, one shuffle, per-group cost bounded by group size.
+  // DuckDB's quantile_cont uses the same (n−1)·p linear
+  // interpolation, so values match to the round-9 gate.
+  // ---------------------------------------------------------------
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .select(col("o_orderpriority"), col("n"),
+        round(element_at(col("p"), 1), 9).as("p50"),
+        round(element_at(col("p"), 2), 9).as("p90"),
+        round(element_at(col("p"), 3), 9).as("p99"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------
+  // q104 — record linkage (entity resolution): link a typo-perturbed
+  // registry back to the clean catalog with multi-pass BLOCKING
+  // (first word ∪ last word — a typo breaks at most one block) and
+  // codegen'd levenshtein verify ≤ 2; best match per record = min
+  // (distance, name). The blocked join bounds candidate pairs; the
+  // corpus never cross-joins.
+  // ---------------------------------------------------------------
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val parts = t(s, dir, "part")
+    val dirty = parts.select(col("p_partkey").as("id"),
+      when(pmod(col("p_partkey"), lit(5)) === 0,
+        expr("substring(p_name, 1, length(p_name) - 2)")) // drop last 2 chars
+        .when(pmod(col("p_partkey"), lit(5)) === 1,
+          concat(col("p_name"), lit("x"))) // append
+        .when(pmod(col("p_partkey"), lit(5)) === 2,
+          concat(lit("z"), expr("substring(p_name, 2)"))) // first char typo
+        .otherwise(col("p_name")).as("dname"))
+    val clean = parts.select(col("p_name").as("name")).distinct()
+    Linkage.bestMatch(dirty, clean, "id", "dname", "name", maxDist = 2)
+      .groupBy("match_dist")
+      .agg(count(lit(1)).as("n_records"))
+      .orderBy("match_dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_event_funnel" -> (q95 _),
     "q96_gap_fill" -> (q96 _),
@@ -197,7 +241,9 @@ object AnalyticsEntry {
     "q99_doc_segment_dedup" -> (q99 _),
     "q100_url_canonicalize" -> (q100 _),
     "q101_orc_roundtrip" -> (q101 _),
-    "q102_robust_outliers" -> (q102 _))
+    "q102_robust_outliers" -> (q102 _),
+    "q103_group_percentiles" -> (q103 _),
+    "q104_record_linkage" -> (q104 _))
 
   /** Shared window spec text for the funnel oracle's running mins. */
   private val FunnelWin =
@@ -376,5 +422,52 @@ object AnalyticsEntry {
         |    AS BIGINT) AS n_outliers,
         |  round(min(med), 9) AS median, round(min(mad), 9) AS mad
         |FROM d, md GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q103_group_percentiles" ->
+      """SELECT o_orderpriority, n,
+        |  round(qc[1], 9) AS p50, round(qc[2], 9) AS p90,
+        |  round(qc[3], 9) AS p99
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    quantile_cont(o_totalprice, [0.5, 0.9, 0.99]) AS qc
+        |  FROM orders GROUP BY 1)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q104_record_linkage" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS id,
+        |    CASE p_partkey % 5
+        |      WHEN 0 THEN substr(p_name, 1, length(p_name) - 2)
+        |      WHEN 1 THEN p_name || 'x'
+        |      WHEN 2 THEN 'z' || substr(p_name, 2)
+        |      ELSE p_name END AS dname
+        |  FROM part
+        |), clean AS (
+        |  SELECT DISTINCT p_name AS name FROM part
+        |), db AS (
+        |  SELECT id, dname, string_split(dname, ' ')[1] AS b1,
+        |    string_split(dname, ' ')[-1] AS b2
+        |  FROM dirty
+        |), cb AS (
+        |  SELECT name, string_split(name, ' ')[1] AS b1,
+        |    string_split(name, ' ')[-1] AS b2
+        |  FROM clean
+        |), cand AS (
+        |  SELECT DISTINCT id, dname, name FROM (
+        |    SELECT id, dname, name FROM db JOIN cb USING (b1)
+        |    UNION ALL
+        |    SELECT id, dname, name FROM db JOIN cb USING (b2))
+        |), scored AS (
+        |  SELECT id, levenshtein(dname, name) AS dist, name
+        |  FROM cand WHERE levenshtein(dname, name) <= 2
+        |), best AS (
+        |  SELECT id, dist FROM (
+        |    SELECT id, dist,
+        |      row_number() OVER (PARTITION BY id ORDER BY dist, name) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1
+        |)
+        |SELECT match_dist, count(*) AS n_records FROM (
+        |  SELECT CAST(COALESCE(b.dist, -1) AS INT) AS match_dist
+        |  FROM dirty d LEFT JOIN best b USING (id))
+        |GROUP BY match_dist ORDER BY match_dist""".stripMargin)
 }
