@@ -243,7 +243,22 @@ object AnalyticsEntry {
     "q101_orc_roundtrip" -> (q101 _),
     "q102_robust_outliers" -> (q102 _),
     "q103_group_percentiles" -> (q103 _),
-    "q104_record_linkage" -> (q104 _))
+    "q104_record_linkage" -> (q104 _),
+    "q105_embedding_scaler" -> (q105 _))
+
+  // ---------------------------------------------------------------
+  // q105 — embedding standardization: fit per-dimension z-score
+  // stats over the vector corpus in ONE decimal-exact pass (the
+  // learned scaler IS the output — dim rows). transform() applies it
+  // as a literal-array projection (spec'd; no shuffle).
+  // ---------------------------------------------------------------
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.ann.Scaler.fit(t(s, dir, "embeddings"), "embedding")
+      .select(col("pos"), col("n"),
+        round(col("mean"), 9).as("mean"),
+        round(col("var"), 9).as("var"),
+        round(col("std"), 9).as("std"))
+      .orderBy("pos")
 
   /** Shared window spec text for the funnel oracle's running mins. */
   private val FunnelWin =
@@ -469,5 +484,23 @@ object AnalyticsEntry {
         |SELECT match_dist, count(*) AS n_records FROM (
         |  SELECT CAST(COALESCE(b.dist, -1) AS INT) AS match_dist
         |  FROM dirty d LEFT JOIN best b USING (id))
-        |GROUP BY match_dist ORDER BY match_dist""".stripMargin)
+        |GROUP BY match_dist ORDER BY match_dist""".stripMargin,
+    "q105_embedding_scaler" ->
+      """WITH e AS (
+        |  SELECT unnest(range(len(embedding))) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), a AS (
+        |  SELECT pos, count(*) AS n,
+        |    sum(CAST(v AS DECIMAL(28,12))) AS s,
+        |    sum(CAST(v * v AS DECIMAL(28,12))) AS sq
+        |  FROM e GROUP BY pos
+        |)
+        |SELECT CAST(pos AS INT) AS pos, n,
+        |  round(CAST(s AS DOUBLE) / n, 9) AS mean,
+        |  round((CAST(sq AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 9) AS var,
+        |  round(sqrt((CAST(sq AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 9) AS std
+        |FROM a ORDER BY pos""".stripMargin)
 }

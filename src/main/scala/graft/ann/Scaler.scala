@@ -1,0 +1,56 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-dimension embedding standardization (z-score feature scaling)
+  * — the prep step before distance-based retrieval when dimensions
+  * have unequal spreads (raw encoder outputs often do): cosine/L2
+  * otherwise let high-variance dimensions dominate the metric.
+  *
+  * fit() is ONE partial-aggregatable pass: posexplode to
+  * (dim, value), per-dim decimal-exact power sums (the same
+  * order-independent cross-engine convention as quality/Profile),
+  * n·dim → dim rows. transform() applies (x−μ)/σ per element with
+  * the dim-sized stats folded into LITERAL arrays — a pure per-row
+  * projection, no join, no shuffle of the vector corpus (dim
+  * scalars on the driver is the IVF-centroid precedent).
+  */
+object Scaler {
+
+  /** Per-dimension (pos, n, mean, var, std) — exact decimal power
+    * sums; float inputs cast to double losslessly first.
+    */
+  def fit(vecs: DataFrame, vecCol: String): DataFrame = {
+    val e = vecs
+      .select(posexplode(col(vecCol)).as(Seq("pos", "f")))
+      .select(col("pos"), col("f").cast("double").as("v"))
+    val s = col("s").cast("double")
+    val sq = col("sq").cast("double")
+    e.groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,12)")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(28,12)")).as("sq"))
+      .select(col("pos"), col("n"),
+        (s / col("n")).as("mean"),
+        ((sq - s * s / col("n")) / col("n")).as("var"))
+      .withColumn("std", sqrt(col("var")))
+  }
+
+  /** Standardize every vector with fitted stats. The stats frame is
+    * dim rows — collected to literal arrays (driver-held scalars),
+    * so the corpus projection is shuffle-free.
+    */
+  def transform(vecs: DataFrame, vecCol: String, stats: DataFrame,
+      eps: Double = 1e-12): DataFrame = {
+    val rows = stats.select("pos", "mean", "std").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val means = array(rows.map(r => lit(r._2._1)): _*)
+    val stds = array(rows.map(r => lit(math.max(r._2._2, eps))): _*)
+    vecs.withColumn("scaled",
+      zip_with(
+        zip_with(col(vecCol).cast("array<double>"), means, (x, m) => x - m),
+        stds, (d, sd) => d / sd))
+  }
+}
