@@ -244,7 +244,34 @@ object AnalyticsEntry {
     "q102_robust_outliers" -> (q102 _),
     "q103_group_percentiles" -> (q103 _),
     "q104_record_linkage" -> (q104 _),
-    "q105_embedding_scaler" -> (q105 _))
+    "q105_embedding_scaler" -> (q105 _),
+    "q106_stream_funnel" -> (q106 _))
+
+  // ---------------------------------------------------------------
+  // q106 — STREAMING funnel (q95's incremental twin): the same
+  // strict-order single-anchor semantics as mapGroupsWithState
+  // custom state (|steps| longs per user, no event buffering).
+  // Registered in batch mode (unified Dataset API — every group in
+  // one call, empty state ⇒ semantics collapse to the batch
+  // operator's), so the SAME DuckDB oracle gates it; the
+  // MemoryStream side is spec-tested for cross-batch state carry.
+  // ---------------------------------------------------------------
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import s.implicits._
+    val stepCol = FunnelSteps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (st, i)) =>
+        when(col("event_type") === st, lit(i)).otherwise(acc)
+    }
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts"),
+        col("event_id"), stepCol.as("step"))
+      .filter(col("step") >= 0)
+      .as[Streams.FunnelEvent]
+    Funnel.report(
+      Streams.funnelStateful(ev, FunnelSteps.size,
+        Some(FunnelHorizonUs))(s).toDF())
+  }
 
   // ---------------------------------------------------------------
   // q105 — embedding standardization: fit per-dimension z-score
@@ -265,8 +292,10 @@ object AnalyticsEntry {
     """OVER (PARTITION BY user_id ORDER BY ts, event_id
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "q95_event_funnel" ->
+  /** Funnel oracle — shared by q95 (batch windows) and q106
+    * (mapGroupsWithState): same semantics, same gate.
+    */
+  private lazy val FunnelOracle: String =
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS ts, event_type, event_id
          |  FROM events
@@ -299,7 +328,11 @@ object AnalyticsEntry {
          |)
          |SELECT stage, count(*) AS n_keys,
          |  CAST(COALESCE(sum(f3 - f0), 0) AS BIGINT) AS total_span
-         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+         |FROM st GROUP BY stage ORDER BY stage""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q95_event_funnel" -> FunnelOracle,
+    "q106_stream_funnel" -> FunnelOracle,
     "q96_gap_fill" ->
       """WITH b AS (
         |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi

@@ -166,6 +166,67 @@ object Streams {
     * path serves a batch frame (verify/oracle, q79) and a
     * readStream/MemoryStream input (StreamsSpec parity + late-drop).
     */
+  // --- streaming funnel (incremental twin of q95) ---
+
+  /** One funnel-relevant event: `step` is the 0-based index of the
+    * matched funnel step (callers pre-filter non-step events away).
+    */
+  final case class FunnelEvent(user_id: Long, ts: Long, event_id: Long,
+      step: Int)
+
+  /** Per-user state: first qualifying ts per step, -1 = unset. */
+  final case class FunnelState(firsts: Seq[Long])
+
+  final case class FunnelOut(user_id: Long, stage: Int,
+      first_ts: Option[Long], complete_ts: Option[Long])
+
+  /** mapGroupsWithState funnel — `ops/Funnel.stages`' incremental
+    * twin (the brief's `KeyValueGroupedDataset.mapGroupsWithState`
+    * custom-state surface). State per user is |steps| longs — O(1),
+    * no event buffering; each micro-batch sorts only ITS events for
+    * the group (bounded by trigger size) and advances the
+    * first-qualifying-step vector exactly as the batch operator's
+    * cascading running-mins do, so under in-order delivery
+    * (within-watermark order, as with the sessionizer) the final
+    * snapshot EQUALS the batch answer — which is how the same DuckDB
+    * oracle gates both.
+    *
+    * In BATCH mode (the unified Dataset API) every group arrives in
+    * one call with empty state — the semantics collapse to the batch
+    * operator's by construction, and that is the mode the driver's
+    * correctness gate runs.
+    */
+  def funnelStateful(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      nSteps: Int, horizon: Option[Long])(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        case (user, evts, state: GroupState[FunnelState]) =>
+          val firsts = state.getOption.map(_.firsts.toArray)
+            .getOrElse(Array.fill(nSteps)(-1L))
+          val sorted = evts.toArray
+          java.util.Arrays.sort(sorted,
+            Ordering.by((e: FunnelEvent) => (e.ts, e.event_id)))
+          for (e <- sorted) {
+            val i = e.step
+            if (i == 0) {
+              if (firsts(0) < 0) firsts(0) = e.ts
+            } else if (i > 0 && i < nSteps && firsts(i) < 0 &&
+              firsts(i - 1) >= 0 &&
+              horizon.forall(h => e.ts <= firsts(0) + h)) {
+              firsts(i) = e.ts
+            }
+          }
+          state.update(FunnelState(firsts.toSeq))
+          val stage = firsts.lastIndexWhere(_ >= 0) + 1
+          FunnelOut(user, stage,
+            if (firsts(0) >= 0) Some(firsts(0)) else None,
+            if (firsts(nSteps - 1) >= 0) Some(firsts(nSteps - 1)) else None)
+      }
+  }
+
   def decontaminateStream(
       docs: DataFrame,
       evalGrams: DataFrame,

@@ -191,4 +191,52 @@ class StreamsSpec extends SparkSpec {
       out shouldBe Set((1L, 2L, 3.0), (1L, 1L, 5.0), (2L, 1L, 7.0))
     }
   }
+
+  describe("funnelStateful") {
+    it("carries funnel state across micro-batches and matches the batch operator") {
+      implicit val s = spark
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+
+      // steps 0,1,2; horizon 100
+      val input = MemoryStream[FunnelEvent]
+      val out = funnelStateful(input.toDS(), nSteps = 3, horizon = Some(100L))
+      val q = out.writeStream.format("memory")
+        .queryName("funnel_out").outputMode("update").start()
+      try {
+        // batch 1: user 1 reaches stage 2; user 2 starts only
+        input.addData(
+          FunnelEvent(1L, 10L, 1L, 0), FunnelEvent(1L, 20L, 2L, 1),
+          FunnelEvent(2L, 10L, 3L, 0))
+        q.processAllAvailable()
+        val snap1 = spark.table("funnel_out").as[FunnelOut].collect()
+          .groupBy(_.user_id).view.mapValues(_.last.stage).toMap
+        snap1 shouldBe Map(1L -> 2, 2L -> 1)
+
+        // batch 2: user 1 completes IN the horizon; user 2's step-1
+        // event lands OUTSIDE the horizon → stalls at stage 1
+        input.addData(
+          FunnelEvent(1L, 30L, 4L, 2), FunnelEvent(2L, 150L, 5L, 1))
+        q.processAllAvailable()
+        val finalSnap = spark.table("funnel_out").as[FunnelOut].collect()
+          .groupBy(_.user_id).view
+          .mapValues(r => r.maxBy(_.stage)).toMap
+        finalSnap(1L).stage shouldBe 3
+        finalSnap(1L).complete_ts shouldBe Some(30L)
+        finalSnap(2L).stage shouldBe 1
+
+        // batch-mode equivalence: the same events through the same
+        // stateful operator in ONE pass == the windowed batch funnel
+        val all = Seq(
+          (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 4L, "c"),
+          (2L, 10L, 3L, "a"), (2L, 150L, 5L, "b"))
+          .toDF("k", "ts", "eid", "et")
+        val batch = graft.ops.Funnel.stages(all, "k", "ts",
+            Seq("a", "b", "c").map(st => st -> (col("et") === st)),
+            horizon = Some(100L), tiebreak = Seq("eid"))
+          .select("k", "stage").as[(Long, Int)].collect().toMap
+        batch shouldBe Map(1L -> 3, 2L -> 1)
+      } finally q.stop()
+    }
+  }
 }
