@@ -46,7 +46,10 @@ object AnalyticsEntry {
   private def q96(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     GapFill.dailyFill(ev, "user_id",
-        to_date(timestamp_micros((col("ts") / lit(1000L)).cast("long"))),
+        // integer `div`, not `/`: long/long division is DOUBLE and a
+        // ~1.7e18-ns timestamp has a 256-ns double ulp — an event
+        // microseconds after midnight could land on the wrong day
+        to_date(timestamp_micros(expr("ts div 1000"))),
         sum(col("value").cast("decimal(18,6)")).cast("double"))
       .select(col("user_id"),
         // DATE round-trips with different pandas dtypes per engine;
@@ -263,10 +266,12 @@ object AnalyticsEntry {
       case (acc, (st, i)) =>
         when(col("event_type") === st, lit(i)).otherwise(acc)
     }
+    // keep non-step events (step = -1): a user with ONLY such events
+    // must still appear at stage 0, exactly as q95 and the oracle
+    // count them
     val ev = t(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("ts"),
         col("event_id"), stepCol.as("step"))
-      .filter(col("step") >= 0)
       .as[Streams.FunnelEvent]
     Funnel.report(
       Streams.funnelStateful(ev, FunnelSteps.size,
@@ -443,7 +448,7 @@ object AnalyticsEntry {
         |    CASE WHEN len(keep) > 0
         |      THEN '?' || array_to_string(keep, '&') ELSE '' END AS canon
         |  FROM (SELECT *, list_filter(string_split(q, '&'),
-        |      x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%'
+        |      x -> NOT (substr(x, 1, 4) = 'utm_' OR x LIKE 'ref=%'
         |        OR x LIKE 'fbclid=%' OR x LIKE 'gclid=%' OR x = '')) AS keep
         |    FROM p)
         |)
@@ -531,9 +536,11 @@ object AnalyticsEntry {
         |)
         |SELECT CAST(pos AS INT) AS pos, n,
         |  round(CAST(s AS DOUBLE) / n, 9) AS mean,
-        |  round((CAST(sq AS DOUBLE)
-        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n, 9) AS var,
-        |  round(sqrt((CAST(sq AS DOUBLE)
-        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n), 9) AS std
+        |  round(greatest((CAST(sq AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
+        |    CAST(0 AS DOUBLE)), 9) AS var,
+        |  round(sqrt(greatest((CAST(sq AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n,
+        |    CAST(0 AS DOUBLE))), 9) AS std
         |FROM a ORDER BY pos""".stripMargin)
 }

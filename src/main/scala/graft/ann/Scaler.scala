@@ -33,7 +33,11 @@ object Scaler {
         sum((col("v") * col("v")).cast("decimal(28,12)")).as("sq"))
       .select(col("pos"), col("n"),
         (s / col("n")).as("mean"),
-        ((sq - s * s / col("n")) / col("n")).as("var"))
+        // clamp at 0: float cancellation on a constant dimension can
+        // leave the double arithmetic at ~-1e-18, and sqrt of that is
+        // NaN here and a hard error in engines that reject negative
+        // sqrt (DuckDB)
+        greatest((sq - s * s / col("n")) / col("n"), lit(0.0)).as("var"))
       .withColumn("std", sqrt(col("var")))
   }
 

@@ -61,9 +61,12 @@ object GapFill {
     // driver scalars, cheaper than materializing the daily agg twice
     val bounds = events.agg(min(dayCol), max(dayCol)).head()
     if (bounds.isNullAt(0))
+      // same column ORDER as the normal path (forwardFill appends
+      // the filled column last) so positional consumers agree
       return daily.where(lit(false))
         .select(col(keyCol), col("day"), col("n_events"), col("day_val"),
-          col("day_val").as("day_val_filled"), lit(true).as("is_gap"))
+          col("day_val").isNull.as("is_gap"),
+          col("day_val").as("day_val_filled"))
     val days = daySpine(spark, bounds.getDate(0), bounds.getDate(1))
     val keys = events.select(col(keyCol)).distinct()
     val cells = keys.crossJoin(broadcast(days))

@@ -168,8 +168,11 @@ object Streams {
     */
   // --- streaming funnel (incremental twin of q95) ---
 
-  /** One funnel-relevant event: `step` is the 0-based index of the
-    * matched funnel step (callers pre-filter non-step events away).
+  /** One event: `step` is the 0-based index of the matched funnel
+    * step, or -1 for a non-step event. Non-step events are ignored
+    * by the state update but still register the USER — a key whose
+    * events never match any step must surface at stage 0 (callers
+    * may pre-filter them only when stage-0 counts are not needed).
     */
   final case class FunnelEvent(user_id: Long, ts: Long, event_id: Long,
       step: Int)
@@ -210,7 +213,7 @@ object Streams {
           java.util.Arrays.sort(sorted,
             Ordering.by((e: FunnelEvent) => (e.ts, e.event_id)))
           for (e <- sorted) {
-            val i = e.step
+            val i = e.step // -1 = non-step event: counts the user only
             if (i == 0) {
               if (firsts(0) < 0) firsts(0) = e.ts
             } else if (i > 0 && i < nSteps && firsts(i) < 0 &&

@@ -37,10 +37,14 @@ object Urls {
   def domain(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, HostRe, 1)), "^www\\.", "")
 
-  /** Tracking-parameter predicate (true = drop). */
+  /** Tracking-parameter predicate (true = drop). NOTE: not LIKE
+    * 'utm_%' — SQL `_` is a single-char wildcard, which would also
+    * drop legitimate params like `utmost=`; compare the literal
+    * 4-char prefix instead.
+    */
   private def isTracking(p: Column): Column =
-    p.like("utm_%") || p.like("ref=%") || p.like("fbclid=%") ||
-      p.like("gclid=%") || (p === "")
+    (substring(p, 1, 4) === "utm_") || p.like("ref=%") ||
+      p.like("fbclid=%") || p.like("gclid=%") || (p === "")
 
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)
