@@ -189,6 +189,10 @@ object CorpusEntry {
       debris.write.parquet(s"$base/$d")
       fs.setTimes(new Path(s"$base/$d"), now - 2 * 3600 * 1000L, -1)
     }
+    // in-flight swap: the LIVE docs2 table exists while its fresh
+    // .staging is being written (Vacuum's sibling rule: a swap-suffix
+    // dir with no live sibling is a user dir, never debris)
+    debris.write.parquet(s"$base/docs2")
     debris.write.parquet(s"$base/docs2.staging") // fresh: must survive
     val st = Vacuum.vacuum(s, base, retentionMs = 3600 * 1000L, now = now)
     import s.implicits._

@@ -244,7 +244,7 @@ object PipelineEntry {
     val vecs = t(s, dir, "embeddings")
     val queries = vecs.filter(col("vec_id") < 10)
     val books = Pq.trainCodebooks(vecs, "vec_id", "embedding",
-      dim = 64, m = 16, k = 64, iters = 3)
+      dim = 64, m = 16, k = 64, iters = 2)
     val approx = Pq.pqTopK(vecs, queries, "vec_id", "embedding",
       dim = 64, k = 5, books, rerankDepth = 50)
     val exact = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)

@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dag.Dag
+import graft.ops.Snapshot
+import graft.sources.Tables
+
+/** q107+: the platform-surface tail — live JDBC database extraction,
+  * dbt schema-YAML metadata round-trip, and the model/snapshot
+  * removal lifecycle. Same conventions as the earlier entry objects:
+  * exact DuckDB oracles, decimal-summed doubles, deterministic
+  * ordering.
+  */
+object PlatformEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^0-9a-zA-Z.]", "_")
+
+  // ---------------------------------------------------------------
+  // q107 — live JDBC database extraction (the reference's DEFAULT
+  // source: sql_table()/sql_database(), dlt_runner.py:167-189) over
+  // embedded Derby: cursor predicate pushed into the remote WHERE,
+  // partitioned parallel read, multi-table extract. The fixture DB
+  // is loaded once from the parquet tables, so the oracle states the
+  // same query over the same rows in DuckDB.
+  //
+  // Derby folds unquoted identifiers to UPPER CASE while Spark's
+  // JDBC writer QUOTES column names — so the fixture uppercases
+  // columns before load (quoted "S_SUPPKEY" == unquoted s_suppkey)
+  // and the query aliases them back. That keeps every later filter,
+  // partition-stride clause, and SELECT list resolvable unquoted.
+  // ---------------------------------------------------------------
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JdbcSource
+    import graft.sources.JdbcSource.TableConfig
+    val url = s"jdbc:derby:target/scratch/q107_db_${sanitize(dir)};create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def up(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.toUpperCase): _*)
+    // pay the fixture load once per warehouse (like q40's bucketing:
+    // first run writes, every rerun only reads)
+    if (!JdbcSource.tableExists(url, "NATION")) {
+      JdbcSource.writeTable(up(t(s, dir, "nation")), url, "NATION")
+      JdbcSource.writeTable(up(t(s, dir, "supplier")), url, "SUPPLIER")
+    }
+    val frames = JdbcSource.database(s, url, Seq("NATION", "SUPPLIER"),
+      perTable = Map("SUPPLIER" -> TableConfig(
+        // incremental cursor: only rows above the watermark ship
+        cursor = Some("S_SUPPKEY"), lastValue = Some(50L),
+        // parallel read: 4 stride ranges fetched concurrently
+        partitionColumn = Some("S_SUPPKEY"), lowerBound = Some(1L),
+        upperBound = Some(1001L), numPartitions = 4)),
+      options = opts)
+    frames("SUPPLIER")
+      .join(frames("NATION"), col("S_NATIONKEY") === col("N_NATIONKEY"))
+      .groupBy(col("N_NAME").as("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("S_ACCTBAL").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q108 — dbt schema-YAML round-trip (write_model_yml /
+  // write_sources_yml / write_tests_config, dbt_project.py:349-748):
+  // build a SQL model, EMIT its model + sources YAML artifacts,
+  // PARSE the files back, and run the declared column tests from the
+  // parsed config. The output is the check report — the YAML is
+  // load-bearing, not documentation.
+  // ---------------------------------------------------------------
+  private[graft] val Q108ModelSql =
+    """SELECT o_orderkey, o_custkey, o_orderpriority,
+      |  CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_price
+      |FROM {{ source('lake', 'orders') }}""".stripMargin
+  private[graft] val Q108Accepted =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW")
+
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import graft.dag.{ModelYaml, SqlModels}
+    import graft.dag.ModelYaml._
+    import graft.quality.Checks
+    val proj = s"target/scratch/q108_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(proj)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+
+    val built = SqlModels.runMaterialized(s,
+      Seq(SqlModels.SqlModel("stg_orders", Q108ModelSql, Dag.Table)),
+      s"$proj/warehouse", (_, tbl) => t(s, dir, tbl))
+
+    val doc = ModelDoc("stg_orders",
+      description = Some("orders staging with flagged big spenders"),
+      config = Map("materialized" -> "table"),
+      columns = Seq(
+        ColumnDoc("o_orderkey", "bigint", tests = Seq(NotNullT, UniqueT)),
+        ColumnDoc("o_custkey", "bigint", tests = Seq(NotNullT,
+          RelationshipsT("source('lake', 'customer')", "c_custkey"))),
+        ColumnDoc("o_orderpriority", "string",
+          tests = Seq(AcceptedValuesT(Q108Accepted))),
+        ColumnDoc("big_price", "double",
+          description = Some("only prices above threshold"),
+          tests = Seq(NotNullT))))
+    val ymlPath = ModelYaml.writeModelYml(proj, "staging", doc)
+    val srcPath = ModelYaml.writeSourcesYml(proj, SourceDoc("lake", "main",
+      tables = Seq(SourceTableDoc("orders", loadedAtField = Some("o_orderdate")),
+        SourceTableDoc("customer")),
+      freshness = Map("warn_after_seconds" -> 86400L)))
+
+    // the round-trip gate: what we parse from disk must equal what we
+    // declared — a lossy emitter/parser fails the query, not a spec
+    val parsed = ModelYaml.parseModelYml(
+      java.nio.file.Files.readString(ymlPath)).head
+    require(parsed == doc, s"model yml round-trip drifted: $parsed")
+    val srcParsed = ModelYaml.parseSourcesYml(
+      java.nio.file.Files.readString(srcPath)).head
+    require(srcParsed.freshness == Map("warn_after_seconds" -> 86400L) &&
+      srcParsed.tables.map(_.name) == Seq("orders", "customer"),
+      s"sources yml round-trip drifted: $srcParsed")
+
+    val resolve: String => DataFrame = to => {
+      val (_, tbl) = SqlModels.sources(to).head
+      t(s, dir, tbl)
+    }
+    Checks.withStatus(
+        Checks.run(built("stg_orders"), ModelYaml.testsConfig(parsed, resolve)),
+        severity = Map(("accepted_values", "o_orderpriority") -> "warn"))
+      .orderBy("check_name", "column_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q109 — removal lifecycle (remove_model dbt_project.py:490,
+  // remove_snapshot :612): create→materialize→remove→rebuild. The
+  // guarded path (removing a model that downstream models still
+  // reference) must refuse; artifact drops are observable on the
+  // warehouse; a second snapshot removal reports not-found; the
+  // surviving DAG still selects and rebuilds.
+  // ---------------------------------------------------------------
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = s"target/scratch/q109_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+
+    val models = Seq(
+      Dag.Model("stg", Nil, _ => t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")),
+      Dag.Model("priority_rollup", Seq("stg"),
+        m => m("stg").groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders")), Dag.Table),
+      Dag.Model("cust_rollup", Seq("stg"),
+        m => m("stg").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders")), Dag.Table))
+    val first = Dag.runMaterialized(s, models, wh)
+    val rollupRows = first("priority_rollup").count()
+
+    val refused =
+      try { Dag.removeModel(s, models, "stg", wh); false }
+      catch { case _: IllegalArgumentException => true }
+    val existed = fs.exists(new org.apache.hadoop.fs.Path(s"$wh/cust_rollup"))
+    val remaining = Dag.removeModel(s, models, "cust_rollup", wh)
+    val dropped = !fs.exists(new org.apache.hadoop.fs.Path(s"$wh/cust_rollup"))
+    val selectorOk =
+      Dag.select(remaining, "stg+") == Set("stg", "priority_rollup")
+
+    val snapPath = s"$wh/snap_orders"
+    Snapshot.timestamp(None,
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        Seq("o_orderkey"), "o_orderdate")
+      .write.mode("overwrite").parquet(snapPath)
+    val snapFirst = Snapshot.remove(s, snapPath)
+    val snapSecond = Snapshot.remove(s, snapPath)
+
+    val rebuilt = Dag.runMaterialized(s, remaining, wh)
+    val rebuildOk = rebuilt("priority_rollup").count() == rollupRows
+
+    Seq(
+      ("cust_rollup_dropped", dropped),
+      ("cust_rollup_existed", existed),
+      ("rebuild_ok", rebuildOk),
+      ("remove_dependent_refused", refused),
+      ("selector_after_removal", selectorOk),
+      ("snapshot_remove_first", snapFirst),
+      ("snapshot_remove_second", snapSecond))
+      .toDF("step", "ok").orderBy("step")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_jdbc_ingest" -> (q107 _),
+    "q108_model_yaml" -> (q108 _),
+    "q109_remove_models" -> (q109 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q107_jdbc_ingest" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey > 50
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q108_model_yaml" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS big_price
+        |  FROM orders
+        |), r AS (
+        |  SELECT 'accepted_values' AS check_name, 'o_orderpriority' AS column_name,
+        |    (SELECT count(*) FROM m WHERE o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH', '3-MEDIUM', '5-LOW')) AS violations,
+        |    'warn' AS severity
+        |  UNION ALL SELECT 'not_null', 'big_price',
+        |    (SELECT count(*) FROM m WHERE big_price IS NULL), 'error'
+        |  UNION ALL SELECT 'not_null', 'o_custkey',
+        |    (SELECT count(*) FROM m WHERE o_custkey IS NULL), 'error'
+        |  UNION ALL SELECT 'not_null', 'o_orderkey',
+        |    (SELECT count(*) FROM m WHERE o_orderkey IS NULL), 'error'
+        |  UNION ALL SELECT 'relationships', 'o_custkey',
+        |    (SELECT count(*) FROM m WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer)), 'error'
+        |  UNION ALL SELECT 'unique', 'o_orderkey',
+        |    (SELECT count(*) FROM (SELECT o_orderkey FROM m
+        |      WHERE o_orderkey IS NOT NULL
+        |      GROUP BY 1 HAVING count(*) > 1)), 'error'
+        |)
+        |SELECT check_name, column_name, violations, severity,
+        |  CASE WHEN violations = 0 THEN 'pass' ELSE severity END AS status
+        |FROM r ORDER BY check_name, column_name""".stripMargin,
+    "q109_remove_models" ->
+      """SELECT * FROM (VALUES
+        |  ('cust_rollup_dropped', TRUE),
+        |  ('cust_rollup_existed', TRUE),
+        |  ('rebuild_ok', TRUE),
+        |  ('remove_dependent_refused', TRUE),
+        |  ('selector_after_removal', TRUE),
+        |  ('snapshot_remove_first', TRUE),
+        |  ('snapshot_remove_second', FALSE)
+        |) AS t(step, ok) ORDER BY step""".stripMargin)
+}

@@ -530,7 +530,8 @@ object SparkEntry {
     "q19_window_funcs" -> (q19 _),
     "q20_sessionize" -> (q20 _),
     "q21_stream_tumbling" -> (q21 _)) ++ PipelineEntry.queries ++
-    ExtendedEntry.queries ++ CorpusEntry.queries ++ AnalyticsEntry.queries
+    ExtendedEntry.queries ++ CorpusEntry.queries ++ AnalyticsEntry.queries ++
+    PlatformEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q44_range_join" ->
@@ -896,5 +897,6 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin) ++
     PipelineEntry.oracleSql ++ ExtendedEntry.oracleSql ++
-    CorpusEntry.oracleSql ++ AnalyticsEntry.oracleSql
+    CorpusEntry.oracleSql ++ AnalyticsEntry.oracleSql ++
+    PlatformEntry.oracleSql
 }

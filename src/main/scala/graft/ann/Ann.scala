@@ -94,23 +94,33 @@ object Ann {
 
   /** Lloyd's k-means for the coarse quantizer. Centroids are tiny
     * (nLists × dim) so they live on the driver between iterations —
-    * the standard IVF training shape (train on the corpus or a
-    * sample; only assignments are distributed). Deterministic:
-    * init takes the first nLists rows by id.
+    * the standard IVF training shape: train on a sample, only
+    * assignments are distributed. Deterministic: init takes the first
+    * nLists rows by id.
+    *
+    * Training reads a deterministic hash-sample (`sampleTarget` rows,
+    * default 64·nLists): the coarse quantizer needs O(100) vectors
+    * per list to converge, and at 100 TB `iters` full-corpus scans
+    * before indexing even starts would dominate the whole job. When
+    * the corpus is already ≤ target the filter is skipped, so
+    * small-corpus centroids are bit-identical to full training.
     */
   def trainCentroids(
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
       nLists: Int,
-      iters: Int = 5): Seq[Seq[Double]] = {
-    var cents: Seq[Seq[Double]] = vecs.orderBy(col(idCol)).limit(nLists)
+      iters: Int = 5,
+      sampleTarget: Int = -1): Seq[Seq[Double]] = {
+    val target = if (sampleTarget > 0) sampleTarget else 64 * nLists
+    val train = Sampler.hashSample(vecs, idCol, target)
+    var cents: Seq[Seq[Double]] = train.orderBy(col(idCol)).limit(nLists)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     for (_ <- 1 to iters) {
       // mean per (cluster, dimension): explode is C×dim rows per doc
       // pre-aggregated map-side; the collect is nLists×dim scalars
-      val assigned = vecs.select(col(vecCol).as("v"),
+      val assigned = train.select(col(vecCol).as("v"),
         nearestCentroid(col(vecCol), cents).as("cl"))
       val means = assigned
         .select(col("cl"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -37,6 +37,15 @@ object Pq {
     * m subspaces. Deterministic: codeword c of subspace j initializes
     * from row c (by id order); means are decimal-exact so results are
     * independent of partial-aggregate merge order.
+    *
+    * Training runs on a deterministic hash-sample of the corpus
+    * (`sampleTarget` rows, default 64·k — codebooks need ~O(100·k)
+    * vectors to converge, not the corpus). At 100 TB training on the
+    * full corpus is a non-starter: three full scans before search
+    * starts. The sample is selected by an xxhash64 threshold on the
+    * id — stable under repartitioning and re-runs — and when the
+    * corpus is already ≤ target the filter is skipped entirely, so
+    * small-corpus results are bit-identical to full-corpus training.
     */
   def trainCodebooks(
       vecs: DataFrame,
@@ -45,11 +54,14 @@ object Pq {
       dim: Int,
       m: Int = 8,
       k: Int = 16,
-      iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+      iters: Int = 3,
+      sampleTarget: Int = -1): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val target = if (sampleTarget > 0) sampleTarget else 64 * k
+    val train = Sampler.hashSample(vecs, idCol, target)
     val sub = dim / m
     var books: Seq[Seq[Seq[Double]]] = {
-      val seed = vecs.orderBy(col(idCol)).limit(k)
+      val seed = train.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).map(_.toDouble))
       (0 until m).map(j => seed.toSeq.map(v => v.slice(j * sub, j * sub + sub).toSeq))
@@ -61,7 +73,7 @@ object Pq {
           VectorColumns.nearestCentroid(sv, books(j)).as("cl"),
           sv.as("sv"))
       }
-      val means = vecs
+      val means = train
         .select(explode(array(parts: _*)).as("a"))
         .select(col("a.j"), col("a.cl"),
           posexplode(col("a.sv")).as(Seq("pos", "x")))

@@ -153,6 +153,39 @@ object Dag {
     *                     rebuild from scratch instead of merging into
     *                     persisted state
     */
+  // ---- model removal lifecycle (reference dbt_project.remove_model,
+  // ---- services/dbt_project.py:490-500: delete the model file; here
+  // ---- the registered model AND its warehouse artifact)
+
+  /** Deregister `name` from the model set and drop its persisted
+    * warehouse artifact. Refuses while downstream models still
+    * reference it — the reference deletes the .sql blindly and lets
+    * the next dbt parse fail on the dangling ref(); failing eagerly
+    * at removal time surfaces the same error without a broken
+    * project state. Returns the remaining models.
+    */
+  def removeModel(
+      spark: SparkSession,
+      models: Seq[Model],
+      name: String,
+      warehouseDir: String): Seq[Model] = {
+    require(models.exists(_.name == name), s"unknown model $name")
+    val dependents = models.filter(_.deps.contains(name)).map(_.name)
+    require(dependents.isEmpty,
+      s"cannot remove $name: still referenced by ${dependents.sorted.mkString(", ")}")
+    dropArtifact(spark, warehouseDir, name)
+    models.filterNot(_.name == name)
+  }
+
+  /** Delete `warehouseDir/<name>` if present; true when it existed
+    * (the reference's returns-True-if-file-existed contract).
+    */
+  def dropArtifact(spark: SparkSession, warehouseDir: String, name: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehouseDir/$name")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
   def runMaterialized(
       spark: SparkSession,
       models: Seq[Model],

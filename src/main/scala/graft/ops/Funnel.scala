@@ -33,7 +33,12 @@ object Funnel {
     *
     * @param events   event rows
     * @param keyCol   funnel entity (e.g. user_id)
-    * @param tsCol    event ordering column (numeric or timestamp)
+    * @param tsCol    event ordering column — must be NUMERIC (epoch
+    *                 micros/millis); convert timestamps up front
+    *                 (`ts div 1000` etc.). A TimestampType column
+    *                 would break both the horizon arithmetic
+    *                 (timestamp + long) and report()'s span sum
+    *                 (interval vs bigint), so it is rejected eagerly
     * @param steps    ordered (name, row-predicate) funnel steps
     * @param horizon  max tsCol distance from the step-1 anchor for a
     *                 step to count (None = unbounded)
@@ -49,6 +54,11 @@ object Funnel {
       horizon: Option[Long] = None,
       tiebreak: Seq[String] = Nil): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    scala.util.Try(events.schema(tsCol).dataType).toOption.foreach { dt =>
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"tsCol $tsCol must be numeric (epoch micros/millis), got $dt — " +
+          "convert timestamps before calling (e.g. `ts div 1000`)")
+    }
 
     // flag columns once (predicates may be arbitrary expressions)
     val flagged = events.select(

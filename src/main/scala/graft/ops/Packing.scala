@@ -43,8 +43,16 @@ object Packing {
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val width = math.max((hi - lo) / nBuckets + 1, 1L)
+    // a null/non-numeric order key would silently vanish in the
+    // _bucket join and shift every later offset — fail loudly instead
+    // (raise_error is a per-row expression: no extra validation pass)
+    val ord = when(col(orderCol).cast("long").isNotNull,
+        col(orderCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"Packing.tokenOffsets: order column $orderCol is null or " +
+          "non-numeric for a row; offsets would be corrupted"))))
     val bucketed = rows.withColumn("_bucket",
-      ((col(orderCol).cast("long") - lit(lo)) / lit(width)).cast("long"))
+      ((ord - lit(lo)) / lit(width)).cast("long"))
     // per-bucket sums: <= nBuckets rows to the driver — scalars, not data
     val sums = bucketed.groupBy("_bucket")
       .agg(sum(col(tokensCol)).cast("long").as("_bsum"))

@@ -103,4 +103,15 @@ object Snapshot {
           .select("r.*")
     }
   }
+
+  /** Drop a persisted snapshot history — the reference's
+    * `remove_snapshot` (datanika `services/dbt_project.py:612-620`:
+    * delete the snapshot file, True if it existed). Here the history
+    * parquet dir is the artifact.
+    */
+  def remove(spark: org.apache.spark.sql.SparkSession, historyPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(historyPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
 }

@@ -22,7 +22,16 @@ import org.apache.spark.sql.SparkSession
 object Vacuum {
 
   /** Staging-debris suffixes recognized as vacuum candidates. */
+  /** RESERVED warehouse suffixes — `Writer`'s staged-swap (`.staging`,
+    * `.old`) and `Compaction`'s rewrite temp (`__compact_tmp`) own
+    * these names; user tables must not end with them. For the swap
+    * suffixes, eligibility additionally requires the SIBLING LIVE
+    * table to exist (debris `orders.old` implies a live `orders`): a
+    * user directory that merely happens to be named `*.old` with no
+    * sibling is never swept.
+    */
   val DebrisSuffixes: Seq[String] = Seq(".staging", ".old", "__compact_tmp")
+  private val SwapSuffixes = Seq(".staging", ".old")
 
   final case class Stats(
       nExamined: Int, nCandidates: Int, nDeleted: Int, bytesReclaimed: Long)
@@ -38,8 +47,16 @@ object Vacuum {
     val root = new Path(warehouseRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(root)
-    val candidates = entries.filter(e =>
-      DebrisSuffixes.exists(e.getPath.getName.endsWith))
+    val names = entries.map(_.getPath.getName).toSet
+    val candidates = entries.filter { e =>
+      val name = e.getPath.getName
+      SwapSuffixes.find(name.endsWith) match {
+        // swap debris only when the live table it was staged for is
+        // present — protects a user dir that merely matches the suffix
+        case Some(sfx) => names.contains(name.dropRight(sfx.length))
+        case None => name.endsWith("__compact_tmp")
+      }
+    }
     val cutoff = now - retentionMs
     var deleted = 0
     var bytes = 0L

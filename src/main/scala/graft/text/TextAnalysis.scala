@@ -313,6 +313,9 @@ object TextAnalysis {
       wsTokenCount(col(textCol)).as("len"))
     val corpus = docs.agg(count(lit(1)), sum(wsTokenCount(col(textCol)))).head()
     val n = corpus.getLong(0)
+    // guard BEFORE reading the sum: with zero docs the sum is null
+    // (NPE on getLong) and avgLen would divide by zero
+    require(n > 0, "bm25Search: empty corpus")
     val avgLen = corpus.getLong(1).toDouble / n
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(split(trim(col(textCol)), " ")).as("term"))

@@ -43,9 +43,16 @@ class FunnelGapFillSpec extends AnyFunSpec with Matchers with SparkSpec {
       m2(2L) shouldBe ((3, Some(10L), Some(60L)))
     }
 
-    it("a same-ts later step counts (ties break on sort order)") {
-      val m = run(Seq((1L, 10L, "a"), (1L, 10L, "b")))
-      m(1L)._1 shouldBe 2
+    it("a same-ts later step counts (ties break on the tiebreak col)") {
+      // explicit event_id tiebreak (as q95 passes): the a-before-b
+      // resolution is deterministic by construction, not an accident
+      // of partition order
+      val m = Funnel.stages(
+          Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"))
+            .toDF("k", "ts", "event_id", "et"),
+          "k", "ts", steps, tiebreak = Seq("event_id"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      m(1L) shouldBe 2
     }
 
     it("plans exactly one hash exchange for the cascade") {

@@ -16,9 +16,11 @@ class VacuumSpec extends SparkSpec {
     fs.delete(new Path(base), true)
     val df = Seq(1, 2, 3).toDF("x")
     df.write.parquet(s"$base/live_table")
+    df.write.parquet(s"$base/t") // live sibling of the swap debris
     df.write.parquet(s"$base/t.staging")
     df.write.parquet(s"$base/t.old")
     df.write.parquet(s"$base/t__compact_tmp")
+    df.write.parquet(s"$base/fresh") // live sibling, fresh swap in flight
     df.write.parquet(s"$base/fresh.staging")
     val now = 1000000000000L
     Seq("t.staging", "t.old", "t__compact_tmp").foreach(d =>
@@ -27,7 +29,7 @@ class VacuumSpec extends SparkSpec {
     fs.setTimes(new Path(s"$base/live_table"), now - 7200 * 1000L, -1)
 
     val st = Vacuum.vacuum(spark, base, retentionMs = 3600 * 1000L, now = now)
-    st.nExamined shouldBe 5
+    st.nExamined shouldBe 7
     st.nCandidates shouldBe 4
     st.nDeleted shouldBe 3
     st.bytesReclaimed should be > 0L
@@ -44,10 +46,25 @@ class VacuumSpec extends SparkSpec {
     val base = "target/scratch/vacuum_spec2"
     val fs = fsOf(base)
     fs.delete(new Path(base), true)
+    Seq(1).toDF("x").write.parquet(s"$base/a")
     Seq(1).toDF("x").write.parquet(s"$base/a.old")
     val now = 1000000000000L
     fs.setTimes(new Path(s"$base/a.old"), now - 1L, -1)
     Vacuum.vacuum(spark, base, 0L, now).nDeleted shouldBe 1
+    fs.delete(new Path(s"$base/a"), true)
     Vacuum.vacuum(spark, base, 0L, now) shouldBe Vacuum.Stats(0, 0, 0, 0L)
+  }
+
+  it("never sweeps a swap-suffix dir with no live sibling") {
+    val base = "target/scratch/vacuum_spec3"
+    val fs = fsOf(base)
+    fs.delete(new Path(base), true)
+    // a user table that merely happens to be named *.old
+    Seq(1).toDF("x").write.parquet(s"$base/backup.old")
+    val now = 1000000000000L
+    fs.setTimes(new Path(s"$base/backup.old"), now - 7200 * 1000L, -1)
+    val st = Vacuum.vacuum(spark, base, 0L, now)
+    st.nCandidates shouldBe 0
+    fs.exists(new Path(s"$base/backup.old")) shouldBe true
   }
 }
