@@ -187,10 +187,37 @@ object PlatformEntry {
       .toDF("step", "ok").orderBy("step")
   }
 
+  // ---------------------------------------------------------------
+  // q110 — INCREMENTAL near-dup dedup against a persisted MinHash
+  // index (the 100 TB ingest shape: the corpus is sketched ONCE into
+  // an id+hash index; each new batch sketches only itself and joins
+  // the index — corpus text is never rescanned). The index round-
+  // trips through parquet to prove persistability; the batch is the
+  // q23-style injected near-copies, and the oracle recomputes the
+  // exact batch×corpus Jaccard join in SQL (recall of this banding
+  // on this corpus is exactly 1, as q23 established for the
+  // self-join form).
+  // ---------------------------------------------------------------
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val idxPath = s"target/scratch/q110_index_${sanitize(dir)}"
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    // corpus sketched once; persisted as the reusable index artifact
+    Dedup.minhashIndex(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = s.read.parquet(idxPath)
+    val batch = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(lit("zq "), col("text")))
+    Dedup.minhashLshAgainstIndex(index, batch, "doc_id", "text")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_jdbc_ingest" -> (q107 _),
     "q108_model_yaml" -> (q108 _),
-    "q109_remove_models" -> (q109 _))
+    "q109_remove_models" -> (q109 _),
+    "q110_dedup_incremental" -> (q110 _))
 
   val oracleSql: Map[String, String] = Map(
     "q107_jdbc_ingest" ->
@@ -226,6 +253,34 @@ object PlatformEntry {
         |SELECT check_name, column_name, violations, severity,
         |  CASE WHEN violations = 0 THEN 'pass' ELSE severity END AS status
         |FROM r ORDER BY check_name, column_name""".stripMargin,
+    "q110_dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |), batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, 'zq ' || text AS text
+        |  FROM documents WHERE doc_id % 25 = 0
+        |), csets AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |    FROM corpus)
+        |), bsets AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |    FROM batch)
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g)) * 1.0
+        |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+        |  FROM csets x JOIN bsets y ON TRUE
+        |)
+        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY a, b""".stripMargin,
     "q109_remove_models" ->
       """SELECT * FROM (VALUES
         |  ('cust_rollup_dropped', TRUE),

@@ -146,6 +146,71 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .distinct()
 
+  // ----------------------------------------------------------------
+  // incremental MinHash index — q110
+  // ----------------------------------------------------------------
+
+  /** The persistable MinHash-LSH index of a corpus: one row per
+    * (doc, band) — (doc_id, hs, band_id, band_hash). ids + 64-bit
+    * hashes only, never text: at 100 TB of documents the index is
+    * orders of magnitude smaller and lives as a parquet table keyed
+    * by (band_id, band_hash). This is what makes dedup INCREMENTAL —
+    * the corpus is sketched once, then every new batch joins against
+    * the index instead of rescanning corpus text (the q23 self-join
+    * recomputes the whole corpus sketch per run; this shape pays
+    * O(batch) per run).
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    barrier(docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHashes.wordShingleHashes(col(textCol), shingleK).as("hs"))
+      .withColumn("bands", signatureBands(
+        graft.functions.TextHashes.minhashSignature(col("hs"), numHashes),
+        bands, numHashes / bands)))
+      .select(col("doc_id"), col("hs"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("hs"), col("b.band_id"), col("b.band_hash"))
+
+  /** Near-duplicates of a NEW batch against an EXISTING index (the
+    * incremental-ingest dedup step): sketch only the batch, equi-join
+    * on (band_id, band_hash), verify candidates inline with exact
+    * Jaccard on the hashed shingle sets. Returns one row per matched
+    * (index doc `a`, batch doc `b`) with the exact jaccard — feed the
+    * b side to an anti-join to drop near-dups of already-ingested
+    * content, and union the batch's own index rows in afterwards.
+    *
+    * Scale: the join shuffles index rows by band key once (or zero
+    * times if the index table is bucketed on the band key); skewed
+    * degenerate bands split under AQE. Batch-side banding parameters
+    * MUST match the ones the index was built with.
+    */
+  def minhashLshAgainstIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.7): DataFrame = {
+    val b = minhashIndex(batch, idCol, textCol, shingleK, numHashes, bands)
+      .withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hs_b")
+    val a = index
+      .withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "hs_a")
+    a.join(b, Seq("band_id", "band_hash"))
+      // PPJoin length prune, as in verifiedBucketPairs
+      .filter(greatest(size(col("hs_a")), size(col("hs_b"))) * tau <=
+        least(size(col("hs_a")), size(col("hs_b"))))
+      .select(col("a"), col("b"),
+        setJaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .distinct() // a pair may collide in several bands
+  }
+
   /** All ordered within-bucket pairs (a < b) sharing `keys`, each
     * payload column riding along as `<p>_a` / `<p>_b`.
     *
