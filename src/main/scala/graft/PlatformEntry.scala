@@ -213,11 +213,29 @@ object PlatformEntry {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------
+  // q111 — training-shard export + manifest: the cleaned corpus lands
+  // as 8 deterministic JSONL shards (id mod 8 — restatable in SQL)
+  // and the gated output is the manifest recomputed FROM DISK, so a
+  // lost row, a double-write, or a shard-assignment drift breaks the
+  // count/checksum parity with the oracle.
+  // ---------------------------------------------------------------
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Export
+    import graft.text.TextAnalysis
+    val out = s"target/scratch/q111_${sanitize(dir)}"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    Export.jsonlShards(s, docs, "doc_id", "n_tokens", nShards = 8, out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_jdbc_ingest" -> (q107 _),
     "q108_model_yaml" -> (q108 _),
     "q109_remove_models" -> (q109 _),
-    "q110_dedup_incremental" -> (q110 _))
+    "q110_dedup_incremental" -> (q110 _),
+    "q111_export_shards" -> (q111 _))
 
   val oracleSql: Map[String, String] = Map(
     "q107_jdbc_ingest" ->
@@ -253,6 +271,11 @@ object PlatformEntry {
         |SELECT check_name, column_name, violations, severity,
         |  CASE WHEN violations = 0 THEN 'pass' ELSE severity END AS status
         |FROM r ORDER BY check_name, column_name""".stripMargin,
+    "q111_export_shards" ->
+      s"""SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(${PipelineEntry.WsTokSql}) AS BIGINT) AS sum_tokens
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "q110_dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
