@@ -482,11 +482,14 @@ object Dedup {
   def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     // barrier FIRST: nodes and every contraction round fan out from
     // the materialized edge list, so an expensive upstream pair
-    // pipeline executes exactly once
+    // pipeline executes exactly once. `nodes` and the self-loop
+    // filter stay LAZY — they are cheap re-derivations of the
+    // checkpointed pair list, and a barrier on each would pay a
+    // full materialization job for nothing.
     val initial = barrier(pairs.select(col("a"), col("b")).distinct())
-    val nodes = barrier(initial.select(col("a").as("id"))
-      .unionByName(initial.select(col("b").as("id"))).distinct())
-    var edges = barrier(initial.filter(col("a") =!= col("b")))
+    val nodes = initial.select(col("a").as("id"))
+      .unionByName(initial.select(col("b").as("id"))).distinct()
+    var edges = initial.filter(col("a") =!= col("b"))
 
     def symmetric(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))

@@ -63,6 +63,27 @@ class JdbcSourceSpec extends SparkSpec {
     }
   }
 
+  describe("cursor state round-trip (dlt pipeline-state loop)") {
+    it("run 2 resumes strictly above run 1's persisted watermark") {
+      fixture()
+      val statePath =
+        java.nio.file.Files.createTempDirectory("jdbc_state").toString + "/st"
+      // run 1: first 60 ids land; watermark persists
+      val run1 = JdbcSource.tableIncremental(spark, url, "ITEMS",
+        JdbcSource.TableConfig(cursor = Some("ID")), options = opts)
+        .filter(col("ID") <= 60) // simulates the state of the source then
+      Incremental.saveState(run1, "ID", statePath)
+      // run 2: loads state, extracts strictly above it over JDBC
+      val state = Incremental.loadState(spark, statePath)
+      state.lastValue shouldBe Some(60L)
+      val run2 = JdbcSource.tableIncremental(spark, url, "ITEMS",
+        JdbcSource.TableConfig(cursor = Some("ID"),
+          lastValue = state.lastValue), options = opts)
+      run2.count() shouldBe 40
+      run2.agg(min("ID")).head().getLong(0) shouldBe 61
+    }
+  }
+
   describe("JdbcSource.database") {
     it("extracts selected tables with per-table configs") {
       fixture()
