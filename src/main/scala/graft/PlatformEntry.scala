@@ -230,12 +230,30 @@ object PlatformEntry {
     Export.jsonlShards(s, docs, "doc_id", "n_tokens", nShards = 8, out)
   }
 
+  // ---------------------------------------------------------------
+  // q112 — document chunking (RAG / context-window prep): fixed
+  // 64-token windows with stride 48 (16-token overlap) as a pure
+  // per-row explode — zero shuffles; the oracle restates the window
+  // arithmetic and every chunk's token/char counts with DuckDB list
+  // slicing, so an off-by-one in stride, tail, or the ≤window
+  // single-chunk case breaks parity.
+  // ---------------------------------------------------------------
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    TextAnalysis.chunk(t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", window = 64, step = 48)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        length(col("chunk_text")).cast("long").as("n_chars"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_jdbc_ingest" -> (q107 _),
     "q108_model_yaml" -> (q108 _),
     "q109_remove_models" -> (q109 _),
     "q110_dedup_incremental" -> (q110 _),
-    "q111_export_shards" -> (q111 _))
+    "q111_export_shards" -> (q111 _),
+    "q112_chunking" -> (q112 _))
 
   val oracleSql: Map[String, String] = Map(
     "q107_jdbc_ingest" ->
@@ -271,6 +289,24 @@ object PlatformEntry {
         |SELECT check_name, column_name, violations, severity,
         |  CASE WHEN violations = 0 THEN 'pass' ELSE severity END AS status
         |FROM r ORDER BY check_name, column_name""".stripMargin,
+    "q112_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |    array_to_string(t[CAST(i AS INT)*48+1 : CAST(i AS INT)*48+64], ' ')
+        |      AS chunk_text
+        |  FROM toks,
+        |    LATERAL unnest(range(0,
+        |      1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS BIGINT))) u(i)
+        |)
+        |SELECT doc_id, chunk_id,
+        |  (length(trim(chunk_text))
+        |    - length(replace(trim(chunk_text), ' ', '')) + 1) AS chunk_tokens,
+        |  CAST(length(chunk_text) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q111_export_shards" ->
       s"""SELECT doc_id % 8 AS shard, count(*) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,

@@ -369,4 +369,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("word"), col("tf"),
         col("df"), col("score"))
   }
+
+  // ------------------------------------------------------------
+  // document chunking (RAG / context-window prep)
+  // ------------------------------------------------------------
+
+  /** Split each document into fixed-size overlapping token windows —
+    * the retrieval-corpus/context-window prep step (`window` tokens
+    * per chunk, stride `step` = window − overlap). Emits one row per
+    * chunk: (…input cols…, chunk_id, chunk_text, chunk_tokens).
+    *
+    * Chunk c covers tokens [c·step, c·step + window); the last chunk
+    * may be short but is never empty, and a doc with ≤ `window`
+    * tokens yields exactly one chunk (itself). Whitespace tokens —
+    * same tokenizer as wsTokenCount/truncation, and the whole thing
+    * is a per-row `sequence` + `transform` + `posexplode`: a pure
+    * scan-level expression, zero shuffles, so chunking 100 TB is one
+    * pass that composes with any downstream groupBy/write.
+    */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      step: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(step > 0 && step <= window,
+      s"step must be in [1, window], got $step (window $window)")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // number of chunks: 1 + ceil(max(n - window, 0) / step)
+    val n = size(toks)
+    val nChunks = lit(1) + ceil(greatest(n - window, lit(0))
+      .cast("double") / step).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      c => concat_ws(" ", slice(toks, c * step + 1, lit(window))))
+    docs
+      .withColumn("__chunks", chunks)
+      .select(col("*"), posexplode(col("__chunks")).as(Seq("chunk_id", "chunk_text")))
+      .drop("__chunks")
+      .withColumn("chunk_tokens", wsTokenCount(col("chunk_text")))
+  }
 }
