@@ -43,10 +43,69 @@ object TrainEntry {
       .orderBy("split")
   }
 
+  // ---------------------------------------------------------------
+  // q114 — mergeable quantile sketches (KLL): per-group partial
+  // sketches are built in one pass, then RE-AGGREGATED by merging the
+  // sketch bytes (never re-reading rows) — the shape that lets 100 TB
+  // profiling run as "merge yesterday's sketches with today's". The
+  // gate is the sketch's own contract, checked against exact ranks
+  // computed from the data: the true rank interval of each extracted
+  // quantile [#<q̂, #≤q̂]/n must intersect p ± 2ε (interval form
+  // because l_quantity/l_discount are heavy discrete atoms whose
+  // inclusive rank legitimately overshoots p). Oracle = VALUES
+  // literal, like the other randomized-sketch contracts (q45 HLL).
+  // ---------------------------------------------------------------
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchAgg
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+
+    // phase 1: per-group partial sketches (the persistable artifact)
+    val perFlag = li.groupBy("l_returnflag").agg(
+      SketchAgg.kllSketch(col(cols.head)).as(s"sk_${cols.head}"),
+      cols.tail.map(c => SketchAgg.kllSketch(col(c)).as(s"sk_$c")): _*)
+    // phase 2: merge the sketches — no row is touched again
+    val merged = perFlag.agg(
+      SketchAgg.kllMerge(col(s"sk_${cols.head}")).as(cols.head),
+      cols.tail.map(c => SketchAgg.kllMerge(col(s"sk_$c")).as(c)): _*)
+    val qRow = merged.select(
+      cols.map(c => SketchAgg.kllQuantiles(col(c), probs).as(c)): _*).head()
+    val approx: Map[String, Seq[Double]] =
+      cols.map(c => c -> qRow.getSeq[Double](qRow.fieldIndex(c))).toMap
+
+    // exact rank interval of each estimate: one count-if pass
+    val rankAggs = for { c <- cols; (_, i) <- probs.zipWithIndex; strict <- Seq(true, false) }
+      yield (count(when(if (strict) col(c) < approx(c)(i)
+          else col(c) <= approx(c)(i), 1)) / count(lit(1)))
+        .as(s"${c}_${i}_$strict")
+    val r = li.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val eps = 2 * SketchAgg.rankError()
+    val checks = for { c <- cols; (p, i) <- probs.zipWithIndex } yield {
+      val lo = r.getDouble(r.fieldIndex(s"${c}_${i}_true"))
+      val hi = r.getDouble(r.fieldIndex(s"${c}_${i}_false"))
+      (c, p, lo <= p + eps && hi >= p - eps)
+    }
+    checks.toDF("column_name", "p", "within_bound")
+      .orderBy("column_name", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q113_split_leakage_safe" -> (q113 _))
+    "q113_split_leakage_safe" -> (q113 _),
+    "q114_sketch_quantiles" -> (q114 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q114_sketch_quantiles" ->
+      """SELECT column_name, CAST(p AS DOUBLE) AS p, within_bound FROM (VALUES
+        |  ('l_discount', 0.1, TRUE), ('l_discount', 0.5, TRUE),
+        |  ('l_discount', 0.9, TRUE), ('l_discount', 0.99, TRUE),
+        |  ('l_extendedprice', 0.1, TRUE), ('l_extendedprice', 0.5, TRUE),
+        |  ('l_extendedprice', 0.9, TRUE), ('l_extendedprice', 0.99, TRUE),
+        |  ('l_quantity', 0.1, TRUE), ('l_quantity', 0.5, TRUE),
+        |  ('l_quantity', 0.9, TRUE), ('l_quantity', 0.99, TRUE)
+        |) AS t(column_name, p, within_bound)
+        |ORDER BY column_name, p""".stripMargin,
     "q113_split_leakage_safe" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
