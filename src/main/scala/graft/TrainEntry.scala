@@ -91,11 +91,51 @@ object TrainEntry {
       .orderBy("column_name", "p")
   }
 
+  // ---------------------------------------------------------------
+  // q115 — int8 embedding quantization (the index-size lever for
+  // retrieval at 100 TB: 4× smaller than float32, training-free,
+  // per-vector): codes, per-vector scale, and their census are a pure
+  // projection — zero exchanges — and use only engine-portable
+  // arithmetic (floor-based rounding), so DuckDB recomputes the
+  // EXACT same codes from the same parquet floats.
+  // ---------------------------------------------------------------
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Quantize
+    val q = Quantize.corpus(t(s, dir, "embeddings"), "embedding")
+    q.select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("codes")).cast("long").as("q_min"),
+        array_max(col("codes")).cast("long").as("q_max"),
+        floor(col("scale") * 1e6).cast("long").as("scale_u"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_split_leakage_safe" -> (q113 _),
-    "q114_sketch_quantiles" -> (q114 _))
+    "q114_sketch_quantiles" -> (q114 _),
+    "q115_embedding_int8" -> (q115 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q115_embedding_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id, s,
+        |    CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+        |      ELSE list_transform(e,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INT)) END AS codes
+        |  FROM q
+        |)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS q_min,
+        |  CAST(list_max(codes) AS BIGINT) AS q_max,
+        |  CAST(floor(s * 1000000.0) AS BIGINT) AS scale_u
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q114_sketch_quantiles" ->
       """SELECT column_name, CAST(p AS DOUBLE) AS p, within_bound FROM (VALUES
         |  ('l_discount', 0.1, TRUE), ('l_discount', 0.5, TRUE),
