@@ -28,18 +28,25 @@ object Bench {
     val runTotals = (1 to runs).map { _ =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        // a fast failure is not a fast query: only successful runs
+        // compete for the per-query minimum
+        if (ok) best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
         sec
       }.sum
     }
-    val qs = names.map(k => "\"" + k + "\":" + best(k)).mkString("{", ",", "}")
-    val total = names.map(best(_)).sum // sum of per-query minimums
+    // queries that never succeeded report null and contribute nothing
+    // to the headline total
+    val qs = names.map(k => "\"" + k + "\":" +
+      best.get(k).map(_.toString).getOrElse("null")).mkString("{", ",", "}")
+    val total = names.flatMap(best.get).sum // sum of per-query minimums
     val totalsJson = runTotals.map(_.toString).mkString("[", ",", "]")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"run_totals":$totalsJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""

@@ -42,8 +42,13 @@ object PlatformEntry {
     val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
     def up(df: DataFrame): DataFrame = df.toDF(df.columns.map(_.toUpperCase): _*)
     // pay the fixture load once per warehouse (like q40's bucketing:
-    // first run writes, every rerun only reads)
-    if (!JdbcSource.tableExists(url, "NATION")) {
+    // first run writes, every rerun only reads). BOTH tables gate the
+    // skip: a crash between the two writes would otherwise leave a DB
+    // with NATION but no SUPPLIER that every later run trusts and
+    // fails on. writeTable is mode=overwrite, so re-loading the
+    // surviving half is idempotent.
+    if (!(JdbcSource.tableExists(url, "NATION") &&
+        JdbcSource.tableExists(url, "SUPPLIER"))) {
       JdbcSource.writeTable(up(t(s, dir, "nation")), url, "NATION")
       JdbcSource.writeTable(up(t(s, dir, "supplier")), url, "SUPPLIER")
     }

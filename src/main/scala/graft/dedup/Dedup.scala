@@ -173,7 +173,18 @@ object Dedup {
         graft.functions.TextHashes.minhashSignature(col("hs"), numHashes),
         bands, numHashes / bands)))
       .select(col("doc_id"), col("hs"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("hs"), col("b.band_id"), col("b.band_hash"))
+      .select(col("doc_id"), col("hs"), col("b.band_id"), col("b.band_hash"),
+        // banding parameters ride WITH the index (constant columns are
+        // ~free in parquet): a probe built with different parameters
+        // would silently miss every near-dup, so the artifact is
+        // self-describing and minhashLshAgainstIndex validates it.
+        lit(shingleK).as("shingle_k"), lit(numHashes).as("num_hashes"),
+        lit(bands).as("num_bands"))
+
+  /** Index metadata columns written by [[minhashIndex]] and required
+    * by [[minhashLshAgainstIndex]].
+    */
+  private[dedup] val IndexMetaCols = Seq("shingle_k", "num_hashes", "num_bands")
 
   /** Near-duplicates of a NEW batch against an EXISTING index (the
     * incremental-ingest dedup step): sketch only the batch, equi-join
@@ -186,7 +197,10 @@ object Dedup {
     * Scale: the join shuffles index rows by band key once (or zero
     * times if the index table is bucketed on the band key); skewed
     * degenerate bands split under AQE. Batch-side banding parameters
-    * MUST match the ones the index was built with.
+    * MUST match the ones the index was built with — the index's
+    * self-describing metadata columns (written by [[minhashIndex]])
+    * are validated here, so a mismatched call FAILS instead of
+    * silently returning missed/garbage pairs.
     */
   def minhashLshAgainstIndex(
       index: DataFrame,
@@ -197,7 +211,19 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       tau: Double = 0.7): DataFrame = {
+    require(IndexMetaCols.forall(index.columns.contains),
+      s"index carries no banding metadata (${IndexMetaCols.mkString("/")}) — " +
+        "rebuild it with Dedup.minhashIndex")
+    // limit-1 scan: validation cost is one row regardless of index size
+    index.select(IndexMetaCols.map(col): _*).head(1).foreach { r =>
+      val got = (r.getInt(0), r.getInt(1), r.getInt(2))
+      require(got == ((shingleK, numHashes, bands)),
+        s"index was built with (shingleK, numHashes, bands)=$got but the " +
+          s"probe asked for ($shingleK, $numHashes, $bands) — a mismatched " +
+          "probe would miss near-dups silently")
+    }
     val b = minhashIndex(batch, idCol, textCol, shingleK, numHashes, bands)
+      .drop(IndexMetaCols: _*)
       .withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hs_b")
     val a = index
       .withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "hs_a")

@@ -16,13 +16,18 @@ import org.apache.spark.sql.functions._
   * representative.
   *
   * Scale shape (100 TB): the cluster key is `(xxhash64(text),
-  * length(text))` — the same 8-byte-key election `Dedup.exact` uses,
-  * so the one hash exchange carries hashes, never bodies. The
-  * representative (min id) is a window min over that partitioning,
-  * and the split assignment itself is a pure projection on the
-  * representative id — deterministic, seedless, reproducible from
-  * the data alone. Near-dup-safe splitting composes the same way:
-  * feed `Dedup.clusters` output in as `repCol` instead.
+  * length(text))` — the same 8-byte-key election `Dedup.exact` uses.
+  * The representative (min id) is a window min over that
+  * partitioning, and because the semantics annotate EVERY row with
+  * its cluster's split, the corpus meets its representative in
+  * exactly one hash exchange — and that window exchange ships whole
+  * rows, bodies included (unavoidable for annotate-in-place; a
+  * project-hashes-then-join-back variant would just move the bodies
+  * in the join's shuffle instead). The split assignment itself is a
+  * pure projection on the representative id — deterministic,
+  * seedless, reproducible from the data alone. Near-dup-safe
+  * splitting composes via `byRepresentative`: feed `Dedup.clusters`
+  * output in as `repCol` (zero additional exchanges).
   */
 object Split {
 

@@ -40,9 +40,18 @@ object Vacuum {
     * modification time is older than `now - retentionMs`. `now` is
     * explicit (not System.currentTimeMillis) so runs are reproducible
     * and testable — pass the wall clock in production.
+    *
+    * KNOWN LEAK (by default): swap debris whose live table was itself
+    * dropped later (`orders.old` left behind after `orders` was
+    * removed) never regains a sibling, so the sibling rule skips it
+    * forever. `sweepOrphans = true` opts into reclaiming those too —
+    * still gated by the same retention window, so pair it with a MUCH
+    * longer `retentionMs` than the in-flight-swap window (an orphan's
+    * age must exceed any plausible table-drop + re-create cycle, since
+    * without the sibling there is no live table to cross-check).
     */
   def vacuum(spark: SparkSession, warehouseRoot: String,
-      retentionMs: Long, now: Long): Stats = {
+      retentionMs: Long, now: Long, sweepOrphans: Boolean = false): Stats = {
     require(retentionMs >= 0, "retentionMs must be >= 0")
     val root = new Path(warehouseRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -52,8 +61,11 @@ object Vacuum {
       val name = e.getPath.getName
       SwapSuffixes.find(name.endsWith) match {
         // swap debris only when the live table it was staged for is
-        // present — protects a user dir that merely matches the suffix
-        case Some(sfx) => names.contains(name.dropRight(sfx.length))
+        // present — protects a user dir that merely matches the suffix.
+        // sweepOrphans extends eligibility to sibling-less debris (the
+        // dropped-table leak documented above).
+        case Some(sfx) =>
+          sweepOrphans || names.contains(name.dropRight(sfx.length))
         case None => name.endsWith("__compact_tmp")
       }
     }

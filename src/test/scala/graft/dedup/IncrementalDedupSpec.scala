@@ -16,12 +16,16 @@ class IncrementalDedupSpec extends SparkSpec {
     .toDF("doc_id", "text")
 
   describe("Dedup.minhashIndex") {
-    it("emits one row per (doc, band) with ids and hashes only") {
+    it("emits one row per (doc, band) with ids, hashes, and banding metadata") {
       val idx = Dedup.minhashIndex(corpus(), "doc_id", "text",
         numHashes = 16, bands = 4)
-      idx.columns.toSeq shouldBe Seq("doc_id", "hs", "band_id", "band_hash")
+      idx.columns.toSeq shouldBe Seq("doc_id", "hs", "band_id", "band_hash",
+        "shingle_k", "num_hashes", "num_bands")
       idx.count() shouldBe 3 * 4
       idx.select(countDistinct("doc_id")).head().getLong(0) shouldBe 3
+      idx.select("shingle_k", "num_hashes", "num_bands").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq shouldBe
+        Seq((3, 16, 4))
     }
 
     it("round-trips through parquet unchanged") {
@@ -54,6 +58,28 @@ class IncrementalDedupSpec extends SparkSpec {
       val m = Dedup.minhashLshAgainstIndex(idx, batch, "doc_id", "text").collect()
       m.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe
         Seq((2L, 300L, 1.0))
+    }
+
+    it("rejects a probe whose banding parameters mismatch the index") {
+      val idx = Dedup.minhashIndex(corpus(), "doc_id", "text",
+        numHashes = 16, bands = 4)
+      val batch = Seq((300L, "pack my box with five dozen liquor jugs right now"))
+        .toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashLshAgainstIndex(idx, batch, "doc_id", "text",
+          numHashes = 16, bands = 8)
+      }
+      e.getMessage should include("(3,16,4)")
+    }
+
+    it("rejects an index stripped of its banding metadata") {
+      val idx = Dedup.minhashIndex(corpus(), "doc_id", "text")
+        .drop("shingle_k", "num_hashes", "num_bands")
+      val batch = Seq((300L, "pack my box with five dozen liquor jugs right now"))
+        .toDF("doc_id", "text")
+      intercept[IllegalArgumentException] {
+        Dedup.minhashLshAgainstIndex(idx, batch, "doc_id", "text")
+      }.getMessage should include("metadata")
     }
 
     it("the anti-join composition drops matched batch docs") {

@@ -67,4 +67,23 @@ class VacuumSpec extends SparkSpec {
     st.nCandidates shouldBe 0
     fs.exists(new Path(s"$base/backup.old")) shouldBe true
   }
+
+  it("sweepOrphans reclaims sibling-less swap debris, still gated by retention") {
+    val base = "target/scratch/vacuum_spec4"
+    val fs = fsOf(base)
+    fs.delete(new Path(base), true)
+    // orphaned swap debris: its live table was dropped after the swap
+    Seq(1).toDF("x").write.parquet(s"$base/dropped.old")
+    Seq(1).toDF("x").write.parquet(s"$base/recent.staging")
+    val now = 1000000000000L
+    val week = 7 * 86400 * 1000L
+    fs.setTimes(new Path(s"$base/dropped.old"), now - 2 * week, -1)
+    fs.setTimes(new Path(s"$base/recent.staging"), now - 3600 * 1000L, -1)
+    val st = Vacuum.vacuum(spark, base, retentionMs = week, now = now,
+      sweepOrphans = true)
+    st.nCandidates shouldBe 2 // both eligible, only the aged one expires
+    st.nDeleted shouldBe 1
+    fs.exists(new Path(s"$base/dropped.old")) shouldBe false
+    fs.exists(new Path(s"$base/recent.staging")) shouldBe true
+  }
 }
