@@ -7,8 +7,9 @@ import graft.sources.Tables
 
 /** q113+: the training-data tail — leakage-safe splits, mergeable
   * sketch profiling, embedding quantization, HTML main-text
-  * extraction, snapshot time travel. Same conventions as the earlier
-  * entry objects: exact DuckDB oracles where the math is portable,
+  * extraction, and time travel in both shapes (SCD2 as-of reads,
+  * versioned-table commits). Same conventions as the earlier entry
+  * objects: exact DuckDB oracles where the math is portable,
   * contract gates where the operator is inherently randomized.
   */
 object TrainEntry {
@@ -111,12 +112,193 @@ object TrainEntry {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------
+  // q116 — HTML main-text extraction (the first step of every
+  // web-crawl training pipeline): deterministic HTML pages are
+  // synthesized around each document's text (fixture-style, like
+  // q33's media containers — the corpus ships no HTML), exercising
+  // every branch of the extractor: machinery blocks (style/script
+  // with inner `<`), uppercase tags, multi-line blocks, comments,
+  // chrome (nav/footer/aside), an UNCLOSED trailing <aside> whose
+  // inner text must survive (markup-strip, not DOM-swallow), the
+  // entity decode order (&amp;lt; must yield literal "&lt;", never
+  // "<"), and a non-listed entity (&copy;) passing through. The
+  // whole extraction is one codegen'd projection — zero exchanges
+  // (spec-pinned) — and the oracle runs the IDENTICAL chain via
+  // HtmlExtract.mainTextSql, generated from the same tag/entity
+  // lists so the two engines cannot drift.
+  // ---------------------------------------------------------------
+  private[graft] val HtmlA = "<HTML><head><title>Doc "
+  private[graft] val HtmlB = "</title>\n<style type=\"text/css\">p { margin: 0; }\n" +
+    ".x { color: #fff; }</style>\n<SCRIPT src=\"app.js\">var i = 1; if (i < 2) { i = 3; }\n" +
+    "render();</SCRIPT></head>\n<body>\n" +
+    "<NAV class=\"top\"><a href=\"/\">Home</a> | <a href=\"/about\">About</a></NAV>\n" +
+    "<!-- crawl\nboilerplate -->\n<h1>Entry "
+  private[graft] val HtmlC = "</h1>\n<p>marker &amp;lt; stays &nbsp;&quot;quoted&quot; " +
+    "&#39;tick&#39; &lt;em&gt; &amp; &copy; kept</p>\n<p>"
+  private[graft] val HtmlD = "</p>\n<footer>&copy; 2026 graft</footer>\n" +
+    "<ASIDE id=\"ads\">sponsored listing</ASIDE>\n<aside>tail promo"
+
+  private[graft] def syntheticHtml(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(HtmlA), id, lit(HtmlB), id, lit(HtmlC), text, lit(HtmlD))
+
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.select(col("doc_id"),
+        HtmlExtract.mainText(syntheticHtml(col("doc_id"), col("text")))
+          .as("main_text"))
+      .withColumn("n_chars", length(col("main_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q117 — snapshot time travel: the SCD2 history built by three
+  // successive timestamp-strategy snapshot applications (cuts at
+  // 1996-01-01, 1997-01-01, full) is read AS OF 1997-06-01 — a date
+  // BETWEEN history versions, so the answer mixes all three cases:
+  // keys whose mid-1997 version is already open, keys still on an
+  // older closed version (their next change came after the as-of
+  // point), and keys absent because they first appear later. asOf is
+  // a pure scan predicate over the history — no shuffle — so time
+  // travel at 100 TB costs one pruned scan. The oracle rebuilds the
+  // same version chain in SQL (per-cut latest state → strictly-newer
+  // dedup → lead() for valid_to) and applies the same interval
+  // filter.
+  // ---------------------------------------------------------------
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Snapshot
+    import org.apache.spark.sql.expressions.Window
+    val orders = t(s, dir, "orders")
+    def state(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("u"),
+          col("o_totalprice").as("price"))
+    }
+    def cut(d: String) = orders.filter(col("o_orderdate") < lit(d).cast("timestamp"))
+    val h1 = Snapshot.timestamp(None, state(cut("1996-01-01")), Seq("k"), "u")
+    val h2 = Snapshot.timestamp(Some(h1), state(cut("1997-01-01")), Seq("k"), "u")
+    val h3 = Snapshot.timestamp(Some(h2), state(orders), Seq("k"), "u")
+    Snapshot.asOf(h3, lit("1997-06-01").cast("timestamp"))
+      .select(col("k"),
+        unix_millis(col(Snapshot.ValidFrom).cast("timestamp")).as("valid_from_ms"),
+        unix_millis(col(Snapshot.ValidTo).cast("timestamp")).as("valid_to_ms"),
+        col("price"))
+      .orderBy("k")
+  }
+
+  // ---------------------------------------------------------------
+  // q118 — versioned-table time travel (VERSION AS OF / TIMESTAMP AS
+  // OF): three commits of an orders census (pre-1996 cut, pre-1997
+  // cut, full) at explicit commit times 100/200/300, then three
+  // reads: VERSION AS OF 1, TIMESTAMP AS OF 250 (between commits →
+  // resolves to v1 too), TIMESTAMP AS OF 1000 (→ latest). A commit
+  // is data-dir-first + atomic manifest rename; reads resolve through
+  // the log only. The table is rebuilt fresh each run (fixture), so
+  // the oracle can restate each leg's census straight from orders.
+  // ---------------------------------------------------------------
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedTable
+    val path = s"target/scratch/q118_${ExtendedEntry.sanitize(dir)}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
+    val orders = t(s, dir, "orders")
+    def census(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    def cut(d: String) = orders.filter(col("o_orderdate") < lit(d).cast("timestamp"))
+    VersionedTable.commit(s, path, census(cut("1996-01-01")), committedAtMs = 100L)
+    VersionedTable.commit(s, path, census(cut("1997-01-01")), committedAtMs = 200L)
+    VersionedTable.commit(s, path, census(orders), committedAtMs = 300L)
+
+    val legs = Seq(
+      ("version_1", VersionedTable.read(s, path, 1L)),
+      ("asof_250", VersionedTable.readAsOf(s, path, 250L)),
+      ("asof_1000", VersionedTable.readAsOf(s, path, 1000L)))
+    legs.map { case (tag, df) => df.withColumn("leg", lit(tag)) }
+      .reduce(_ unionByName _)
+      .select("leg", "o_orderpriority", "n_orders", "sum_price")
+      .orderBy("leg", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_split_leakage_safe" -> (q113 _),
     "q114_sketch_quantiles" -> (q114 _),
-    "q115_embedding_int8" -> (q115 _))
+    "q115_embedding_int8" -> (q115 _),
+    "q116_html_extract" -> (q116 _),
+    "q117_snapshot_asof" -> (q117 _),
+    "q118_versioned_table" -> (q118 _))
+
+  /** SQL string literal (newlines are legal inside SQL literals). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    "q118_versioned_table" -> {
+      def leg(tag: String, where: String) =
+        s"""SELECT '$tag' AS leg, o_orderpriority,
+           |  count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders $where GROUP BY o_orderpriority""".stripMargin
+      val pre97 = "WHERE o_orderdate < TIMESTAMP '1997-01-01'"
+      s"""${leg("version_1", pre97)}
+         |UNION ALL
+         |${leg("asof_250", pre97)}
+         |UNION ALL
+         |${leg("asof_1000", "")}
+         |ORDER BY leg, o_orderpriority""".stripMargin
+    },
+    "q117_snapshot_asof" -> {
+      def cutState(n: Int, where: String) =
+        s"""SELECT k, u, price, $n AS cut FROM (
+           |    SELECT o_custkey AS k, o_orderdate AS u, o_totalprice AS price,
+           |      row_number() OVER (PARTITION BY o_custkey
+           |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |    FROM orders $where) WHERE rn = 1""".stripMargin
+      s"""WITH s AS (
+         |  ${cutState(1, "WHERE o_orderdate < TIMESTAMP '1996-01-01'")}
+         |  UNION ALL
+         |  ${cutState(2, "WHERE o_orderdate < TIMESTAMP '1997-01-01'")}
+         |  UNION ALL
+         |  ${cutState(3, "")}
+         |), vers AS (
+         |  SELECT k, u, price FROM (
+         |    SELECT k, u, price,
+         |      lag(u) OVER (PARTITION BY k ORDER BY cut) AS prev_u
+         |    FROM s)
+         |  WHERE prev_u IS NULL OR u > prev_u
+         |), hist AS (
+         |  SELECT k, u AS vf,
+         |    lead(u) OVER (PARTITION BY k ORDER BY u) AS vt, price
+         |  FROM vers
+         |)
+         |SELECT k, epoch_ms(vf) AS valid_from_ms, epoch_ms(vt) AS valid_to_ms,
+         |  price
+         |FROM hist
+         |WHERE vf <= TIMESTAMP '1997-06-01'
+         |  AND (vt IS NULL OR vt > TIMESTAMP '1997-06-01')
+         |ORDER BY k""".stripMargin
+    },
+    "q116_html_extract" -> {
+      val html = s"${sqlLit(HtmlA)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlLit(HtmlB)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlLit(HtmlC)} || text || ${sqlLit(HtmlD)}"
+      s"""WITH h AS (
+         |  SELECT doc_id, $html AS html FROM documents
+         |), x AS (
+         |  SELECT doc_id, ${graft.text.HtmlExtract.mainTextSql("html")} AS main_text
+         |  FROM h
+         |)
+         |SELECT doc_id, main_text,
+         |  CAST(length(main_text) AS BIGINT) AS n_chars
+         |FROM x ORDER BY doc_id""".stripMargin
+    },
     "q115_embedding_int8" ->
       """WITH q AS (
         |  SELECT vec_id, embedding AS e,

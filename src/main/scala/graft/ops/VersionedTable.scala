@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table with a commit log — the minimal lakehouse
+  * time-travel primitive (`VERSION AS OF` / `TIMESTAMP AS OF`),
+  * complementing `Snapshot.asOf` (which answers as-of over ROW
+  * history; this answers it over TABLE history). The reference's
+  * warehouse keeps only the latest materialization per model
+  * (datanika `services/dbt_project.py` writes over the prior state);
+  * versioned commits are the piece a 100 TB pipeline adds so a
+  * training run can pin the exact corpus it read.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _log/00000000.json    ← {"version":0,"committedAtMs":…,"dir":"v=0"}
+  *     _log/00000001.json
+  *     v=0/ …parquet…
+  *     v=1/ …parquet…
+  * }}}
+  *
+  * Commit protocol (same rename-aside atomicity as `Writer.merge`):
+  * data files land in `v=N/` FIRST, then the manifest is written to a
+  * dot-temp name and RENAMED into `_log/`. Readers resolve versions
+  * only through manifests, so a crash mid-commit leaves an invisible
+  * orphan data dir — never a torn table. Single-writer per table (the
+  * reference's run model); a lost rename race fails the commit loudly
+  * rather than double-assigning a version.
+  *
+  * Scale: version resolution reads only the manifest dir — N tiny
+  * JSON files, driver-side metadata, no Spark job; the data read is a
+  * plain pruned parquet scan of ONE version dir, so time travel costs
+  * the same as reading the table. `vacuum` reclaims versions past a
+  * retention count, keeping the log's tail intact.
+  */
+object VersionedTable {
+
+  final case class Commit(version: Long, committedAtMs: Long, dir: String)
+
+  private val LogDir = "_log"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All commits, oldest first — read from the manifest dir only. */
+  def versions(spark: SparkSession, path: String): Seq[Commit] = {
+    val f = fs(spark, path)
+    val log = new Path(path, LogDir)
+    if (!f.exists(log)) return Nil
+    val VerRe = """"version"\s*:\s*(\d+)""".r
+    val TsRe = """"committedAtMs"\s*:\s*(\d+)""".r
+    val DirRe = """"dir"\s*:\s*"([^"]+)"""".r
+    f.listStatus(log).toSeq
+      .filter(s => s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val in = f.open(s.getPath)
+        val body = try new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        def field(re: scala.util.matching.Regex) =
+          re.findFirstMatchIn(body).map(_.group(1)).getOrElse(
+            throw new IllegalStateException(
+              s"corrupt manifest ${s.getPath}: $body"))
+        Commit(field(VerRe).toLong, field(TsRe).toLong, field(DirRe))
+      }
+      .sortBy(_.version)
+  }
+
+  /** Append the dataframe as the next version; returns its number.
+    * `committedAtMs` is passed explicitly (like `Snapshot.check`'s
+    * runTs) so commits are reproducible and `readAsOf` is testable;
+    * it must be monotone across commits — enforced, because a
+    * non-monotone log would make TIMESTAMP-AS-OF ambiguous.
+    */
+  def commit(spark: SparkSession, path: String, df: DataFrame,
+      committedAtMs: Long): Long = {
+    val f = fs(spark, path)
+    val prior = versions(spark, path)
+    prior.lastOption.foreach { last =>
+      require(committedAtMs >= last.committedAtMs,
+        s"commit time $committedAtMs precedes last commit ${last.committedAtMs}")
+    }
+    val next = prior.lastOption.map(_.version + 1).getOrElse(0L)
+    val dir = s"v=$next"
+    df.write.mode("overwrite").parquet(new Path(path, dir).toString)
+    val log = new Path(path, LogDir)
+    f.mkdirs(log)
+    val tmp = new Path(log, f".tmp-$next%08d.json")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""{"version":$next,"committedAtMs":$committedAtMs,"dir":"$dir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val manifest = new Path(log, f"$next%08d.json")
+    if (!f.rename(tmp, manifest)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"commit $next lost a rename race on $manifest (concurrent writer?)")
+    }
+    next
+  }
+
+  private def resolve(spark: SparkSession, path: String,
+      pick: Seq[Commit] => Option[Commit], what: String): DataFrame = {
+    val all = versions(spark, path)
+    val c = pick(all).getOrElse(throw new NoSuchElementException(
+      s"$path has no version $what (log has ${all.size} commits)"))
+    spark.read.parquet(new Path(path, c.dir).toString)
+  }
+
+  /** VERSION AS OF n. */
+  def read(spark: SparkSession, path: String, version: Long): DataFrame =
+    resolve(spark, path, _.find(_.version == version), s"= $version")
+
+  /** Latest committed version. */
+  def readLatest(spark: SparkSession, path: String): DataFrame =
+    resolve(spark, path, _.lastOption, "at all")
+
+  /** TIMESTAMP AS OF tsMs: the newest version committed at or before
+    * `tsMs` — the table as a reader starting then would have seen it.
+    */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame =
+    resolve(spark, path, _.reverse.find(_.committedAtMs <= tsMs),
+      s"committed <= $tsMs")
+
+  /** Reclaim all but the last `retainLast` versions: manifests go
+    * first (a version vanishes from the log before its data dir, so a
+    * concurrent resolve never finds a manifest whose data is gone),
+    * then data dirs, then any ORPHAN `v=*` dir no manifest references
+    * (debris of crashed commits). Returns reclaimed version numbers.
+    */
+  def vacuum(spark: SparkSession, path: String, retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val f = fs(spark, path)
+    val all = versions(spark, path)
+    val drop = all.dropRight(retainLast)
+    drop.foreach { c =>
+      f.delete(new Path(new Path(path, LogDir), f"${c.version}%08d.json"), false)
+      f.delete(new Path(path, c.dir), true)
+    }
+    val live = all.takeRight(retainLast).map(_.dir).toSet
+    f.listStatus(new Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        !live.contains(s.getPath.getName))
+      .foreach(s => f.delete(s.getPath, true))
+    drop.map(_.version)
+  }
+}

@@ -19,15 +19,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The events table carries TIMESTAMP(NANOS) which Spark 4 refuses
-    * by default; read it as an epoch-nanos long (lossless) and let
-    * operators quantize to ms (`NS_PER_MS`) where the semantics call
-    * for wall-clock time.
+  /** The events table's `ts` contract inside graft is EPOCH-NANOS
+    * LONG — operators quantize to ms (`NS_PER_MS`) where the
+    * semantics call for wall-clock time. Data generations have
+    * shipped it physically as TIMESTAMP(NANOS) (read losslessly as
+    * long via the legacy conf) and as timestamp[us] (read as a
+    * timestamp type, converted to epoch-ns here — ×1000 exact);
+    * normalizing at the loader keeps every operator and every DuckDB
+    * oracle (`epoch_ns(ts)`) encoding-agnostic.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTsNs(df) else df
   }
+
+  /** ts → epoch-ns long, whatever the physical encoding. The NTZ →
+    * TIMESTAMP cast is value-preserving under the UTC session tz all
+    * graft entry points set.
+    */
+  private[graft] def normalizeTsNs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) * NS_PER_US)
+      case _ => df
+    }
+
+  val NS_PER_US = 1000L
 
   val NS_PER_MS = 1000000L
 

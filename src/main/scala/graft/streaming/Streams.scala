@@ -18,14 +18,26 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet schema with ts as epoch-ns long (see Tables.load). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet schema as DECLARED to the file source; ts is
+    * whatever the files physically carry (epoch-ns long or a
+    * timestamp type — see Tables.load) and is normalized to the
+    * epoch-ns-long contract right after the scan. A streaming source
+    * needs the schema up front, so the physical ts type is probed
+    * once from the existing files (driver-side metadata read).
+    */
+  def eventSchema(spark: SparkSession, dir: String): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", physicalTsType(spark, dir)),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  private def physicalTsType(spark: SparkSession, dir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
 
   /** Streaming read of the events table (file source). The file
     * source wants a DIRECTORY; `pathGlobFilter` selects the events
@@ -44,10 +56,11 @@ object Streams {
     */
   def readEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    graft.sources.Tables.normalizeTsNs(
+      spark.readStream
+        .schema(eventSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour aggregation; works on batch and streaming
