@@ -21,8 +21,15 @@ object Bench {
     try SparkEntry.queries("q01_full_scan_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
     // fixed name order: Map iteration order is arbitrary, and stable
-    // ordering makes per-query timings comparable across rounds
+    // ordering makes per-query timings comparable across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=q89,q38 narrows to matching prefixes —
+    // for targeted noise-vs-regression re-measures; the driver never
+    // sets it, so official rounds always time the full registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.exists(n.startsWith))
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
     val runTotals = (1 to runs).map { _ =>

@@ -35,7 +35,7 @@ object PipelineEntry {
   /** documents ∪ near-copies of every 25th doc: one token prepended
     * — high Jaccard / low Hamming vs the original.
     */
-  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     docs.unionByName(docs.filter(col("doc_id") % 25 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
@@ -505,7 +505,7 @@ object PipelineEntry {
     * 4-gram sets → all-pairs Jaccard (used by the q25 and q38
     * oracles). No leading WITH so callers can prepend RECURSIVE.
     */
-  private val NgramPairsCte =
+  private[graft] val NgramPairsCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -228,7 +228,107 @@ object TrainEntry {
       .orderBy("leg", "o_orderpriority")
   }
 
+  // ---------------------------------------------------------------
+  // q119 — REST ingestion, offset/limit pagination (q73's sibling;
+  // the third dlt paginator shape): a localhost fixture API serves
+  // the supplier table as bearer-auth'd JSON slices addressed by
+  // offset+limit; RestSource.readOffset probes the total once, then
+  // each executor slot fetches its own offset range in parallel —
+  // the same fan-out scale story as page-number, unlike the serial
+  // cursor chain. Limit 13 does not divide 100 rows, so the last
+  // slice is a short tail — a dropped or doubled slice breaks the
+  // oracle (the table itself).
+  // ---------------------------------------------------------------
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.RestSource
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val src = t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey").collect() // 100-row dim: the "remote" dataset
+    def item(r: org.apache.spark.sql.Row) =
+      s"""{"s_suppkey":${r.getLong(0)},"s_name":"${r.getString(1)}",""" +
+        s""""s_nationkey":${r.getInt(2)}}"""
+    val token = "Bearer graft-offset-token"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/supplier", { exchange =>
+      val ok = Option(exchange.getRequestHeaders.getFirst("Authorization"))
+        .contains(token)
+      val body =
+        if (!ok) """{"error":"unauthorized"}"""
+        else {
+          val q = Option(exchange.getRequestURI.getQuery).getOrElse("")
+          val params = q.split("&").collect {
+            case kv if kv.contains("=") =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+          }.toMap
+          val off = params.get("offset").map(_.toInt).getOrElse(0)
+          val lim = params.get("limit").map(_.toInt).getOrElse(10)
+          val items = src.slice(off, off + lim)
+          s"""{"total":${src.length},"items":[${items.map(item).mkString(",")}]}"""
+        }
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(if (ok) 200 else 401, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType)))
+      RestSource.readOffset(s,
+          s"http://127.0.0.1:${server.getAddress.getPort}/supplier",
+          schema,
+          RestSource.OffsetConfig(limit = 13,
+            headers = Map("Authorization" -> token)))
+        .orderBy("s_suppkey")
+        // materialize while the fixture server is still up — consumers
+        // evaluate after this function returns (and stops it)
+        .localCheckpoint(true)
+    } finally server.stop(0)
+  }
+
+  // ---------------------------------------------------------------
+  // q120 — NEAR-dup-aware leakage-safe split (q113 covers exact
+  // copies only; this closes the near-dup leak FineWeb-style
+  // pipelines actually face): ngram-Jaccard pairs → connected
+  // components (Dedup.clusters) → every doc keyed by its component
+  // representative (singletons by themselves) → Split
+  // .byRepresentative assigns train/val/test per component, so a
+  // near-copy can never land opposite its original. The in-query
+  // gate counts detected near-dup PAIRS whose endpoints straddle
+  // splits (must be 0); the gated output is the per-split census,
+  // which the oracle recomputes with the exact-Jaccard pair CTE +
+  // recursive components + the same rep-keyed assignment.
+  // ---------------------------------------------------------------
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.ops.Split
+    val docs = PipelineEntry.nearCorpus(s, dir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 4, tau = 0.8)
+    val cl = Dedup.clusters(pairs) // (doc_id, cluster_id), paired docs only
+    val assigned = Split.byRepresentative(
+      docs.join(cl, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id"))),
+      "rep")
+    val bySplit = assigned.select("doc_id", "rep", "split")
+    val straddling = pairs
+      .join(bySplit.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(bySplit.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .filter(col("sa") =!= col("sb")).count()
+    require(straddling == 0, s"$straddling near-dup pairs straddle splits")
+    bySplit.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_rest_offset" -> (q119 _),
+    "q120_split_neardup" -> (q120 _),
     "q113_split_leakage_safe" -> (q113 _),
     "q114_sketch_quantiles" -> (q114 _),
     "q115_embedding_int8" -> (q115 _),
@@ -240,6 +340,36 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    // q119 round-trips supplier through the offset-paginated REST
+    // source; the oracle is the table itself — a dropped slice,
+    // doubled tail, failed auth, or bad parse loses/dupes rows.
+    "q119_rest_offset" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    "q120_split_neardup" ->
+      s"""WITH RECURSIVE ${PipelineEntry.NgramPairsCte},
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs WHERE jaccard >= 0.8
+         |  UNION
+         |  SELECT b, a FROM pairs WHERE jaccard >= 0.8
+         |), nodes AS (
+         |  SELECT DISTINCT x AS id FROM edges
+         |), r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.x, r.m FROM edges e JOIN r ON e.y = r.id
+         |), comp AS (
+         |  SELECT id AS doc_id, min(m) AS cluster_id FROM r GROUP BY id
+         |), assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+         |  FROM (SELECT doc_id FROM corpus) d
+         |  LEFT JOIN comp c USING (doc_id)
+         |)
+         |SELECT CASE WHEN rep % 10 < 8 THEN 'train'
+         |  WHEN rep % 10 < 9 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM assigned GROUP BY 1 ORDER BY split""".stripMargin,
     "q118_versioned_table" -> {
       def leg(tag: String, where: String) =
         s"""SELECT '$tag' AS leg, o_orderpriority,

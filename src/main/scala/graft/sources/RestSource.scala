@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.StructType
   * which configures endpoint + pagination + auth and hands dlt a page
   * generator).
   *
-  * Two pagination modes, with very different scale stories:
+  * Three pagination modes, with very different scale stories:
   *
   *  - `readPaged` (page-number pagination, total known up front): the
   *    page list is a `Dataset[Long]` and each EXECUTOR fetches its own
@@ -22,6 +22,9 @@ import org.apache.spark.sql.types.StructType
   *    fetch in parallel; the driver never sees a payload byte. Bodies
   *    then parse via `from_json` + `inline` — Catalyst expressions,
   *    codegen'd, so schema projection happens executor-side.
+  *
+  *  - `readOffset` (offset/limit pagination): same fan-out story —
+  *    offsets are independent addresses, slice i pulls offset=i·limit.
   *
   *  - `readCursor` (cursor/link pagination): inherently SERIAL — each
   *    page carries the next cursor, so the walk runs on the driver,
@@ -107,37 +110,84 @@ object RestSource {
       .select(inline(col("it")))
   }
 
+  /** Probe one URL for the item count named by `totalField`. */
+  private def probeTotal(url: String, totalField: String,
+      headers: Map[String, String], maxRetries: Int, backoffMs: Long): Long = {
+    val first = fetch(newClient(), url, headers, maxRetries, backoffMs)
+    val totalRe = ("\"" + java.util.regex.Pattern.quote(totalField) +
+      "\"\\s*:\\s*(\\d+)").r
+    totalRe.findFirstMatchIn(first)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"probe page of $url carries no '$totalField' field"))
+  }
+
+  /** Distributed fetch of `n` independently-addressable request
+    * slices: the slice-id Dataset repartitions so every executor slot
+    * pulls its share — this is what makes page/offset pagination the
+    * scale shapes, vs the inherently serial cursor chain.
+    */
+  private def fanOut(spark: SparkSession, n: Long, urlFor: Long => String,
+      headers: Map[String, String], maxRetries: Int,
+      backoffMs: Long): Dataset[String] = {
+    import spark.implicits._
+    val slots = spark.sparkContext.defaultParallelism
+    spark.range(n)
+      .repartition(math.min(n, slots.toLong).toInt)
+      .mapPartitions { slices =>
+        // one client per partition — connection reuse across its slices
+        val client = newClient()
+        slices.map(i => fetch(client, urlFor(i), headers, maxRetries, backoffMs))
+      }
+  }
+
   /** Page-number pagination, fetched DISTRIBUTED. One driver request
-    * for page 0 discovers the total; the page-id Dataset repartitions
-    * so every executor slot pulls its share.
+    * for page 0 discovers the total; every executor slot then pulls
+    * its share of the page range.
     */
   def readPaged(spark: SparkSession, baseUrl: String,
       itemSchema: StructType, cfg: PageConfig = PageConfig()): DataFrame = {
-    import spark.implicits._
     val sep = if (baseUrl.contains("?")) "&" else "?"
     def pageUrl(p: Long) = s"$baseUrl$sep${cfg.pageParam}=$p"
-
-    // one metadata probe (page 0) sizes the fan-out
-    val first = fetch(newClient(), pageUrl(0L), cfg.headers,
+    val total = probeTotal(pageUrl(0L), cfg.totalField, cfg.headers,
       cfg.maxRetries, cfg.retryBackoffMs)
-    val totalRe = ("\"" + java.util.regex.Pattern.quote(cfg.totalField) +
-      "\"\\s*:\\s*(\\d+)").r
-    val total = totalRe.findFirstMatchIn(first)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"page 0 of $baseUrl carries no '${cfg.totalField}' field"))
     val nPages = math.max(1L, (total + cfg.pageSize - 1) / cfg.pageSize)
+    val bodies = fanOut(spark, nPages, pageUrl, cfg.headers,
+      cfg.maxRetries, cfg.retryBackoffMs)
+    parseItems(bodies.toDF("body"), itemSchema, cfg.itemsField)
+  }
 
-    val slots = spark.sparkContext.defaultParallelism
-    val (headers, retries, backoff) =
-      (cfg.headers, cfg.maxRetries, cfg.retryBackoffMs)
-    val bodies: Dataset[String] = spark.range(nPages)
-      .repartition(math.min(nPages, slots.toLong).toInt)
-      .mapPartitions { pages =>
-        // one client per partition — connection reuse across its pages
-        val client = newClient()
-        pages.map(p => fetch(client, pageUrl(p), headers, retries, backoff))
-      }
+  /** offset/limit envelope: `{"total": N, "items": [...]}` — the
+    * third common paginator shape the reference's dlt configs pass
+    * through (page-number / offset-limit / cursor, datanika
+    * `services/dlt_runner.py:228-231`).
+    */
+  final case class OffsetConfig(
+      limit: Int = 100,
+      offsetParam: String = "offset",
+      limitParam: String = "limit",
+      itemsField: String = "items",
+      totalField: String = "total",
+      headers: Map[String, String] = Map.empty,
+      maxRetries: Int = 3,
+      retryBackoffMs: Long = 100L)
+
+  /** Offset/limit pagination, fetched DISTRIBUTED: offsets
+    * 0, limit, 2·limit, … are independent requests, so the fan-out
+    * parallelizes exactly like page-number pagination (slice i pulls
+    * `offset=i·limit`). One probe at offset 0 sizes the range.
+    */
+  def readOffset(spark: SparkSession, baseUrl: String,
+      itemSchema: StructType, cfg: OffsetConfig = OffsetConfig()): DataFrame = {
+    require(cfg.limit > 0, s"limit must be positive, got ${cfg.limit}")
+    val sep = if (baseUrl.contains("?")) "&" else "?"
+    def sliceUrl(i: Long) =
+      s"$baseUrl$sep${cfg.offsetParam}=${i * cfg.limit}&${cfg.limitParam}=${cfg.limit}"
+    val total = probeTotal(sliceUrl(0L), cfg.totalField, cfg.headers,
+      cfg.maxRetries, cfg.retryBackoffMs)
+    val nSlices = math.max(1L, (total + cfg.limit - 1) / cfg.limit)
+    val bodies = fanOut(spark, nSlices, sliceUrl, cfg.headers,
+      cfg.maxRetries, cfg.retryBackoffMs)
     parseItems(bodies.toDF("body"), itemSchema, cfg.itemsField)
   }
 

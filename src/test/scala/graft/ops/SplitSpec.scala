@@ -46,5 +46,28 @@ class SplitSpec extends SparkSpec {
       val plan = out.queryExecution.executedPlan.toString
       plan should not include "Exchange"
     }
+
+    it("composed with Dedup.clusters, NEAR-dups never straddle splits") {
+      import graft.dedup.Dedup
+      // base docs + a near-copy of each (one token prepended) with an
+      // id chosen to land in a different naive id-hash bucket
+      val base = (0L until 20L)
+        .map(i => (i, s"shared prefix tokens for doc number $i body"))
+      val near = base.map { case (i, t) => (1000L + i, s"zq $t") }
+      val docs = (base ++ near).toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 4, tau = 0.8)
+      val cl = Dedup.clusters(pairs)
+      val assigned = Split.byRepresentative(
+        docs.join(cl, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce($"cluster_id", $"doc_id")),
+        "rep")
+      val straddling = pairs
+        .join(assigned.select($"doc_id".as("a"), $"split".as("sa")), "a")
+        .join(assigned.select($"doc_id".as("b"), $"split".as("sb")), "b")
+        .filter($"sa" =!= $"sb").count()
+      straddling shouldBe 0L
+      // and the near-pairs were actually detected (the gate is real)
+      pairs.count() should be >= 20L
+    }
   }
 }

@@ -91,6 +91,51 @@ class RestSourceSpec extends SparkSpec {
     }
   }
 
+  describe("RestSource.readOffset") {
+    val rows = (0 until 23).map(i => (i, s"name-$i"))
+
+    def offsetHandler(seen: Option[AtomicInteger] = None)(ex: HttpExchange): Unit = {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").collect {
+        case kv if kv.contains("=") =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      val off = params.get("offset").map(_.toInt).getOrElse(0)
+      val lim = params.get("limit").map(_.toInt).getOrElse(10)
+      seen.foreach(_.incrementAndGet())
+      val items = rows.slice(off, off + lim)
+        .map { case (i, n) => s"""{"id":$i,"name":"$n"}""" }
+      respond(ex, 200,
+        s"""{"total":${rows.length},"items":[${items.mkString(",")}]}""")
+    }
+
+    it("fetches every offset slice exactly once incl. the short tail") {
+      val calls = new AtomicInteger(0)
+      withServer(offsetHandler(Some(calls))) { url =>
+        val got = RestSource.readOffset(spark, url, itemSchema,
+            RestSource.OffsetConfig(limit = 5))
+          .as[(Int, String)].collect().sorted
+        got shouldBe rows.sorted.toArray
+        // 1 probe + ceil(23/5)=5 slices — no slice doubled or dropped
+        calls.get() shouldBe 6
+      }
+    }
+
+    it("a limit larger than the corpus is a single slice") {
+      withServer(offsetHandler()) { url =>
+        RestSource.readOffset(spark, url, itemSchema,
+            RestSource.OffsetConfig(limit = 1000))
+          .count() shouldBe rows.length.toLong
+      }
+    }
+
+    it("rejects a non-positive limit") {
+      an[IllegalArgumentException] should be thrownBy
+        RestSource.readOffset(spark, "http://127.0.0.1:1/api", itemSchema,
+          RestSource.OffsetConfig(limit = 0))
+    }
+  }
+
   describe("RestSource.readCursor") {
     it("walks the cursor chain to exhaustion and honors startCursor") {
       val pages = Map(
