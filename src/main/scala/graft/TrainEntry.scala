@@ -326,9 +326,92 @@ object TrainEntry {
       .orderBy("split")
   }
 
+  // ---------------------------------------------------------------
+  // q121 — the END-TO-END crawl pipeline in one query (the story the
+  // operators above are parts of): crawl corpus (every page rendered
+  // as HTML, every 20th page re-crawled under a new crawl id — SAME
+  // bytes, different id) → main-text extraction → token-count
+  // quality gate (≥ 50 extracted tokens; cuts the short tail, the
+  // gate is real) → exact dedup on extracted text (min-id election
+  // over (xxhash64, length) — 8-byte shuffle keys, re-crawls
+  // collapse to their original) → shard assignment (id mod 8) →
+  // per-shard census. Every stage is the scale shape its standalone
+  // operator ships: one codegen'd projection for extract+tokens, one
+  // scan predicate for the gate, one hash exchange for the election,
+  // zero for sharding. The oracle restates the WHOLE pipeline in SQL
+  // (html build ∪ re-crawls → mainTextSql → same gate → window
+  // election on text → same census).
+  // ---------------------------------------------------------------
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    import org.apache.spark.sql.expressions.Window
+    val pages = t(s, dir, "documents").select("doc_id", "text")
+      .withColumn("html", syntheticHtml(col("doc_id"), col("text")))
+      .select("doc_id", "html")
+    val crawl = pages.unionByName(
+      pages.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val extracted = crawl
+      .withColumn("t", HtmlExtract.mainText(col("html")))
+      .withColumn("toks", (length(trim(col("t")))
+        - length(replace(trim(col("t")), lit(" "), lit(""))) + 1).cast("long"))
+      .select("doc_id", "t", "toks")
+    val gated = extracted.filter(col("toks") >= 50)
+    val byContent = Window.partitionBy(xxhash64(col("t")), length(col("t")))
+    val deduped = gated
+      .withColumn("rep", min(col("doc_id")).over(byContent))
+      .filter(col("doc_id") === col("rep"))
+    deduped.groupBy(pmod(col("doc_id"), lit(8L)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("toks")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+
+  // ---------------------------------------------------------------
+  // q122 — CDC between TABLE VERSIONS (Delta's table_changes() /
+  // CDF read, composed from q118's VersionedTable + q85's Cdc.diff):
+  // two commits of a monthly orders census over a SLIDING window —
+  // v0 covers [-∞, 1996-12-15), v1 covers [1996-06-01, ∞) — then
+  // diff(v0, v1) keyed on month yields all three change kinds:
+  // months that slid out of retention (delete), the half-covered
+  // boundary month (update: partial vs full December), months that
+  // arrived after the first commit (insert); fully-covered months
+  // are identical and drop out map-side. One full-outer hash join on
+  // the key — output ∝ changes, not table size.
+  // ---------------------------------------------------------------
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Cdc, VersionedTable}
+    val path = s"target/scratch/q122_${ExtendedEntry.sanitize(dir)}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
+    val orders = t(s, dir, "orders")
+    def census(df: DataFrame): DataFrame =
+      df.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    VersionedTable.commit(s, path,
+      census(orders.filter(col("o_orderdate") < lit("1996-12-15").cast("timestamp"))),
+      committedAtMs = 100L)
+    VersionedTable.commit(s, path,
+      census(orders.filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp"))),
+      committedAtMs = 200L)
+    Cdc.diff(
+        VersionedTable.read(s, path, 0L),
+        VersionedTable.read(s, path, 1L),
+        uniqueKey = Seq("month"),
+        compareCols = Seq("n_orders", "sum_price"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_rest_offset" -> (q119 _),
     "q120_split_neardup" -> (q120 _),
+    "q121_crawl_pipeline" -> (q121 _),
+    "q122_version_cdc" -> (q122 _),
     "q113_split_leakage_safe" -> (q113 _),
     "q114_sketch_quantiles" -> (q114 _),
     "q115_embedding_int8" -> (q115 _),
@@ -346,6 +429,64 @@ object TrainEntry {
     "q119_rest_offset" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    "q121_crawl_pipeline" -> {
+      val html = s"${sqlLit(HtmlA)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlLit(HtmlB)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlLit(HtmlC)} || text || ${sqlLit(HtmlD)}"
+      s"""WITH pages AS (
+         |  SELECT doc_id, $html AS html FROM documents
+         |), crawl AS (
+         |  SELECT doc_id, html FROM pages
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, html FROM pages WHERE doc_id % 20 = 0
+         |), x AS (
+         |  SELECT doc_id, ${graft.text.HtmlExtract.mainTextSql("html")} AS t
+         |  FROM crawl
+         |), tok AS (
+         |  SELECT doc_id, t,
+         |    CAST(length(trim(t)) - length(replace(trim(t), ' ', '')) + 1
+         |      AS BIGINT) AS toks
+         |  FROM x
+         |), gated AS (
+         |  SELECT * FROM tok WHERE toks >= 50
+         |), d AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, toks, min(doc_id) OVER (PARTITION BY t) AS rep
+         |    FROM gated)
+         |  WHERE doc_id = rep
+         |)
+         |SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(toks) AS BIGINT) AS sum_tokens
+         |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+    "q122_version_cdc" -> {
+      def censusSql(where: String) =
+        s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           |    count(*) AS n_orders,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |  FROM orders $where GROUP BY 1""".stripMargin
+      s"""WITH v0 AS (
+         |  ${censusSql("WHERE o_orderdate < TIMESTAMP '1996-12-15'")}
+         |), v1 AS (
+         |  ${censusSql("WHERE o_orderdate >= TIMESTAMP '1996-06-01'")}
+         |)
+         |SELECT * FROM (
+         |  SELECT coalesce(v1.month, v0.month) AS month,
+         |    CASE WHEN v0.month IS NULL THEN 'insert'
+         |         WHEN v1.month IS NULL THEN 'delete'
+         |         WHEN v0.n_orders <> v1.n_orders
+         |           OR v0.sum_price <> v1.sum_price THEN 'update'
+         |    END AS change,
+         |    v0.n_orders AS before_n_orders,
+         |    v0.sum_price AS before_sum_price,
+         |    v1.n_orders AS after_n_orders,
+         |    v1.sum_price AS after_sum_price
+         |  FROM v0 FULL OUTER JOIN v1 ON v0.month = v1.month
+         |)
+         |WHERE change IS NOT NULL
+         |ORDER BY month""".stripMargin
+    },
     "q120_split_neardup" ->
       s"""WITH RECURSIVE ${PipelineEntry.NgramPairsCte},
          |edges AS (
