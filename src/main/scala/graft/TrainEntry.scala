@@ -407,11 +407,83 @@ object TrainEntry {
       .orderBy("month")
   }
 
+  // ---------------------------------------------------------------
+  // q123 — mergeable heavy-hitters sketch (Misra-Gries via the
+  // DataSketches frequent-items sketch; q42's exact top-ngrams is
+  // the rescan path, this is the one-pass bounded-memory artifact
+  // path): per-SOURCE partial sketches over exploded tokens — 20
+  // persistable byte blobs — are re-aggregated by MERGING BYTES
+  // (freqMerge never revisits a token), then top-10 extracted with
+  // a deterministic (estimate desc, token asc) tiebreak. On this
+  // corpus the vocabulary (31) is under the purge threshold, so the
+  // sketch is EXACT (maximumError 0) and the DuckDB oracle is the
+  // true token count top-10; the spec stresses the purge/error path
+  // with a synthetic skew the oracle can't.
+  // ---------------------------------------------------------------
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FreqSketchAgg
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    // phase 1: per-source partial sketches (the persistable artifact)
+    val partials = toks.groupBy("source")
+      .agg(FreqSketchAgg.freqSketch(col("tok")).as("sk"))
+    // phase 2: merge the sketches — no token is touched again
+    val merged = partials.agg(FreqSketchAgg.freqMerge(col("sk")).as("sk"))
+    merged.select(explode(FreqSketchAgg.freqTopK(col("sk"), 10)).as("r"))
+      .select(col("r.item").as("token"), col("r.estimate").as("est"))
+      .orderBy(col("est").desc, col("token"))
+  }
+
+  // ---------------------------------------------------------------
+  // q124 — distinct-count SET ALGEBRA via theta sketches (the
+  // audience/novelty questions HLL q45 cannot answer): per-segment
+  // sketches of user_id built in ONE scan of events (persistable
+  // byte blobs), then every overlap question is pure sketch algebra —
+  // intersection (clicked AND purchased), difference (clicked but
+  // never purchased), union across all segments (via the
+  // theta_union re-aggregation path — bytes only). Below 2^lgK
+  // retained the sketch is EXACT, so the DuckDB oracle restates the
+  // same sets with INTERSECT/EXCEPT/COUNT DISTINCT; the spec
+  // stresses the estimation regime with cardinalities past 2^lgK.
+  // ---------------------------------------------------------------
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaAgg
+    val ev = t(s, dir, "events")
+    val partials = ev.groupBy("event_type")
+      .agg(ThetaAgg.thetaSketch(col("user_id")).as("sk"))
+    def skOf(tpe: String) =
+      first(when(col("event_type") === tpe, col("sk")), ignoreNulls = true)
+    val one = partials.agg(
+      skOf("click").as("click"), skOf("purchase").as("purchase"),
+      skOf("signup").as("signup"), skOf("view").as("view"),
+      skOf("error").as("error"))
+    // union across ALL segments through the byte-merge aggregate —
+    // the "combine yesterday's shard sketches" path
+    val anyEv = partials.agg(ThetaAgg.thetaUnion(col("sk")).as("all_sk"))
+    def seg(name: String, est: org.apache.spark.sql.Column) =
+      struct(lit(name).as("segment"), est.as("n_users"))
+    one.crossJoin(anyEv).select(explode(array(
+        seg("click", ThetaAgg.thetaEstimate(col("click"))),
+        seg("purchase", ThetaAgg.thetaEstimate(col("purchase"))),
+        seg("signup", ThetaAgg.thetaEstimate(col("signup"))),
+        seg("view", ThetaAgg.thetaEstimate(col("view"))),
+        seg("error", ThetaAgg.thetaEstimate(col("error"))),
+        seg("click_and_purchase", ThetaAgg.thetaEstimate(
+          ThetaAgg.thetaIntersect(col("click"), col("purchase")))),
+        seg("click_not_purchase", ThetaAgg.thetaEstimate(
+          ThetaAgg.thetaANotB(col("click"), col("purchase")))),
+        seg("any_event", ThetaAgg.thetaEstimate(col("all_sk"))))).as("r"))
+      .select(col("r.segment").as("segment"), col("r.n_users").as("n_users"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_rest_offset" -> (q119 _),
     "q120_split_neardup" -> (q120 _),
     "q121_crawl_pipeline" -> (q121 _),
     "q122_version_cdc" -> (q122 _),
+    "q123_heavy_hitters" -> (q123 _),
+    "q124_theta_segments" -> (q124 _),
     "q113_split_leakage_safe" -> (q113 _),
     "q114_sketch_quantiles" -> (q114 _),
     "q115_embedding_int8" -> (q115 _),
@@ -429,6 +501,31 @@ object TrainEntry {
     "q119_rest_offset" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    "q124_theta_segments" ->
+      """SELECT segment, n_users FROM (
+        |  SELECT event_type AS segment, count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'click_and_purchase', count(*) FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    INTERSECT
+        |    SELECT user_id FROM events WHERE event_type = 'purchase')
+        |  UNION ALL
+        |  SELECT 'click_not_purchase', count(*) FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    EXCEPT
+        |    SELECT user_id FROM events WHERE event_type = 'purchase')
+        |  UNION ALL
+        |  SELECT 'any_event', count(DISTINCT user_id) FROM events
+        |) ORDER BY segment""".stripMargin,
+    "q123_heavy_hitters" ->
+      """SELECT token, est FROM (
+        |  SELECT tok AS token, count(*) AS est,
+        |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |WHERE rn <= 10
+        |ORDER BY est DESC, token""".stripMargin,
     "q121_crawl_pipeline" -> {
       val html = s"${sqlLit(HtmlA)} || CAST(doc_id AS VARCHAR) || " +
         s"${sqlLit(HtmlB)} || CAST(doc_id AS VARCHAR) || " +
