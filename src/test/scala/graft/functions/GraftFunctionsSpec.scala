@@ -56,6 +56,39 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  describe("sketch family SQL surface") {
+    it("KLL, heavy-hitters, and theta resolve and compute from spark.sql") {
+      import spark.implicits._
+      GraftExtensions.register(spark)
+      (1 to 100).map(i => (i % 4, i.toDouble, s"tok${i % 5}", i % 10))
+        .toDF("g", "x", "tok", "u").createOrReplaceTempView("gfs_sk")
+
+      // KLL: group partials → merge bytes → quantiles
+      val med = spark.sql(
+        """SELECT graft_kll_quantiles(graft_kll_merge(sk), array(0.5))[0]
+          |FROM (SELECT g, graft_kll_sketch(x) AS sk FROM gfs_sk GROUP BY g)"""
+          .stripMargin).as[Double].head()
+      med should (be >= 40.0 and be <= 60.0)
+
+      // heavy hitters: exact regime, top-1 is the most frequent token
+      val top = spark.sql(
+        """SELECT graft_freq_top_k(graft_freq_merge(sk), 1)[0].item
+          |FROM (SELECT g, graft_freq_sketch(tok) AS sk FROM gfs_sk GROUP BY g)"""
+          .stripMargin).as[String].head()
+      top shouldBe "tok0" // 1..100 % 5: each tok 20x; tie → item asc
+
+      // theta: distinct + intersection via set-op expressions
+      val (n, inter) = spark.sql(
+        """SELECT graft_theta_estimate(a), graft_theta_estimate(
+          |    graft_theta_intersect(a, b))
+          |FROM (SELECT graft_theta_sketch(u) AS a FROM gfs_sk WHERE g < 2),
+          |     (SELECT graft_theta_sketch(u) AS b FROM gfs_sk WHERE g >= 2)"""
+          .stripMargin).as[(Long, Long)].head()
+      n shouldBe 10L
+      inter shouldBe 10L // both halves cover all residues mod 10
+    }
+  }
+
   describe("codegen path") {
     it("evaluates inside whole-stage codegen (no fallback) and agrees with interpreted eval") {
       import spark.implicits._
