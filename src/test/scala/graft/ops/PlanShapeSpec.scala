@@ -71,4 +71,39 @@ class PlanShapeSpec extends SparkSpec {
       not be empty
     aggs.filter(_.groupingExpressions.exists(_.name == "seg")) shouldBe empty
   }
+
+  it("Snapshot.asOf pushes its interval predicate into the parquet scan") {
+    val p = "target/scratch/planshape_asof"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    Seq(
+      (1L, 10L, Option(20L)), (1L, 20L, Option.empty[Long]),
+      (2L, 25L, Option.empty[Long]))
+      .toDF("k", Snapshot.ValidFrom, Snapshot.ValidTo)
+      .write.parquet(p)
+    val out = Snapshot.asOf(spark.read.parquet(p), lit(15L))
+    out.collect()
+    val scan = out.queryExecution.executedPlan.toString
+    // time travel at scale = a pruned scan: both interval bounds must
+    // reach the data source, not evaluate post-scan only
+    // (the rendered PushedFilters list truncates — match prefixes)
+    scan should include regex "PushedFilters: \\[.*LessThanOrEqual\\(valid_from,15\\)"
+    scan should include regex "PushedFilters: \\[.*Or\\(IsNull\\(valid_to\\),GreaterThan\\(valid_to,"
+  }
+
+  it("crawl-pipeline extraction + quality gate stays shuffle-free pre-election") {
+    import graft.text.HtmlExtract
+    val pages = (1L to 20L)
+      .map(i => (i, s"<p>some body text number $i</p>")).toDF("doc_id", "html")
+    val extracted = pages
+      .withColumn("t", HtmlExtract.mainText(col("html")))
+      // scalatest's Matchers shadows functions.length — expr() form
+      .withColumn("toks",
+        expr("cast(length(trim(t)) - length(replace(trim(t), ' ', '')) + 1 as bigint)"))
+      .filter(col("toks") >= 3)
+    extracted.collect()
+    nodes(extracted.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
+  }
 }
