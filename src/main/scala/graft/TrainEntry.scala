@@ -477,6 +477,47 @@ object TrainEntry {
       .orderBy("segment")
   }
 
+  // ---------------------------------------------------------------
+  // q125 — INCREMENTAL crawl ingest (q121 is the batch pipeline,
+  // q110 the incremental dedup primitive; this is the production
+  // shape that composes them): the corpus is the EXTRACTED text of
+  // constant-chrome HTML pages, sketched ONCE into the persisted
+  // MinHash index (ids + hashes, never text); a new crawl batch —
+  // re-crawls of every 25th page with one injected token, under new
+  // crawl ids — is extracted and probed AGAINST THE INDEX at
+  // O(batch): the corpus is never rescanned. The page template
+  // carries no per-doc chrome, so a re-crawl of unchanged bytes is
+  // deterministic. Oracle = exact batch×corpus shingle Jaccard with
+  // the SAME extraction inlined on both sides (banding recall 1 on
+  // this corpus, as q23/q110 established).
+  // ---------------------------------------------------------------
+  private[graft] val PageHead = "<HTML><head><title>Crawl Page</title>\n" +
+    "<style>p { margin: 0 }</style>\n" +
+    "<SCRIPT src=\"app.js\">track();</SCRIPT></head>\n<body>\n" +
+    "<NAV><a href=\"/\">Home</a></NAV>\n<!-- chrome -->\n<h1>Entry</h1>\n<p>"
+
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.HtmlExtract
+    val idxPath = s"target/scratch/q125_index_${ExtendedEntry.sanitize(dir)}"
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    def extracted(pages: DataFrame): DataFrame = pages.select(col("doc_id"),
+      HtmlExtract.mainText(
+        concat(lit(PageHead), col("text"), lit(HtmlD))).as("text"))
+    // corpus pages extracted + sketched once; persisted index artifact
+    extracted(docs).transform(d =>
+        Dedup.minhashIndex(d, "doc_id", "text"))
+      .write.mode("overwrite").parquet(idxPath)
+    val index = s.read.parquet(idxPath)
+    // the new crawl: near-dup re-crawls under fresh crawl ids
+    val batch = extracted(
+      docs.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("text", concat(lit("zq "), col("text"))))
+    Dedup.minhashLshAgainstIndex(index, batch, "doc_id", "text")
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_rest_offset" -> (q119 _),
     "q120_split_neardup" -> (q120 _),
@@ -484,6 +525,7 @@ object TrainEntry {
     "q122_version_cdc" -> (q122 _),
     "q123_heavy_hitters" -> (q123 _),
     "q124_theta_segments" -> (q124 _),
+    "q125_crawl_incremental" -> (q125 _),
     "q113_split_leakage_safe" -> (q113 _),
     "q114_sketch_quantiles" -> (q114 _),
     "q115_embedding_int8" -> (q115 _),
@@ -501,6 +543,36 @@ object TrainEntry {
     "q119_rest_offset" ->
       """SELECT s_suppkey, s_name, s_nationkey FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    "q125_crawl_incremental" -> {
+      val ctext = graft.text.HtmlExtract.mainTextSql(
+        s"${sqlLit(PageHead)} || text || ${sqlLit(HtmlD)}")
+      val btext = graft.text.HtmlExtract.mainTextSql(
+        s"${sqlLit(PageHead)} || 'zq ' || text || ${sqlLit(HtmlD)}")
+      def shingles(src: String) =
+        s"""SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+           |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+           |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+           |  FROM (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(x), '\\s+'), v -> v <> '') AS t
+           |    FROM $src)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, $ctext AS x FROM documents
+         |), batch AS (
+         |  SELECT doc_id + 2000000 AS doc_id, $btext AS x
+         |  FROM documents WHERE doc_id % 25 = 0
+         |), csets AS (
+         |  ${shingles("corpus")}
+         |), bsets AS (
+         |  ${shingles("batch")}
+         |), pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.g, y.g)) * 1.0
+         |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+         |  FROM csets x JOIN bsets y ON TRUE
+         |)
+         |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
+         |ORDER BY a, b""".stripMargin
+    },
     "q124_theta_segments" ->
       """SELECT segment, n_users FROM (
         |  SELECT event_type AS segment, count(DISTINCT user_id) AS n_users
