@@ -205,11 +205,14 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_theta_union_of"),
       info("graft_theta_union_of",
-        "_FUNC_(a, b) - pairwise union of two theta sketches (bytes)"),
+        "_FUNC_(a, b[, lgK]) - pairwise union of two theta sketches (bytes); " +
+          "lgK must cover the inputs' build size"),
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => graft.functions.ThetaSetOpExpr(a, b, "union")
+        case Seq(a, b, lgK) =>
+          graft.functions.ThetaSetOpExpr(a, b, "union", intLit(lgK, "lgK"))
         case _ => throw new IllegalArgumentException(
-          "graft_theta_union_of(a, b) takes 2 arguments")
+          "graft_theta_union_of(a, b[, lgK]) takes 2-3 arguments")
       }))
 
   private def castDouble(e: Expression): Expression =
@@ -225,7 +228,11 @@ object GraftExtensions {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     require(e.foldable, s"$what must be a literal array of doubles, got: $e")
     Cast(e, ArrayType(DoubleType)).eval() match {
-      case a: ArrayData => a.toDoubleArray().toSeq
+      case a: ArrayData =>
+        val n = a.numElements()
+        require((0 until n).forall(i => !a.isNullAt(i)),
+          s"$what must not contain nulls or non-numeric values")
+        a.toDoubleArray().toSeq
       case other => throw new IllegalArgumentException(
         s"$what must be a literal array of doubles, got: $other")
     }

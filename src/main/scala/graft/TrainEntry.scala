@@ -307,7 +307,11 @@ object TrainEntry {
     import graft.dedup.Dedup
     import graft.ops.Split
     val docs = PipelineEntry.nearCorpus(s, dir)
-    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 4, tau = 0.8)
+    // barrier ONCE: both consumers (cluster resolution and the
+    // straddle gate below) would otherwise re-execute the whole
+    // shingle/prefix-filter/verify pair pipeline — the dominant cost
+    val pairs = graft.plans.Plans.barrier(
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 4, tau = 0.8))
     val cl = Dedup.clusters(pairs) // (doc_id, cluster_id), paired docs only
     val assigned = Split.byRepresentative(
       docs.join(cl, Seq("doc_id"), "left")
@@ -451,8 +455,15 @@ object TrainEntry {
     val ev = t(s, dir, "events")
     val partials = ev.groupBy("event_type")
       .agg(ThetaAgg.thetaSketch(col("user_id")).as("sk"))
-    def skOf(tpe: String) =
-      first(when(col("event_type") === tpe, col("sk")), ignoreNulls = true)
+    // a missing event type would silently yield a null-estimate row
+    // the oracle doesn't have — fail loudly instead (fixture contract)
+    def skOf(tpe: String) = {
+      val sk = first(when(col("event_type") === tpe, col("sk")),
+        ignoreNulls = true)
+      when(sk.isNull, raise_error(
+        lit(s"q124: event type '$tpe' missing from events fixture")))
+        .otherwise(sk)
+    }
     val one = partials.agg(
       skOf("click").as("click"), skOf("purchase").as("purchase"),
       skOf("signup").as("signup"), skOf("view").as("view"),

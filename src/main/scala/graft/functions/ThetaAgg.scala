@@ -44,9 +44,14 @@ object ThetaAgg {
   def thetaUnion(sketches: Column, lgK: Int = DefaultLgK): Column =
     column(ThetaUnionAgg(expression(sketches), lgK).toAggregateExpression())
 
-  /** Pairwise set operations on sketch bytes (null-propagating). */
-  def thetaUnionOf(a: Column, b: Column): Column =
-    column(ThetaSetOpExpr(expression(a), expression(b), "union"))
+  /** Pairwise set operations on sketch bytes (null-propagating).
+    * `lgK` on the union must be >= the inputs' build lgK — a smaller
+    * gadget would silently downsample exact-mode sketches into
+    * estimation mode (intersection/difference carry no gadget and
+    * need no size).
+    */
+  def thetaUnionOf(a: Column, b: Column, lgK: Int = DefaultLgK): Column =
+    column(ThetaSetOpExpr(expression(a), expression(b), "union", lgK))
   def thetaIntersect(a: Column, b: Column): Column =
     column(ThetaSetOpExpr(expression(a), expression(b), "intersect"))
   def thetaANotB(a: Column, b: Column): Column =
@@ -166,7 +171,8 @@ case class ThetaUnionAgg(
   * once per combined pair (not per source row) — CodegenFallback is
   * free here.
   */
-case class ThetaSetOpExpr(left: Expression, right: Expression, op: String)
+case class ThetaSetOpExpr(left: Expression, right: Expression, op: String,
+    lgK: Int = ThetaAgg.DefaultLgK)
   extends BinaryExpression with CodegenFallback {
 
   require(Seq("union", "intersect", "a_not_b").contains(op),
@@ -177,7 +183,7 @@ case class ThetaSetOpExpr(left: Expression, right: Expression, op: String)
     val sb = ThetaAgg.wrapped(b.asInstanceOf[Array[Byte]])
     val r: CompactSketch = op match {
       case "union" =>
-        val u = ThetaAgg.newUnion(ThetaAgg.DefaultLgK)
+        val u = ThetaAgg.newUnion(lgK)
         u.union(sa); u.union(sb); u.getResult
       case "intersect" =>
         val i = SetOperation.builder().buildIntersection()

@@ -128,9 +128,15 @@ object VersionedTable {
 
   /** Reclaim all but the last `retainLast` versions: manifests go
     * first (a version vanishes from the log before its data dir, so a
-    * concurrent resolve never finds a manifest whose data is gone),
-    * then data dirs, then any ORPHAN `v=*` dir no manifest references
-    * (debris of crashed commits). Returns reclaimed version numbers.
+    * concurrent resolve never finds a manifest whose manifest-visible
+    * data is gone), then data dirs, then ORPHAN `v=*` dirs no
+    * manifest references (debris of crashed commits) — but ONLY
+    * orphans whose numeric version is <= the latest committed one: an
+    * IN-FLIGHT commit is always writing `v=latest+1` before its
+    * manifest rename, and sweeping it would hand that commit a
+    * manifest pointing at deleted data. Crashed debris above the
+    * latest version is left for the next commit, which overwrites the
+    * dir it is about to claim anyway. Returns reclaimed versions.
     */
   def vacuum(spark: SparkSession, path: String, retainLast: Int): Seq[Long] = {
     require(retainLast >= 1, "must retain at least the latest version")
@@ -142,9 +148,15 @@ object VersionedTable {
       f.delete(new Path(path, c.dir), true)
     }
     val live = all.takeRight(retainLast).map(_.dir).toSet
+    val latest = all.lastOption.map(_.version).getOrElse(-1L)
     f.listStatus(new Path(path)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-        !live.contains(s.getPath.getName))
+      .filter { s =>
+        val name = s.getPath.getName
+        s.isDirectory && name.startsWith("v=") && !live.contains(name) &&
+          // numeric orphans above latest may be an in-flight commit;
+          // non-numeric dirs can never be (commits are always v=<n>)
+          name.drop(2).toLongOption.forall(_ <= latest)
+      }
       .foreach(s => f.delete(s.getPath, true))
     drop.map(_.version)
   }

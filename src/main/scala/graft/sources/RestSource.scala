@@ -113,7 +113,7 @@ object RestSource {
   /** Probe one URL for the item count named by `totalField`. */
   private def probeTotal(url: String, totalField: String,
       headers: Map[String, String], maxRetries: Int, backoffMs: Long): Long = {
-    val first = fetch(newClient(), url, headers, maxRetries, backoffMs)
+    val first = fetchOnce(url, headers, maxRetries, backoffMs)
     val totalRe = ("\"" + java.util.regex.Pattern.quote(totalField) +
       "\"\\s*:\\s*(\\d+)").r
     totalRe.findFirstMatchIn(first)

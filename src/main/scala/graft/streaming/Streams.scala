@@ -34,9 +34,14 @@ object Streams {
       StructField("value", DoubleType),
       StructField("props", StringType)))
 
-  private def physicalTsType(spark: SparkSession, dir: String) = {
+  private def physicalTsType(spark: SparkSession,
+      dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // no files yet (stream declared before the first ingest lands):
+    // fall back to the epoch-ns-long contract type — the declared
+    // schema then matches what normalizeTsNs would have produced
+    try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    catch { case _: org.apache.spark.sql.AnalysisException => LongType }
   }
 
   /** Streaming read of the events table (file source). The file

@@ -56,6 +56,19 @@ class ThetaSpec extends AnyFunSpec with Matchers with SparkSpec {
       math.abs(got - n).toDouble / n should be < 4 * rse
     }
 
+    it("pairwise union honors lgK: exact-mode inputs stay exact") {
+      // two 10k-distinct sketches at lgK=14 (exact mode); a union
+      // through the default lgK=12 gadget would downsample to
+      // estimation mode — the lgK passthrough must keep it exact
+      val a = spark.range(0, 10000)
+        .agg(ThetaAgg.thetaSketch(col("id"), 14).as("sk"))
+      val b = spark.range(10000, 20000)
+        .agg(ThetaAgg.thetaSketch(col("id"), 14).as("sk"))
+      a.select(col("sk").as("a")).crossJoin(b.select(col("sk").as("b")))
+        .select(est(ThetaAgg.thetaUnionOf(col("a"), col("b"), lgK = 15)))
+        .as[Long].head() shouldBe 20000L
+    }
+
     it("nulls are skipped; all-null input yields a null sketch") {
       Seq(Option(1L), None, Option(1L)).toDF("id")
         .agg(ThetaAgg.thetaSketch(col("id")).as("sk"))

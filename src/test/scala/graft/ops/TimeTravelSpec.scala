@@ -108,6 +108,20 @@ class TimeTravelSpec extends AnyFunSpec with Matchers with SparkSpec {
         Array(5, 6)
     }
 
+    it("vacuum never sweeps an orphan above the latest version (in-flight commit)") {
+      val p = freshPath("inflight")
+      VersionedTable.commit(spark, p, Seq(1).toDF("n"), 100L)
+      VersionedTable.commit(spark, p, Seq(2).toDF("n"), 200L)
+      // an in-flight commit: data for v=2 landed, manifest not yet renamed
+      Seq(3).toDF("n").write.parquet(s"$p/v=2")
+      VersionedTable.vacuum(spark, p, retainLast = 1)
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the in-flight dir survived; the commit can still finish safely
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/v=2")) shouldBe true
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/v=0")) shouldBe false
+    }
+
     it("vacuum drops all but the retained tail plus orphan dirs") {
       val p = freshPath("vacuum")
       VersionedTable.commit(spark, p, Seq(1).toDF("n"), 100L)
