@@ -7,8 +7,9 @@ import graft.sources.Tables
 
 /** q113+: the training-data tail — leakage-safe splits, mergeable
   * sketch profiling, embedding quantization, HTML main-text
-  * extraction, and time travel in both shapes (SCD2 as-of reads,
-  * versioned-table commits). Same conventions as the earlier entry
+  * extraction, time travel in both shapes (SCD2 as-of reads,
+  * versioned-table commits), and crawl hygiene (per-domain
+  * contribution caps, domain blocklists). Same conventions as the earlier entry
   * objects: exact DuckDB oracles where the math is portable,
   * contract gates where the operator is inherently randomized.
   */
@@ -529,8 +530,65 @@ object TrainEntry {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------
+  // q126 — per-domain contribution cap (Sampling.capPerKey): the
+  // C4/RefinedWeb guard against one giant host dominating the mix.
+  // Fixture is deliberately skewed — a third of the corpus lands on
+  // one hub domain (the mega-key the salted two-stage top-k exists
+  // for), the rest spreads over 13 tail domains that the cap also
+  // binds. Selection is (mix30(id), id)-smallest per domain, so the
+  // oracle recomputes the EXACT survivor set with one window; the
+  // gated output pins totals, kept counts, and the kept-id checksum
+  // per domain.
+  // ---------------------------------------------------------------
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val domain = when(pmod(col("doc_id"), lit(3)) === 0, lit("hub.example.com"))
+      .otherwise(concat(lit("site-"),
+        pmod(Sampling.mix30(col("doc_id") + lit(7L)), lit(13L)).cast("string"),
+        lit(".example.com")))
+    val docs = t(s, dir, "documents").select(col("doc_id"), domain.as("domain"))
+    val capped = Sampling.capPerKey(docs, "domain", "doc_id",
+      cap = 8, saltBuckets = 8)
+    val totals = docs.groupBy("domain").agg(count(lit(1)).as("n_total"))
+    val kept = capped.groupBy("domain").agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("doc_id")).cast("long").as("sum_kept_ids"))
+    totals.join(kept, Seq("domain")).orderBy("domain")
+  }
+
+  // ---------------------------------------------------------------
+  // q127 — domain-blocklist filtering (Urls.blockedBy): crawl step 0,
+  // before any content filter. The fixture exercises every matching
+  // regime: a subdomain of a listed entry (blocked transitively), an
+  // exact listed domain, the dot-boundary trap (`notads.example.com`
+  // must stay clean against `ads.example.com`), clean tail domains,
+  // and a list entry matching nothing. The predicate is a literal-
+  // array scan filter (zero exchanges besides the census agg); the
+  // oracle restates suffix membership as `= dom OR LIKE '%.' || dom`.
+  // ---------------------------------------------------------------
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Urls
+    val m = pmod(col("doc_id"), lit(7))
+    val domain = when(m === 0, lit("tracker.ads.example.com"))
+      .when(m === 1, lit("spam.example.net"))
+      .when(m === 2, lit("notads.example.com"))
+      .otherwise(concat(lit("news-"),
+        pmod(col("doc_id"), lit(5)).cast("string"), lit(".example.org")))
+    val bl = Seq("ads.example.com", "spam.example.net", "casino.example.biz")
+    t(s, dir, "documents")
+      .select(col("doc_id"), domain.as("domain"))
+      .withColumn("blocked", Urls.blockedBy(col("domain"), bl))
+      .groupBy("domain", "blocked")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_ids"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_rest_offset" -> (q119 _),
+    "q126_domain_cap" -> (q126 _),
+    "q127_domain_blocklist" -> (q127 _),
     "q120_split_neardup" -> (q120 _),
     "q121_crawl_pipeline" -> (q121 _),
     "q122_version_cdc" -> (q122 _),
@@ -548,6 +606,53 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    // q126: the oracle re-derives the exact survivor set with the
+    // textbook single window (the shape graft avoids at scale) —
+    // identical (mix30, id) order, so counts AND the kept-id
+    // checksum must agree per domain.
+    "q126_domain_cap" -> {
+      import graft.ops.Sampling.mix30Sql
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'hub.example.com'
+         |              ELSE 'site-' || CAST((${mix30Sql("(doc_id + 7)")}) % 13 AS VARCHAR)
+         |                   || '.example.com'
+         |         END AS domain,
+         |         (${mix30Sql("doc_id")}) AS pri
+         |  FROM documents
+         |), r AS (
+         |  SELECT domain, doc_id,
+         |         row_number() OVER (PARTITION BY domain ORDER BY pri, doc_id) AS rk
+         |  FROM d
+         |)
+         |SELECT domain,
+         |       count(*) AS n_total,
+         |       count(*) FILTER (WHERE rk <= 8) AS n_kept,
+         |       CAST(sum(doc_id) FILTER (WHERE rk <= 8) AS BIGINT) AS sum_kept_ids
+         |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+    },
+    // q127: suffix-set membership restated as the equivalent
+    // dot-boundary predicate (= entry OR ends with '.' || entry).
+    "q127_domain_blocklist" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'tracker.ads.example.com'
+        |              WHEN doc_id % 7 = 1 THEN 'spam.example.net'
+        |              WHEN doc_id % 7 = 2 THEN 'notads.example.com'
+        |              ELSE 'news-' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        |         END AS domain
+        |  FROM documents
+        |), b(dom) AS (VALUES ('ads.example.com'), ('spam.example.net'),
+        |               ('casino.example.biz')),
+        |m AS (
+        |  SELECT doc_id, domain,
+        |         EXISTS (SELECT 1 FROM b WHERE d.domain = b.dom
+        |                 OR d.domain LIKE '%.' || b.dom) AS blocked
+        |  FROM d
+        |)
+        |SELECT domain, blocked, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM m GROUP BY domain, blocked ORDER BY domain""".stripMargin,
     // q119 round-trips supplier through the offset-paginated REST
     // source; the oracle is the table itself — a dropped slice,
     // doubled tail, failed auth, or bad parse loses/dupes rows.

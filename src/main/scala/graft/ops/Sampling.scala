@@ -52,6 +52,54 @@ object Sampling {
       lit((fraction * buckets).toLong))
   }
 
+  /** Per-key contribution cap — "keep at most `cap` documents per
+    * domain", the C4/RefinedWeb-style guard against a single giant
+    * host dominating the training mix (reference behavior covered:
+    * datanika's sampling family extended with the keyed-cap variant
+    * every crawl pipeline applies after URL canonicalization).
+    *
+    * Selection is deterministic: the `cap` rows with the smallest
+    * `(mix30(id), id)` per key survive — pseudorandom (so the kept
+    * subset is unbiased w.r.t. crawl order) yet identical across
+    * runs and engines, which keeps the oracle exact and downstream
+    * caches stable.
+    *
+    * 100 TB shape: the naive single `row_number() OVER (PARTITION BY
+    * key)` funnels a mega-domain (a third of CommonCrawl can be one
+    * blog host) into ONE task's sort. Instead, two-stage salted
+    * top-k: stage 1 partitions the window by `(key, salt)` with
+    * salt = priority % saltBuckets, so the mega-key's rows spread
+    * over `saltBuckets` tasks and each sub-group keeps its own
+    * smallest `cap`; any row in the key's GLOBAL smallest `cap`
+    * under the total order `(priority, id)` is necessarily within
+    * the smallest `cap` of its salt bucket, so stage 1 loses no
+    * survivor (classic salted top-k, exact). Stage 2 re-ranks the
+    * ≤ saltBuckets·cap survivors per key — metadata-sized however
+    * big the key is. Rows ship once (the stage-1 exchange); the
+    * stage-2 exchange carries only survivors.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      cap: Int, saltBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, "cap must be >= 1")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val salted = df
+      .withColumn("_cap_pri", mix30(col(idCol)))
+      .withColumn("_cap_salt", pmod(col("_cap_pri"), lit(saltBuckets.toLong)))
+    val w1 = Window.partitionBy(col(keyCol), col("_cap_salt"))
+      .orderBy(col("_cap_pri"), col(idCol))
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col("_cap_pri"), col(idCol))
+    salted
+      .withColumn("_cap_rn", row_number().over(w1))
+      .filter(col("_cap_rn") <= cap) // the filter BETWEEN the windows
+      // is what makes stage 2 see ≤ saltBuckets·cap rows per key —
+      // without it the mega-key's full sort returns in one task
+      .withColumn("_cap_rk", row_number().over(w2))
+      .filter(col("_cap_rk") <= cap)
+      .drop("_cap_pri", "_cap_salt", "_cap_rn", "_cap_rk")
+  }
+
   /** Weighted-sampling score (Efraimidis–Spirtakis A-ES, Inf. Proc.
     * Lett. 2006): draw u ∈ (0,1] deterministically from mix30(key)
     * and score r = u^(1/w); the k LARGEST r are exactly a weighted

@@ -46,6 +46,37 @@ object Urls {
     (substring(p, 1, 4) === "utm_") || p.like("ref=%") ||
       p.like("fbclid=%") || p.like("gclid=%") || (p === "")
 
+  /** Every dot-boundary suffix of a host, most-specific first:
+    * `a.b.example.com` → `[a.b.example.com, b.example.com,
+    * example.com, com]`. Bounded by the label count (hosts have ≤ a
+    * handful), so the generated array is metadata-sized per row.
+    */
+  def domainSuffixes(domain: Column): Column = {
+    val labels = split(domain, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+  }
+
+  /** Domain-blocklist predicate (true = blocked) — step 0 of every
+    * crawl pipeline (C4 drops pages on a "bad domains" list before
+    * any content filter). An entry blocks the domain itself AND all
+    * subdomains (`ads.example.com` blocks `tracker.ads.example.com`),
+    * but ONLY at dot boundaries (`notads.example.com` is clean) —
+    * hence suffix-set membership, not substring/endsWith matching.
+    *
+    * The blocklist folds into the plan as a literal array, so the
+    * check is a pure codegen'd scan predicate: zero shuffles, zero
+    * joins, pushdown-eligible. Right shape for config-sized lists
+    * (≤ ~10⁴ entries); a multi-million-entry list would instead
+    * broadcast-join the exploded `domainSuffixes` against the list
+    * (left_semi → id set → left_anti), trading the per-row linear
+    * scan for a hash probe.
+    */
+  def blockedBy(domain: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    exists(domainSuffixes(domain), s => s.isin(blocklist: _*))
+  }
+
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)
     val host = domain(url)

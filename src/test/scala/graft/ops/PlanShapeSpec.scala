@@ -106,4 +106,24 @@ class PlanShapeSpec extends SparkSpec {
     nodes(extracted.queryExecution.executedPlan)
       .count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
   }
+
+  it("capPerKey salts the first window and re-ranks only survivors") {
+    val df = (1L to 500L).map(i => (i, if (i % 2 == 0) "big" else s"k${i % 7}"))
+      .toDF("id", "key")
+    val out = Sampling.capPerKey(df, "key", "id", cap = 3, saltBuckets = 8)
+    out.count()
+    val plan = out.queryExecution.executedPlan
+    val wins = nodes(plan).collect { case w: WindowExec => w }
+    wins.size shouldBe 2
+    // stage 1 (deeper node) partitions by (key, salt); stage 2 by key
+    // alone — and stage 2's subtree must contain the survivor filter,
+    // or the mega-key's full sort is back in one task.
+    val Seq(stage2, stage1) = wins // outermost first
+    stage1.partitionSpec.map(_.toString).exists(_.contains("_cap_salt")) shouldBe true
+    stage2.partitionSpec.size shouldBe 1
+    val filtersBelowStage2 = nodes(stage2.child).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    filtersBelowStage2.exists(_.condition.toString.contains("_cap_rn")) shouldBe true
+  }
 }

@@ -103,4 +103,45 @@ class SamplingSpec extends SparkSpec {
         .count() shouldBe 0L
     }
   }
+
+  describe("capPerKey") {
+    // skewed on purpose: "big" is the mega-key the salting exists
+    // for, "tiny" sits under the cap entirely.
+    lazy val data = ((1L to 150L).map(i => (i, "big")) ++
+      (200L to 219L).map(i => (i, "mid")) ++
+      (300L to 302L).map(i => (i, "tiny"))).toDF("id", "key")
+
+    def expected(cap: Int): Set[(String, Long)] = {
+      val pri = data.select(col("key"), col("id"),
+        Sampling.mix30(col("id")).as("p")).as[(String, Long, Long)].collect()
+      pri.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(cap).map(r => (k, r._2)).toSeq
+      }.toSet
+    }
+
+    it("keeps exactly the cap smallest (mix30, id) rows per key through the salted path") {
+      val out = Sampling.capPerKey(data, "key", "id", cap = 5, saltBuckets = 4)
+        .select("key", "id").as[(String, Long)].collect().toSet
+      out shouldBe expected(5)
+      out.count(_._1 == "big") shouldBe 5
+      out.count(_._1 == "tiny") shouldBe 3 // cap above group size keeps all
+    }
+
+    it("is salt-invariant: any saltBuckets yields the same survivors") {
+      val base = Sampling.capPerKey(data, "key", "id", 7, 1)
+        .select("key", "id").as[(String, Long)].collect().toSet
+      base shouldBe expected(7)
+      Seq(2, 5, 16).foreach { s =>
+        Sampling.capPerKey(data, "key", "id", 7, s)
+          .select("key", "id").as[(String, Long)].collect().toSet shouldBe base
+      }
+    }
+
+    it("rejects cap or saltBuckets < 1") {
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.capPerKey(data, "key", "id", 0)
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.capPerKey(data, "key", "id", 5, 0)
+    }
+  }
 }

@@ -62,4 +62,34 @@ class UrlsSpec extends AnyFunSpec with Matchers with SparkSpec {
       plan should not include "Exchange"
     }
   }
+
+  describe("Urls.domainSuffixes / blockedBy") {
+    it("generates dot-boundary suffixes, most-specific first") {
+      Seq("a.b.example.com").toDF("d")
+        .select(Urls.domainSuffixes(col("d"))).as[Seq[String]].head() shouldBe
+        Seq("a.b.example.com", "b.example.com", "example.com", "com")
+    }
+
+    it("blocks listed domains and subdomains at dot boundaries only") {
+      val bl = Seq("ads.example.com", "spam.example.net")
+      val cases = Seq(
+        "ads.example.com" -> true,          // exact entry
+        "tracker.ads.example.com" -> true,  // subdomain of entry
+        "notads.example.com" -> false,      // dot-boundary trap
+        "spam.example.net" -> true,
+        "example.com" -> false,             // parent of entry is NOT blocked
+        "ads.example.com.evil.org" -> false) // entry as a PREFIX, not suffix
+      cases.foreach { case (d, want) =>
+        withClue(d) {
+          Seq(d).toDF("d").select(Urls.blockedBy(col("d"), bl))
+            .as[Boolean].head() shouldBe want
+        }
+      }
+    }
+
+    it("rejects an empty blocklist") {
+      an[IllegalArgumentException] should be thrownBy
+        Urls.blockedBy(col("d"), Seq.empty)
+    }
+  }
 }
