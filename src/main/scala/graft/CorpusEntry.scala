@@ -287,7 +287,33 @@ object CorpusEntry {
       .select("doc_id", "lr", "dr", "rrf")
   }
 
+
+  // ---------------------------------------------------------------
+  // q128 — frequency-threshold boilerplate removal (the complement
+  // of q81's first-occurrence dedup): drop EVERY copy of any 12-word
+  // segment appearing in more than maxDf=3 distinct docs. The
+  // fixture plants real boilerplate — a constant 12-word banner
+  // prepended to every 4th doc — which q81 would keep once but q128
+  // removes everywhere; organic cross-doc repeats at df <= 3
+  // survive. df shuffles (hash, length) keys only; the blocked set
+  // is the boilerplate vocabulary, joined back LEFT ANTI.
+  // ---------------------------------------------------------------
+  private val Banner =
+    "legal notice all rights reserved contact us terms of service apply here"
+
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(Banner + " "), col("text"))).otherwise(col("text")))
+    SegmentDedup.dropFrequentSegments(docs, "doc_id",
+        SegmentDedup.wordChunks(col("text"), 12), maxDf = 3L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_boilerplate_df" -> (q128 _),
     "q94_hybrid_search" -> (q94 _),
     "q93_bm25_search" -> (q93 _),
     "q92_truncate_tokens" -> (q92 _),
@@ -317,6 +343,39 @@ object CorpusEntry {
       |  ELSE CAST(0.1 AS DOUBLE) END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q128: identical segmentation to q81's oracle; df on the raw
+    // segment text (graft's (hash, length) key must agree), drop at
+    // df > 3 — the banner (on every 4th doc) vanishes everywhere.
+    "q128_boilerplate_df" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '$Banner ' || text ELSE text END AS text
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM base
+        |), segs AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(w[pos*12+1 : least((pos+1)*12, len(w))], ' ') AS seg
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w) / 12.0) AS INT))) AS pos
+        |        FROM t)
+        |), df AS (
+        |  SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+        |), keep AS (
+        |  SELECT s.doc_id, s.pos, s.seg
+        |  FROM segs s JOIN df ON s.seg = df.seg WHERE df.df <= 3
+        |), reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY pos) AS text_kept
+        |  FROM keep GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, tot.n_segs,
+        |  coalesce(reb.n_kept, 0) AS n_kept,
+        |  coalesce(reb.text_kept, '') AS text_kept
+        |FROM base b JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q81_paragraph_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w

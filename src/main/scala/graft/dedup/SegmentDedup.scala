@@ -79,14 +79,21 @@ object SegmentDedup {
       keyed("h") === winners("h") && keyed("slen") === winners("slen") &&
         keyed("doc_id") === winners("w_doc") && keyed("pos") === winners("w_pos"))
       .select(keyed("doc_id"), keyed("pos"), keyed("seg"))
+    reassemble(docs, idCol, segs, kept)
+  }
+
+  /** Rebuild per-doc output rows from surviving (doc_id, pos, seg):
+    * anchor totals on the DOC LIST, not the exploded segments — a
+    * doc with an empty segment array explodes to zero rows and must
+    * still get its contracted (doc_id, 0, 0, "") output row.
+    */
+  private def reassemble(docs: DataFrame, idCol: String,
+      segs: DataFrame, kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
           _.getField("seg")), " ").as("text_kept"))
-    // anchor totals on the DOC LIST, not the exploded segments — a
-    // doc with an empty segment array explodes to zero rows and must
-    // still get its contracted (doc_id, 0, 0, "") output row
     docs.select(col(idCol).as("doc_id"))
       .join(segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs")),
         Seq("doc_id"), "left")
@@ -95,6 +102,39 @@ object SegmentDedup {
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Frequency-threshold boilerplate removal — the complement of
+    * `dedupSegmentsOf`: first-occurrence dedup keeps ONE copy of a
+    * repeated segment somewhere; this drops EVERY copy of any segment
+    * whose corpus DOCUMENT frequency exceeds `maxDf` (the CCNet /
+    * RefinedWeb rule — a navbar on 10k pages is boilerplate,
+    * including its "first" occurrence; a segment repeated only WITHIN
+    * one doc — a chorus, a code idiom — is content and survives,
+    * hence document frequency, not occurrence count).
+    *
+    * 100 TB shape: df is computed on (xxhash64(seg), length) keys —
+    * distinct (key, doc) then count, both partial-aggregatable
+    * 8-byte-key shuffles (a billion-copy navbar collapses map-side;
+    * no per-segment window). The blocked set (df > maxDf) is ∝ the
+    * boilerplate vocabulary — small — and joins back LEFT ANTI on
+    * the hash key; reconstruction groups by doc, per-group state
+    * bounded by one document's own segments.
+    */
+  def dropFrequentSegments(docs: DataFrame, idCol: String,
+      segArr: Column, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val segs = barrier(segments(docs, idCol, segArr))
+    val keyed = segs
+      .withColumn("h", xxhash64(col("seg")))
+      .withColumn("slen", length(col("seg")))
+    val blocked = keyed.select("h", "slen", "doc_id").distinct()
+      .groupBy("h", "slen").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("h", "slen")
+    val kept = keyed.join(blocked, Seq("h", "slen"), "left_anti")
+      .select("doc_id", "pos", "seg")
+    reassemble(docs, idCol, segs, kept)
   }
 
   /** Word-window convenience: segment by fixed `words`-word chunks. */

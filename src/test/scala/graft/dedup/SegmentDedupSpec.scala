@@ -58,4 +58,44 @@ class SegmentDedupSpec extends SparkSpec {
       out._4 shouldBe "keep one keep two"
     }
   }
+
+  describe("SegmentDedup.dropFrequentSegments") {
+    // 2-word segments; "b p" appears in 4 docs (df=4 > maxDf=3) →
+    // dropped EVERYWHERE incl. its first occurrence; "c d" in 2 docs
+    // (df=2) survives; a segment repeated within ONE doc has df=1.
+    lazy val docs = Seq(
+      (1L, "b p c d"),
+      (2L, "b p c d"),
+      (3L, "b p x y"),
+      (4L, "b p"),
+      (5L, "e f e f"), // within-doc repeat: df = 1, both copies kept
+      (6L, "")         // no segments → contracted row
+    ).toDF("doc_id", "text")
+
+    def run(maxDf: Long) = SegmentDedup.dropFrequentSegments(
+        docs, "doc_id", SegmentDedup.wordChunks(col("text"), 2), maxDf)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+
+    it("drops every copy of over-threshold segments, keeps df<=maxDf and within-doc repeats") {
+      run(3L) shouldBe Array(
+        (1L, 2L, 1L, "c d"),
+        (2L, 2L, 1L, "c d"),
+        (3L, 2L, 1L, "x y"),
+        (4L, 1L, 0L, ""),
+        (5L, 2L, 2L, "e f e f"),
+        (6L, 0L, 0L, ""))
+    }
+
+    it("df == maxDf is kept (strict > threshold)") {
+      run(4L).map(r => (r._1, r._4)) shouldBe Array(
+        (1L, "b p c d"), (2L, "b p c d"), (3L, "b p x y"),
+        (4L, "b p"), (5L, "e f e f"), (6L, ""))
+    }
+
+    it("rejects maxDf < 1") {
+      an[IllegalArgumentException] should be thrownBy
+        SegmentDedup.dropFrequentSegments(docs, "doc_id",
+          SegmentDedup.wordChunks(col("text"), 2), 0L)
+    }
+  }
 }
