@@ -67,14 +67,38 @@ object Urls {
     * The blocklist folds into the plan as a literal array, so the
     * check is a pure codegen'd scan predicate: zero shuffles, zero
     * joins, pushdown-eligible. Right shape for config-sized lists
-    * (≤ ~10⁴ entries); a multi-million-entry list would instead
-    * broadcast-join the exploded `domainSuffixes` against the list
-    * (left_semi → id set → left_anti), trading the per-row linear
-    * scan for a hash probe.
+    * (≤ ~10⁴ entries); for multi-million-entry feeds use
+    * `filterBlocked`, which trades the per-row linear scan for a
+    * broadcast hash probe at domain granularity.
     */
   def blockedBy(domain: Column, blocklist: Seq[String]): Column = {
     require(blocklist.nonEmpty, "empty blocklist")
     exists(domainSuffixes(domain), s => s.isin(blocklist: _*))
+  }
+
+  /** The large-list variant of `blockedBy`: same dot-boundary
+    * semantics, for blocklists too big to fold into a literal (the
+    * multi-million-entry adult/malware feeds). Returns `df` minus
+    * blocked rows.
+    *
+    * Shape: resolve matching at DOMAIN granularity, not row
+    * granularity — distinct domains (one exchange of short strings;
+    * cardinality « rows at 100 TB, where a domain repeats across
+    * many pages) → explode suffixes → map-side left_semi against
+    * the BROADCAST list → the concrete blocked-domain set, which is
+    * ≤ the corpus' distinct domains ∩ list and broadcasts back for
+    * a map-side left_anti. No row of `df` ever shuffles, and no
+    * nested-loop join appears (spec-pinned).
+    */
+  def filterBlocked(df: org.apache.spark.sql.DataFrame, domainCol: String,
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val blCol = blocklist.columns.head
+    val blocked = df.select(col(domainCol).as("_dom")).distinct()
+      .select(col("_dom"), explode(domainSuffixes(col("_dom"))).as("_sfx"))
+      .join(broadcast(blocklist.select(col(blCol).as("_sfx"))),
+        Seq("_sfx"), "left_semi")
+      .select("_dom").distinct()
+    df.join(broadcast(blocked), df(domainCol) === blocked("_dom"), "left_anti")
   }
 
   def canonicalize(url: Column): Column = {

@@ -92,4 +92,21 @@ class UrlsSpec extends AnyFunSpec with Matchers with SparkSpec {
         Urls.blockedBy(col("d"), Seq.empty)
     }
   }
+
+  describe("Urls.filterBlocked (large-list join path)") {
+    it("matches blockedBy semantics and plans no nested-loop join") {
+      val bl = Seq("ads.example.com", "spam.example.net").toDF("dom")
+      val docs = Seq(
+        (1L, "ads.example.com"),
+        (2L, "tracker.ads.example.com"),
+        (3L, "notads.example.com"),
+        (4L, "news.example.org"),
+        (5L, "ads.example.com.evil.org")).toDF("id", "domain")
+      val out = Urls.filterBlocked(docs, "domain", bl)
+      out.select("id").as[Long].collect().sorted shouldBe Array(3L, 4L, 5L)
+      val plan = out.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    }
+  }
 }
