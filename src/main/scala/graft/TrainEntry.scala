@@ -585,10 +585,34 @@ object TrainEntry {
       .orderBy("domain")
   }
 
+  // ---------------------------------------------------------------
+  // q129 — contamination overlap-fraction report (the GPT-3-appendix
+  // audit; q64 answers "which pairs share >= k grams", this answers
+  // "HOW contaminated is each train doc"): benchmark = the first
+  // half of every 23rd doc's tokens, so contaminated docs report
+  // fractions strictly between 0 and 1 — the regime the threshold
+  // choice actually looks at. Benchmark gram set broadcast; train
+  // streams one left join; per-doc rollup partial-aggregates.
+  // 4-grams to match q64's proven oracle restatement.
+  // ---------------------------------------------------------------
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = filter(split(col("text"), "\\s+"), x => x =!= "")
+    val bench = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+      .select(col("doc_id").as("bench_id"),
+        array_join(
+          slice(toks, lit(1), floor(size(toks) / lit(2)).cast("int")), " ")
+          .as("text"))
+    Dedup.contaminationReport(docs, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_rest_offset" -> (q119 _),
     "q126_domain_cap" -> (q126 _),
     "q127_domain_blocklist" -> (q127 _),
+    "q129_contamination_report" -> (q129 _),
     "q120_split_neardup" -> (q120 _),
     "q121_crawl_pipeline" -> (q121 _),
     "q122_version_cdc" -> (q122 _),
@@ -631,6 +655,42 @@ object TrainEntry {
          |       CAST(sum(doc_id) FILTER (WHERE rk <= 8) AS BIGINT) AS sum_kept_ids
          |FROM r GROUP BY domain ORDER BY domain""".stripMargin
     },
+    // q129: gram generation restated exactly as q64's proven oracle
+    // (lowercase, \s+ split, empty filter, distinct 4-grams,
+    // whole-text gram under 4 tokens); benchmark text = first
+    // len//2 tokens of every 23rd doc, same slice both engines.
+    "q129_contamination_report" ->
+      """WITH ev AS (
+        |  SELECT array_to_string(t[1 : len(t)//2], ' ') AS text
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'),
+        |                 x -> x <> '') AS t
+        |        FROM documents WHERE doc_id % 23 = 0)
+        |), eg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |    END) AS gram
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                 x -> x <> '') AS t
+        |        FROM ev)
+        |), tg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+        |    END) AS gram
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS t
+        |        FROM documents)
+        |)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        |  count(e.gram) AS n_matched,
+        |  round(CAST(count(e.gram) AS DOUBLE) / count(*), 9)
+        |    AS frac_contaminated
+        |FROM tg t LEFT JOIN eg e USING (gram)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // q127: suffix-set membership restated as the equivalent
     // dot-boundary predicate (= entry OR ends with '.' || entry).
     "q127_domain_blocklist" ->

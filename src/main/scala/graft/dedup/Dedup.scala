@@ -479,6 +479,44 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-train-doc contamination REPORT (the GPT-3-appendix audit
+    * shape): for every train doc, the fraction of its DISTINCT word
+    * n-grams that appear ANYWHERE in the benchmark set — the
+    * distribution you inspect to pick `contamination`'s drop
+    * threshold, and the per-doc score a "dirty above X%" audit
+    * publishes. `contamination` answers "which (train, eval) pairs
+    * overlap ≥ k grams"; this answers "HOW contaminated is each
+    * train doc overall".
+    *
+    * Same 100 TB shape as `contamination`: the benchmark's distinct
+    * gram set is broadcast (benchmarks are tiny next to a corpus),
+    * the train side streams through one broadcast left join tagged
+    * hit/miss, and the per-doc rollup is a partial-aggregatable
+    * groupBy on the doc id. Fraction is rounded to 9dp so the ratio
+    * is engine-stable.
+    */
+  def contaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    import graft.functions.TextHashes.wordShingleHashes
+    val evalGrams = eval
+      .select(explode(wordShingleHashes(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    train
+      .select(col(idCol),
+        explode(wordShingleHashes(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_matched"))
+      .withColumn("frac_contaminated",
+        round(col("n_matched").cast("double") / col("n_grams"), 9))
+  }
+
   // ----------------------------------------------------------------
   // duplicate clusters — q38
   // ----------------------------------------------------------------

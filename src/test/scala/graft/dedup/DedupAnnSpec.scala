@@ -176,4 +176,27 @@ class DedupAnnSpec extends SparkSpec {
       split.foreach { case (a, b, pa, pb) => pa shouldBe a * 100; pb shouldBe b * 100 }
     }
   }
+
+  describe("Dedup.contaminationReport") {
+    it("reports the exact per-doc matched-gram fraction against the benchmark union") {
+      // 4-grams; doc 1 shares its first 5 tokens (2 of 3 grams) with
+      // the benchmark, doc 2 is clean, doc 3 is an exact benchmark
+      // member (fraction 1.0).
+      import spark.implicits._
+      val train = docs(
+        (1L, "a b c d e x y"), // grams: "a b c d","b c d e","c d e x","d e x y"
+        (2L, "p q r s t"),
+        (3L, "m n o p"))
+      val bench = docs(
+        (10L, "a b c d e"), // grams: "a b c d", "b c d e"
+        (11L, "m n o p"))
+      val out = Dedup.contaminationReport(train, bench, "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect()
+      out shouldBe Array(
+        (1L, 4L, 2L, 0.5),  // 4 grams, "a b c d" + "b c d e" matched
+        (2L, 2L, 0L, 0.0),
+        (3L, 1L, 1L, 1.0))
+    }
+  }
 }
