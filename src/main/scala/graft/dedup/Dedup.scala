@@ -480,7 +480,10 @@ object Dedup {
   }
 
   /** Per-train-doc contamination REPORT (the GPT-3-appendix audit
-    * shape): for every train doc, the fraction of its DISTINCT word
+    * shape): for every train doc WITH NON-NULL TEXT (null-text rows
+    * produce no grams and are absent from the report — filter or
+    * coalesce upstream if full-coverage denominators matter), the
+    * fraction of its DISTINCT word
     * n-grams that appear ANYWHERE in the benchmark set — the
     * distribution you inspect to pick `contamination`'s drop
     * threshold, and the per-doc score a "dirty above X%" audit

@@ -132,7 +132,10 @@ object SegmentDedup {
       .groupBy("h", "slen").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("h", "slen")
-    val kept = keyed.join(blocked, Seq("h", "slen"), "left_anti")
+    // broadcast keeps the anti-join map-side: without the hint the
+    // corpus-scale segment stream shuffle-writes on (h, slen) with
+    // the boilerplate hash as the hot key
+    val kept = keyed.join(broadcast(blocked), Seq("h", "slen"), "left_anti")
       .select("doc_id", "pos", "seg")
     reassemble(docs, idCol, segs, kept)
   }

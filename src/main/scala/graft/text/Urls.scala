@@ -92,13 +92,18 @@ object Urls {
     */
   def filterBlocked(df: org.apache.spark.sql.DataFrame, domainCol: String,
       blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(blocklist.columns.length == 1,
+      s"blocklist must be a single domain column, got ${blocklist.columns.mkString(",")}")
     val blCol = blocklist.columns.head
     val blocked = df.select(col(domainCol).as("_dom")).distinct()
       .select(col("_dom"), explode(domainSuffixes(col("_dom"))).as("_sfx"))
       .join(broadcast(blocklist.select(col(blCol).as("_sfx"))),
         Seq("_sfx"), "left_semi")
       .select("_dom").distinct()
-    df.join(broadcast(blocked), df(domainCol) === blocked("_dom"), "left_anti")
+    // a NULL domain row is dropped, matching the predicate path:
+    // df.filter(!blockedBy(domain, list)) evaluates NULL → filtered
+    df.filter(col(domainCol).isNotNull)
+      .join(broadcast(blocked), df(domainCol) === blocked("_dom"), "left_anti")
   }
 
   def canonicalize(url: Column): Column = {

@@ -179,7 +179,7 @@ class DedupAnnSpec extends SparkSpec {
 
   describe("Dedup.contaminationReport") {
     it("reports the exact per-doc matched-gram fraction against the benchmark union") {
-      // 4-grams; doc 1 shares its first 5 tokens (2 of 3 grams) with
+      // 4-grams; doc 1 shares its first 5 tokens (2 of its 4 grams) with
       // the benchmark, doc 2 is clean, doc 3 is an exact benchmark
       // member (fraction 1.0).
       import spark.implicits._

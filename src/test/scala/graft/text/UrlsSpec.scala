@@ -108,5 +108,15 @@ class UrlsSpec extends AnyFunSpec with Matchers with SparkSpec {
       plan should not include "BroadcastNestedLoopJoin"
       plan should not include "CartesianProduct"
     }
+  
+    it("drops null domains (predicate-path parity) and rejects multi-column blocklists") {
+      val bl = Seq("ads.example.com").toDF("dom")
+      val docs = Seq((1L, Some("ads.example.com")), (2L, Some("ok.example.org")),
+        (3L, None: Option[String])).toDF("id", "domain")
+      Urls.filterBlocked(docs, "domain", bl)
+        .select("id").as[Long].collect().sorted shouldBe Array(2L)
+      an[IllegalArgumentException] should be thrownBy
+        Urls.filterBlocked(docs, "domain", Seq(("x", "y")).toDF("a", "b"))
+    }
   }
 }
