@@ -113,13 +113,21 @@ object Dag {
 
   /** dbt-style selector: "+name" = name and its ancestors, "name+" =
     * name and its descendants, "+name+" = both, "name" = just name.
+    * A selector string may carry MULTIPLE whitespace-separated parts
+    * ("+stg_a mart_b+"), unioned — the shape the reference's
+    * per-model upstream/downstream flags compile to
+    * (pipeline_service.py:115-129 joins the parts with spaces).
     */
   def select(models: Seq[Model], selector: String): Set[String] = {
-    val up = selector.startsWith("+")
-    val down = selector.endsWith("+")
-    val name = selector.stripPrefix("+").stripSuffix("+")
-    (if (up) upstream(models, name) else Set.empty[String]) ++
-      (if (down) downstream(models, name) else Set.empty[String]) ++ Set(name)
+    val parts = selector.trim.split("\\s+").filter(_.nonEmpty)
+    require(parts.nonEmpty, "empty selector")
+    parts.iterator.map { part =>
+      val up = part.startsWith("+")
+      val down = part.endsWith("+")
+      val name = part.stripPrefix("+").stripSuffix("+")
+      (if (up) upstream(models, name) else Set.empty[String]) ++
+        (if (down) downstream(models, name) else Set.empty[String]) ++ Set(name)
+    }.reduce(_ ++ _)
   }
 
   /** Run only the selected models (plus the upstream inputs they need

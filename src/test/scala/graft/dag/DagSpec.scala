@@ -30,6 +30,11 @@ class DagSpec extends SparkSpec {
       Dag.select(graph, "+b+") shouldBe Set("a", "b", "d", "e")
       Dag.select(graph, "b") shouldBe Set("b")
     }
+    it("multi-part selectors union (the reference's space-joined build_selector shape)") {
+      Dag.select(graph, "+b c") shouldBe Set("a", "b", "c")
+      Dag.select(graph, " c   b+ ") shouldBe Set("c", "b", "d", "e")
+      an[IllegalArgumentException] should be thrownBy Dag.select(graph, "   ")
+    }
     it("runSelected builds only the needed subgraph and returns the selected set") {
       var built = List.empty[String]
       def tracked(name: String, deps: String*): Dag.Model =
