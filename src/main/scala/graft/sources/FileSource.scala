@@ -93,6 +93,19 @@ object FileSource {
   def toSnakeCase(name: String): String =
     name.trim.replaceAll("\\s+", "_").toLowerCase
 
+  /** Reference naming: entity names must be non-empty and
+    * alphanumeric + spaces only (datanika
+    * `services/naming.py:validate_name`) — the gate applied BEFORE
+    * `toSnakeCase` turns a display name into a table/model
+    * identifier.
+    */
+  def validateName(name: String, entityLabel: String): Unit = {
+    val stripped = name.trim
+    require(stripped.nonEmpty, s"$entityLabel name cannot be empty")
+    require(stripped.matches("[a-zA-Z0-9 ]+"),
+      s"$entityLabel name must contain only alphanumeric characters and spaces")
+  }
+
   def normalizeColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(toSnakeCase): _*)
 }
