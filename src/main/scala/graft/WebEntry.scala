@@ -1,0 +1,410 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q130+: the web-graph / warehouse-metadata tail — link extraction
+  * into a domain graph, integer-exact PageRank, zone-map data
+  * skipping, mojibake repair, column-level lineage, robots.txt
+  * honoring. Same conventions as the earlier entry objects: every
+  * fixture is synthesized deterministically from the driver corpus,
+  * and every oracle is either generated from the SAME constants as
+  * the Spark plan (link fixture, repair table) or restates the
+  * semantics in portable SQL.
+  */
+object WebEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // ---------------------------------------------------------------
+  // Shared link fixture (q130/q131): every document becomes a page
+  // on one of 7 example.com hosts, carrying anchors that exercise
+  // the full extraction + canonicalization surface — an absolute
+  // https link with uppercase/WWW/default-port/tracking-param noise,
+  // two relative links (resolve to the page's own domain), a
+  // cross-site http link, a mailto (must drop — no scheme match, no
+  // leading slash), and an http link with a NON-default port (the
+  // port is excluded from the domain by the host regex). The page
+  // column and the oracle's page CTE are BUILT FROM THE SAME token
+  // list, so the two engines see byte-identical HTML.
+  // ---------------------------------------------------------------
+  private sealed trait Tok
+  private final case class L(s: String) extends Tok
+  private final case class E(c: Column, sql: String) extends Tok
+
+  private def tokCol(toks: Seq[Tok]): Column =
+    concat(toks.map { case L(s) => lit(s); case E(c, _) => c }: _*)
+  private def tokSql(toks: Seq[Tok]): String =
+    toks.map { case L(s) => sqlLit(s); case E(_, q) => q }.mkString(" || ")
+
+  private def mod(k: Long, shift: Long = 0, mult: Long = 1): E =
+    E(((col("doc_id") * mult + shift) % k).cast("string"),
+      s"CAST((doc_id * $mult + $shift) % $k AS VARCHAR)")
+
+  private val PageToks: Seq[Tok] = Seq(
+    L("<html><body><a href=\"/\">Home</a>\n<a class=\"m\" rel=\"nofollow\" " +
+      "href=\"https://WWW.Host"), mod(7, 1, 2),
+    L(".EXAMPLE.com:443/p/"), mod(50, 3),
+    L("?utm_source=feed&id="), mod(13),
+    L("\">story</a>\n<a href=\"/section/"), mod(5),
+    L("\">more</a>\n<a href=\"http://news.portal"), mod(3),
+    L(".org/a/"), mod(21),
+    L("\">wire</a>\n"),
+    E(when(col("doc_id") % 11 === 0,
+        lit("<a href=\"mailto:ed@example.com\">mail</a>")).otherwise(lit("")),
+      "CASE WHEN doc_id % 11 = 0 THEN " +
+        sqlLit("<a href=\"mailto:ed@example.com\">mail</a>") + " ELSE '' END"),
+    E(when(col("doc_id") % 13 === 0,
+        concat(lit("<a href=\"http://cdn"), (col("doc_id") % 2).cast("string"),
+          lit(".assets.net:8080/lib.js\">lib</a>"))).otherwise(lit("")),
+      "CASE WHEN doc_id % 13 = 0 THEN " +
+        sqlLit("<a href=\"http://cdn") + " || CAST(doc_id % 2 AS VARCHAR) || " +
+        sqlLit(".assets.net:8080/lib.js\">lib</a>") + " ELSE '' END"),
+    L("</body></html>"))
+
+  private def srcDomainCol: Column =
+    concat(lit("host"), (col("doc_id") % 7).cast("string"), lit(".example.com"))
+  private val SrcDomainSql =
+    "'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'"
+
+  /** (doc_id, src_domain, dst_domain) link rows — Spark side. */
+  private def linkRows(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{HtmlExtract, Urls}
+    val pages = t(s, dir, "documents")
+      .select(col("doc_id"), srcDomainCol.as("src_domain"),
+        tokCol(PageToks).as("html"))
+    val hrefs = pages.select(col("doc_id"), col("src_domain"),
+      explode(HtmlExtract.links(col("html"))).as("href"))
+    hrefs.select(col("doc_id"), col("src_domain"),
+        when(Urls.scheme(col("href")).isin("http", "https"),
+          Urls.domain(col("href")))
+          .when(col("href").startsWith("/"), col("src_domain"))
+          .otherwise(lit(null)).as("dst_domain"))
+      .filter(col("dst_domain").isNotNull)
+  }
+
+  /** The SAME link rows as a DuckDB CTE body (columns doc_id,
+    * src_domain, dst_domain) — generated from the shared tokens.
+    */
+  private def linkRowsSql: String = {
+    val schemeSql =
+      "lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val domainSql = "regexp_replace(lower(regexp_extract(href, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '')"
+    s"""SELECT doc_id, src_domain, dst_domain FROM (
+       |  SELECT doc_id, src_domain,
+       |    CASE WHEN $schemeSql IN ('http', 'https') THEN $domainSql
+       |         WHEN href LIKE '/%' THEN src_domain
+       |         ELSE NULL END AS dst_domain
+       |  FROM (
+       |    SELECT doc_id, src_domain,
+       |      unnest(${graft.text.HtmlExtract.linksSql("html")}) AS href
+       |    FROM (
+       |      SELECT doc_id, $SrcDomainSql AS src_domain,
+       |        ${tokSql(PageToks)} AS html
+       |      FROM documents) pages) l) e
+       |WHERE dst_domain IS NOT NULL""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q130 — domain-level link graph from raw HTML (the crawl-frontier
+  // feed): anchors extracted from the RAW page (nav links are graph
+  // signal even though they are text noise), relative hrefs resolved
+  // against the page's domain, non-web schemes dropped, and the edge
+  // census aggregated on (src_domain, dst_domain). The whole chain
+  // before the census is a codegen'd projection + one generator —
+  // the only exchange is the final aggregation on short domain
+  // strings. The oracle consumes byte-identical HTML (shared token
+  // list) through the IDENTICAL regex (HtmlExtract.linksSql).
+  // ---------------------------------------------------------------
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    linkRows(s, dir)
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_pages"))
+      .orderBy("src_domain", "dst_domain")
+
+  // ---------------------------------------------------------------
+  // q131 — PageRank over the extracted domain graph (crawl
+  // prioritization / host-authority quality prior). Integer
+  // fixed-point semantics (ops/PageRank.scala) make every iteration
+  // exactly reproducible cross-engine: floor division at each step,
+  // dangling mass dropped, BIGINT throughout. The oracle's chained
+  // CTEs are GENERATED by PageRank.sql from the same iteration
+  // structure, over the same shared-token edge fixture.
+  // ---------------------------------------------------------------
+  private val PrIters = 4
+
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PageRank
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    PageRank.run(edges, "src", "dst", PrIters)
+      .orderBy(col("rank_u").desc, col("node"))
+  }
+
+  // ---------------------------------------------------------------
+  // q132 — zone-map data skipping (ops/ZoneMap): orders written
+  // range-sorted on o_orderdate into 12 files + a per-file (lo, hi,
+  // rows) manifest; a one-year range read consults the MANIFEST and
+  // opens only overlapping files. The in-query require is the
+  // operator's point: strictly fewer files scanned than exist
+  // (pruning-effective), while the residual scan filter keeps the
+  // result correct regardless. The oracle answers from the raw
+  // table — pruning must be invisible in the result.
+  // ---------------------------------------------------------------
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ZoneMap
+    val path = s"target/scratch/q132_zonemap_${ExtendedEntry.sanitize(dir)}"
+    ZoneMap.write(t(s, dir, "orders"), path, "o_orderdate", 12)
+    val from = lit("1995-01-01").cast("timestamp")
+    val until = lit("1996-01-01").cast("timestamp")
+    val total = s.read.parquet(ZoneMap.manifestPath(path)).count()
+    val cand = ZoneMap.candidateFiles(s, path, from, until).size
+    require(cand >= 1 && cand < total,
+      s"zone-map pruning ineffective: $cand of $total files")
+    ZoneMap.readRange(s, path, "o_orderdate", from, until)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("ym")
+  }
+
+  // ---------------------------------------------------------------
+  // q133 — mojibake repair (text/Mojibake): each document's text is
+  // prefixed with a deterministically-chosen corrupted fragment
+  // (UTF-8 re-decoded as cp1252 — computed by the JVM charset
+  // machinery at plan-build time, not hand-typed), then repaired by
+  // the derived replace chain. The oracle corrupts with the SAME
+  // literals (embedded) and repairs with the SAME generated chain
+  // (Mojibake.repairSql), so fixture and repair both share one
+  // source of truth. was_corrupted exercises the cheap lead-byte
+  // pre-filter used for selective repair at corpus scale.
+  // ---------------------------------------------------------------
+  private val CleanFrags = Seq(
+    "café crème – naïve résumé",
+    "“Smart ‘quotes’ and … ellipsis",
+    "€99 • ±3° — daß",
+    "¡Hola! ¿qué? «guillemets»")
+  private val MojiFrags = CleanFrags.map(graft.text.Mojibake.mojibake)
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Mojibake
+    val frag = MojiFrags.zipWithIndex.tail.foldLeft(
+      when(col("doc_id") % 4 === 0, lit(MojiFrags.head))) {
+      case (acc, (m, i)) => acc.when(col("doc_id") % 4 === i, lit(m))
+    }
+    val corrupted = concat(frag, lit(" doc "), col("doc_id").cast("string"),
+      lit(" "), col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+        Mojibake.repair(corrupted).as("repaired"),
+        Mojibake.looksCorrupted(corrupted).as("was_corrupted"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q134 — column-level lineage (dag/Lineage, the dbt-docs surface):
+  // a 4-model chain (two staging views, an aggregate fact, a CASE
+  // report) is ANALYZED — never executed — against schema-only
+  // views, and every output column maps to the physical source
+  // columns it transitively references. Planning is metadata-only,
+  // so this costs the same over 100 TB as over 100 rows. The oracle
+  // pins the exact edge set: aliases chase through refs, aggregates
+  // keep their argument columns, count(*) has no lineage, and the
+  // CASE output folds both its branches' references.
+  // ---------------------------------------------------------------
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.dag.{Lineage, SqlModels}
+    val models = Seq(
+      SqlModels.SqlModel("ln_stg_orders",
+        "SELECT o_orderkey AS order_key, o_custkey AS cust_key, " +
+          "o_totalprice AS price, o_orderdate AS odate " +
+          "FROM source('main', 'orders')"),
+      SqlModels.SqlModel("ln_stg_customer",
+        "SELECT c_custkey AS cust_key, c_name AS cname, c_nationkey " +
+          "FROM source('main', 'customer')"),
+      SqlModels.SqlModel("ln_fct_cust",
+        "SELECT c.cust_key, c.cname, count(*) AS n_orders, " +
+          "sum(o.price) AS total_price, max(o.odate) AS last_order " +
+          "FROM ref('ln_stg_orders') o JOIN ref('ln_stg_customer') c " +
+          "ON o.cust_key = c.cust_key GROUP BY c.cust_key, c.cname"),
+      SqlModels.SqlModel("ln_rpt",
+        "SELECT cname, total_price, CASE WHEN total_price > 1000 " +
+          "THEN 'big' ELSE 'small' END AS bucket FROM ref('ln_fct_cust')"))
+    val schemas = Map(
+      ("main", "orders") -> t(s, dir, "orders").schema,
+      ("main", "customer") -> t(s, dir, "customer").schema)
+    val edges = Lineage.columnLineage(s, models, schemas)
+    Lineage.toDF(s, edges)
+      .select(col("model"), col("column").as("column_name"),
+        col("src_table"), col("src_column"))
+      .orderBy("model", "column_name", "src_table", "src_column")
+  }
+
+  // ---------------------------------------------------------------
+  // q135 — robots.txt honoring (text/Robots): per-domain robots
+  // bodies exercising the grammar subset — a bot-specific group to
+  // skip, the `*` group with two Disallow prefixes, comments and
+  // blank lines, an EMPTY Disallow (allows everything), and a
+  // domain with no `*` group at all. Parse shuffles only the
+  // domains-sized robots table; enforcement is one broadcast anti
+  // join against the URL corpus. The oracle restates the identical
+  // group/window parse and a NOT EXISTS prefix filter.
+  // ---------------------------------------------------------------
+  private val RobotsBodyA = "User-agent: bot\nDisallow: /x\n\n" +
+    "User-agent: *\nDisallow: /private\nDisallow: /tmp\n" +
+    "# comment line\nUser-agent: zeta\nDisallow: /p"
+  private val RobotsBodyB = "User-agent: *\nDisallow:"
+  private val RobotsBodyC = "User-agent: other\nDisallow: /"
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Robots
+    val urls = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"), srcDomainCol,
+        when(col("doc_id") % 4 === 0,
+            concat(lit("/private/doc"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/tmp/x"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/articles/"), col("doc_id").cast("string"))))
+        .as("url"))
+    val domains = urls
+      .select(graft.text.Urls.domain(col("url")).as("domain")).distinct()
+    val hostNum = regexp_extract(col("domain"), "^host([0-9]+)\\.", 1)
+      .cast("long")
+    val robots = domains.select(col("domain"),
+      when(hostNum % 3 === 0, lit(RobotsBodyA))
+        .when(hostNum % 3 === 1, lit(RobotsBodyB))
+        .otherwise(lit(RobotsBodyC)).as("body"))
+    val allowed = Robots.filterAllowed(urls, "url",
+      Robots.rules(robots, "domain", "body"))
+    allowed
+      .groupBy(graft.text.Urls.domain(col("url")).as("dom"))
+      .agg(count(lit(1)).as("n_allowed"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("dom")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_link_graph" -> (q130 _),
+    "q131_pagerank" -> (q131 _),
+    "q132_zone_map" -> (q132 _),
+    "q133_mojibake_repair" -> (q133 _),
+    "q134_column_lineage" -> (q134 _),
+    "q135_robots_filter" -> (q135 _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q130_link_graph" ->
+      s"""WITH e AS ($linkRowsSql)
+         |SELECT src_domain, dst_domain, count(*) AS n_links,
+         |  count(DISTINCT doc_id) AS n_pages
+         |FROM e GROUP BY src_domain, dst_domain
+         |ORDER BY src_domain, dst_domain""".stripMargin,
+    "q131_pagerank" -> {
+      val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
+        s"FROM ($linkRowsSql) lr"
+      s"""SELECT node, rank_u FROM (
+         |${graft.ops.PageRank.sql(edgesCte, PrIters)}
+         |) pr ORDER BY rank_u DESC, node""".stripMargin
+    },
+    "q132_zone_map" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |    AS ym,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY ym""".stripMargin,
+    "q133_mojibake_repair" -> {
+      val fragSql = MojiFrags.zipWithIndex.map { case (m, i) =>
+        s"WHEN doc_id % 4 = $i THEN ${sqlLit(m)}"
+      }.mkString("CASE ", " ", " END")
+      val corrupted =
+        s"$fragSql || ' doc ' || CAST(doc_id AS VARCHAR) || ' ' || text"
+      val moji = (m: String) => sqlLit(m)
+      s"""WITH c AS (SELECT doc_id, $corrupted AS corrupted FROM documents)
+         |SELECT doc_id,
+         |  ${graft.text.Mojibake.repairSql("corrupted")} AS repaired,
+         |  (instr(corrupted, ${moji("Â")}) > 0 OR
+         |   instr(corrupted, ${moji("Ã")}) > 0 OR
+         |   instr(corrupted, ${moji("â")}) > 0) AS was_corrupted
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q134_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('ln_fct_cust', 'cname', 'main.customer', 'c_name'),
+        |  ('ln_fct_cust', 'cust_key', 'main.customer', 'c_custkey'),
+        |  ('ln_fct_cust', 'last_order', 'main.orders', 'o_orderdate'),
+        |  ('ln_fct_cust', 'total_price', 'main.orders', 'o_totalprice'),
+        |  ('ln_rpt', 'bucket', 'main.orders', 'o_totalprice'),
+        |  ('ln_rpt', 'cname', 'main.customer', 'c_name'),
+        |  ('ln_rpt', 'total_price', 'main.orders', 'o_totalprice'),
+        |  ('ln_stg_customer', 'c_nationkey', 'main.customer', 'c_nationkey'),
+        |  ('ln_stg_customer', 'cname', 'main.customer', 'c_name'),
+        |  ('ln_stg_customer', 'cust_key', 'main.customer', 'c_custkey'),
+        |  ('ln_stg_orders', 'cust_key', 'main.orders', 'o_custkey'),
+        |  ('ln_stg_orders', 'odate', 'main.orders', 'o_orderdate'),
+        |  ('ln_stg_orders', 'order_key', 'main.orders', 'o_orderkey'),
+        |  ('ln_stg_orders', 'price', 'main.orders', 'o_totalprice')
+        |) AS t(model, column_name, src_table, src_column)
+        |ORDER BY model, column_name, src_table, src_column""".stripMargin,
+    "q135_robots_filter" -> {
+      val pathCase =
+        """CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+          |     WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR)
+          |     WHEN doc_id % 4 = 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+          |     ELSE '/articles/' || CAST(doc_id AS VARCHAR) END""".stripMargin
+      // normal-quoted Scala string: "\\." emits a single backslash
+      val hostNumSql =
+        "CAST(regexp_extract(dom, '^host([0-9]+)\\.', 1) AS BIGINT) % 3"
+      val bodyCase =
+        s"""CASE WHEN $hostNumSql = 0
+           |       THEN ${sqlLit(RobotsBodyA)}
+           |     WHEN $hostNumSql = 1
+           |       THEN ${sqlLit(RobotsBodyB)}
+           |     ELSE ${sqlLit(RobotsBodyC)} END""".stripMargin
+      s"""WITH u AS (
+         |  SELECT doc_id, $SrcDomainSql AS dom, $pathCase AS path
+         |  FROM documents
+         |), robots AS (
+         |  SELECT dom, $bodyCase AS body FROM (SELECT DISTINCT dom FROM u) d
+         |), lines AS (
+         |  SELECT dom, i AS idx, trim(ls[i]) AS line
+         |  FROM (SELECT dom, split(body, chr(10)) AS ls FROM robots),
+         |    UNNEST(generate_series(1, len(ls))) AS t(i)
+         |), cls AS (
+         |  SELECT dom, idx, line,
+         |    lower(line) LIKE 'user-agent:%' AS is_ua,
+         |    lower(line) LIKE 'disallow:%' AS is_dis,
+         |    trim(substr(line, 12)) AS agent,
+         |    trim(substr(line, 10)) AS rule
+         |  FROM lines
+         |), grp AS (
+         |  SELECT *, SUM(CASE WHEN is_ua THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY dom ORDER BY idx) AS g FROM cls
+         |), ag AS (
+         |  SELECT *, MAX(CASE WHEN is_ua THEN agent END)
+         |    OVER (PARTITION BY dom, g) AS group_agent FROM grp
+         |), rules AS (
+         |  SELECT dom, rule FROM ag
+         |  WHERE is_dis AND group_agent = '*' AND rule <> ''
+         |), allowed AS (
+         |  SELECT u.* FROM u WHERE NOT EXISTS (
+         |    SELECT 1 FROM rules r
+         |    WHERE r.dom = u.dom AND starts_with(u.path, r.rule))
+         |)
+         |SELECT dom, count(*) AS n_allowed, CAST(sum(doc_id) AS BIGINT)
+         |    AS sum_ids
+         |FROM allowed GROUP BY dom ORDER BY dom""".stripMargin
+    })
+}

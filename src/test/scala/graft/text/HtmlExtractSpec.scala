@@ -81,4 +81,36 @@ class HtmlExtractSpec extends AnyFunSpec with Matchers with SparkSpec {
       (sparkSide should not).include("render()")  // script dropped
     }
   }
+
+  describe("HtmlExtract.links") {
+    def linksOf(html: String): Seq[String] =
+      Seq(html).toDF("h").select(HtmlExtract.links(col("h")))
+        .as[Seq[String]].head()
+
+    it("extracts hrefs in document order, attributes before and after") {
+      linksOf("<a href=\"/one\">1</a><p>x</p>" +
+        "<a class=\"c\" rel=\"nofollow\" href=\"https://b.com/two\">2</a>" +
+        "<A HREF=\"/three\" target=\"_blank\">3</A>") shouldBe
+        Seq("/one", "https://b.com/two", "/three")
+    }
+
+    it("extracts from nav/footer too (graph signal, not text)") {
+      linksOf("<nav><a href=\"/home\">Home</a></nav>" +
+        "<footer><a href=\"/legal\">Legal</a></footer>") shouldBe
+        Seq("/home", "/legal")
+    }
+
+    it("lazy attr scan never crosses a tag boundary") {
+      // no href in the <a>: must NOT steal the next tag's href
+      linksOf("<a name=\"x\">no link</a><link href=\"/css\">") shouldBe empty
+    }
+
+    it("single-quoted hrefs are outside the contract (not matched)") {
+      linksOf("<a href='/sq'>x</a>") shouldBe empty
+    }
+
+    it("empty page yields an empty list, not null") {
+      linksOf("<p>no anchors</p>") shouldBe empty
+    }
+  }
 }
