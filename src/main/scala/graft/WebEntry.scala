@@ -51,7 +51,8 @@ object WebEntry {
       "href=\"https://WWW.Host"), mod(7, 1, 2),
     L(".EXAMPLE.com:443/p/"), mod(50, 3),
     L("?utm_source=feed&id="), mod(13),
-    L("\">story</a>\n<a href=\"/section/"), mod(5),
+    L("\">story "), mod(9),
+    L("</a>\n<a href=\"/section/"), mod(5),
     L("\">more</a>\n<a href=\"http://news.portal"), mod(3),
     L(".org/a/"), mod(21),
     L("\">wire</a>\n"),
@@ -293,7 +294,182 @@ object WebEntry {
       .orderBy("dom")
   }
 
+  // ---------------------------------------------------------------
+  // q136 — anchor-text index (the classic target-page relevance
+  // signal: what OTHER pages call a page; search engines weight
+  // anchor terms into the target's ranking, and crawl pipelines use
+  // them as title priors). (href, text) pairs come out as two
+  // position-aligned capture-group arrays, zipped positionally;
+  // targets resolve exactly as the q130 graph (relative → own
+  // domain, mailto dropped), and the census is one aggregation on
+  // (dst_domain, anchor term). The oracle zips with DuckDB's
+  // positional parallel unnest over the same generated pattern.
+  // ---------------------------------------------------------------
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{HtmlExtract, Urls}
+    val pages = t(s, dir, "documents")
+      .select(col("doc_id"), srcDomainCol.as("src_domain"),
+        tokCol(PageToks).as("html"))
+    val pairs = pages
+      .withColumn("texts", HtmlExtract.anchorTexts(col("html")))
+      .select(col("doc_id"), col("src_domain"),
+        posexplode(HtmlExtract.anchorHrefs(col("html"))).as(Seq("i", "href")),
+        col("texts"))
+      .withColumn("txt", element_at(col("texts"), col("i") + 1))
+    pairs.select(col("doc_id"), col("txt"),
+        when(Urls.scheme(col("href")).isin("http", "https"),
+          Urls.domain(col("href")))
+          .when(col("href").startsWith("/"), col("src_domain"))
+          .otherwise(lit(null)).as("dst_domain"))
+      .filter(col("dst_domain").isNotNull)
+      .groupBy("dst_domain", "txt")
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("doc_id")).as("n_pages"))
+      .orderBy("dst_domain", "txt")
+  }
+
+  // ---------------------------------------------------------------
+  // q137 — LM-quality proxy: unseen-bigram ratio vs a trusted
+  // reference corpus (text/LmFilter — the engine-portable stand-in
+  // for CCNet's KenLM perplexity gate). Reference = English docs
+  // outside the scored slice; scored = every 3rd doc ACROSS
+  // languages, so the output exhibits exactly the separation the
+  // filter exists for (fluent English low, other languages high).
+  // Unlike q129's broadcast benchmark probe, the reference gram set
+  // is CORPUS-sized: the canonical big-big hash join on 8-byte gram
+  // hashes. Oracle restates the q64/q129-proven gram chain at k=2.
+  // ---------------------------------------------------------------
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.LmFilter
+    val docs = t(s, dir, "documents")
+    val reference = docs.filter(col("lang") === "en" && col("doc_id") % 3 =!= 0)
+    val scored = docs.filter(col("doc_id") % 3 === 0)
+    LmFilter.unseenGramRatio(scored, reference, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q138 — WARC ingest round-trip (sources/Warc — the container
+  // crawl corpora actually arrive in): q116's synthesized pages are
+  // serialized as WARC/1.0 response records (4 shard files, byte-
+  // accurate Content-Length), read back with the per-file
+  // distributed parser, main-text extracted, and censused per
+  // domain. The oracle never sees WARC: it recomputes the census
+  // straight from documents through the SAME generated html +
+  // extraction chain — so any loss or corruption in the
+  // write→parse→extract path breaks parity.
+  // ---------------------------------------------------------------
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    import graft.text.{HtmlExtract, Urls}
+    val path = s"target/scratch/q138_warc_${ExtendedEntry.sanitize(dir)}"
+    val pages = t(s, dir, "documents").select(
+      concat(lit("https://"), srcDomainCol, lit("/p/"),
+        col("doc_id").cast("string")).as("url"),
+      TrainEntry.syntheticHtml(col("doc_id"), col("text")).as("payload"))
+    Warc.write(pages, "url", "payload", path, shards = 4)
+    Warc.read(s, s"$path/part-*").toDF()
+      .select(Urls.domain(col("url")).as("dom"),
+        regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long").as("doc_id"),
+        HtmlExtract.mainText(col("payload")).as("main_text"))
+      .groupBy("dom")
+      .agg(count(lit(1)).as("n_pages"), sum("doc_id").as("sum_ids"),
+        sum(length(col("main_text")).cast("long")).as("sum_chars"))
+      .orderBy("dom")
+  }
+
+  // ---------------------------------------------------------------
+  // q139 — temperature-scaled source mixing (α = 1/2 "alpha
+  // sampling", the T5/LLaMA mixture curve): per-source token
+  // supplies from one partial-aggregated scan (q31's proven
+  // whitespace token count), √-temperature weights computed
+  // driver-side (|sources| scalars), the smallest source kept whole
+  // as the binding stratum, every other source down-sampled by the
+  // deterministic mix30 threshold — the kept corpus never shuffles.
+  // α is fixed at 1/2 because IEEE sqrt is correctly rounded: both
+  // engines derive bit-identical thresholds, so the KEPT SET itself
+  // is oracle-gated, not just its size.
+  // ---------------------------------------------------------------
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    import graft.text.TextAnalysis
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.wsTokenCount(col("text")).as("tok"))
+    val supply = Sampling.tokenSupply(d, "source", col("tok"))
+    val kept = Sampling.mixtureByTokens(d, "source", "doc_id",
+      Sampling.sqrtTemperatureWeights(supply), supply)
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).cast("long").as("tokens_kept"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------
+  // q140 — crawl FRONTIER construction (the capstone composition the
+  // crawl operators exist for): extracted links → (domain, path)
+  // targets (relative resolved, non-web dropped, frontier keyed by
+  // domain+path as crawlers fetch) → DISTINCT with min-discoverer →
+  // minus already-crawled pages (left anti on the crawl log) →
+  // minus robots-disallowed prefixes (q135's parser over a 7-row
+  // robots table, broadcast anti) → minus blocklisted domains
+  // (q127's codegen'd suffix predicate). Three subtractions, zero
+  // corpus shuffles beyond the frontier dedup itself. The oracle
+  // restates the whole chain: unnest → CASE resolve → GROUP BY →
+  // three NOT EXISTS / predicate filters → census.
+  // ---------------------------------------------------------------
+  private val FrontierRobotsBody = "User-agent: graftbot\nDisallow: /\n" +
+    "User-agent: *\nDisallow: /p"
+  private val FrontierOpenBody = "User-agent: *\nDisallow:"
+  private val FrontierBlocklist = Seq("news.portal0.org", "assets.net")
+
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.{HtmlExtract, Robots, Urls}
+    val docs = t(s, dir, "documents")
+    val pages = docs.select(col("doc_id"), srcDomainCol.as("src_domain"),
+      tokCol(PageToks).as("html"))
+    val hrefs = pages.select(col("doc_id"), col("src_domain"),
+      explode(HtmlExtract.links(col("html"))).as("href"))
+    val absPath = regexp_extract(col("href"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val targets = hrefs.select(col("doc_id"),
+        when(Urls.scheme(col("href")).isin("http", "https"),
+          Urls.domain(col("href")))
+          .when(col("href").startsWith("/"), col("src_domain"))
+          .otherwise(lit(null)).as("dom"),
+        when(Urls.scheme(col("href")).isin("http", "https"),
+          when(absPath === "", lit("/")).otherwise(absPath))
+          .otherwise(col("href")).as("path"))
+      .filter(col("dom").isNotNull)
+    val frontier = targets.groupBy("dom", "path")
+      .agg(min(col("doc_id")).as("discoverer"))
+    // already-crawled log: every corpus page's own (domain, path)
+    val seen = docs.select(srcDomainCol.as("dom"),
+      concat(lit("/p/"), col("doc_id").cast("string")).as("path"))
+    val unseen = frontier.join(seen, Seq("dom", "path"), "left_anti")
+    // robots: example.com hosts with hostnum % 3 == 0 disallow /p
+    val hostNum = regexp_extract(col("dom"), "^host([0-9]+)\\.", 1).cast("long")
+    val robots = unseen.select(col("dom")).distinct()
+      .filter(col("dom").endsWith(".example.com"))
+      .select(col("dom").as("domain"),
+        when(hostNum % 3 === 0, lit(FrontierRobotsBody))
+          .otherwise(lit(FrontierOpenBody)).as("body"))
+    val rules = Robots.rules(robots, "domain", "body")
+    val okRobots = unseen.join(broadcast(rules),
+      unseen("dom") === rules("domain") &&
+        unseen("path").startsWith(rules("rule")), "left_anti")
+    val open = okRobots.filter(!Urls.blockedBy(col("dom"), FrontierBlocklist))
+    open.groupBy("dom")
+      .agg(count(lit(1)).as("n_urls"), sum(col("discoverer")).as("sum_disc"))
+      .orderBy("dom")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_anchor_text" -> (q136 _),
+    "q137_lm_unseen" -> (q137 _),
+    "q138_warc_ingest" -> (q138 _),
+    "q139_temperature_mix" -> (q139 _),
+    "q140_crawl_frontier" -> (q140 _),
     "q130_link_graph" -> (q130 _),
     "q131_pagerank" -> (q131 _),
     "q132_zone_map" -> (q132 _),
@@ -302,6 +478,153 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q139_temperature_mix" -> {
+      import graft.ops.Sampling.mix30Sql
+      // (length(trim)) whitespace token count — q31's proven chain
+      val tok = graft.PipelineEntry.WsTokSql
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $tok AS tok FROM documents
+         |), sup AS (
+         |  SELECT source, CAST(sum(tok) AS BIGINT) AS t FROM d GROUP BY source
+         |), w AS (
+         |  SELECT source, t, sqrt(CAST(t AS DOUBLE)) AS wt FROM sup WHERE t > 0
+         |), b AS (
+         |  SELECT min(t / wt) AS bud FROM w
+         |), thr AS (
+         |  SELECT source, CAST(floor(bud * wt / t * 1048576) AS BIGINT) AS th
+         |  FROM w, b
+         |), kept AS (
+         |  SELECT d.source, d.doc_id, d.tok
+         |  FROM d JOIN thr USING (source)
+         |  WHERE (${mix30Sql("doc_id")}) % 1048576 < th
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q140_crawl_frontier" -> {
+      val schemeSql =
+        "lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+      val domainSql = "regexp_replace(lower(regexp_extract(href, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '')"
+      val absPathSql = "regexp_extract(href, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+      // TRY_CAST: DuckDB does not short-circuit the AND, so the cast
+      // also evaluates on non-host domains where the extract is ''
+      val hostNumSql =
+        "TRY_CAST(regexp_extract(dom, '^host([0-9]+)\\.', 1) AS BIGINT)"
+      s"""WITH pages AS (
+         |  SELECT doc_id, $SrcDomainSql AS src_domain,
+         |    ${tokSql(PageToks)} AS html
+         |  FROM documents
+         |), l AS (
+         |  SELECT doc_id, src_domain,
+         |    unnest(${graft.text.HtmlExtract.linksSql("html")}) AS href
+         |  FROM pages
+         |), tgt AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $schemeSql IN ('http', 'https') THEN $domainSql
+         |         WHEN href LIKE '/%' THEN src_domain
+         |         ELSE NULL END AS dom,
+         |    CASE WHEN $schemeSql IN ('http', 'https') THEN
+         |           CASE WHEN $absPathSql = '' THEN '/' ELSE $absPathSql END
+         |         ELSE href END AS path
+         |  FROM l
+         |), frontier AS (
+         |  SELECT dom, path, min(doc_id) AS discoverer
+         |  FROM tgt WHERE dom IS NOT NULL GROUP BY dom, path
+         |), seen AS (
+         |  SELECT $SrcDomainSql AS dom,
+         |    '/p/' || CAST(doc_id AS VARCHAR) AS path
+         |  FROM documents
+         |), unseen AS (
+         |  SELECT f.* FROM frontier f WHERE NOT EXISTS (
+         |    SELECT 1 FROM seen s WHERE s.dom = f.dom AND s.path = f.path)
+         |), ok_robots AS (
+         |  SELECT u.* FROM unseen u
+         |  WHERE NOT (u.dom LIKE '%.example.com'
+         |             AND ($hostNumSql) % 3 = 0
+         |             AND starts_with(u.path, '/p'))
+         |), open_f AS (
+         |  SELECT * FROM ok_robots
+         |  WHERE NOT (dom = 'news.portal0.org'
+         |             OR dom LIKE '%.news.portal0.org'
+         |             OR dom = 'assets.net' OR dom LIKE '%.assets.net')
+         |)
+         |SELECT dom, count(*) AS n_urls,
+         |  CAST(sum(discoverer) AS BIGINT) AS sum_disc
+         |FROM open_f GROUP BY dom ORDER BY dom""".stripMargin
+    },
+    "q138_warc_ingest" -> {
+      import graft.TrainEntry.{HtmlA, HtmlB, HtmlC, HtmlD}
+      val html = s"${sqlLit(HtmlA)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlLit(HtmlB)} || CAST(doc_id AS VARCHAR) || " +
+        s"${sqlLit(HtmlC)} || text || ${sqlLit(HtmlD)}"
+      s"""WITH h AS (
+         |  SELECT doc_id, $SrcDomainSql AS dom, $html AS html
+         |  FROM documents
+         |)
+         |SELECT dom, count(*) AS n_pages,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(length(${graft.text.HtmlExtract.mainTextSql("html")}))
+         |    AS BIGINT) AS sum_chars
+         |FROM h GROUP BY dom ORDER BY dom""".stripMargin
+    },
+    "q136_anchor_text" -> {
+      import graft.text.HtmlExtract
+      val schemeSql =
+        "lower(regexp_extract(href, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+      val domainSql = "regexp_replace(lower(regexp_extract(href, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '')"
+      s"""WITH pages AS (
+         |  SELECT doc_id, $SrcDomainSql AS src_domain,
+         |    ${tokSql(PageToks)} AS html
+         |  FROM documents
+         |), pairs AS (
+         |  SELECT doc_id, src_domain,
+         |    unnest(${HtmlExtract.anchorsSql("html", 1)}) AS href,
+         |    unnest(${HtmlExtract.anchorsSql("html", 2)}) AS txt
+         |  FROM pages
+         |), e AS (
+         |  SELECT doc_id, txt,
+         |    CASE WHEN $schemeSql IN ('http', 'https') THEN $domainSql
+         |         WHEN href LIKE '/%' THEN src_domain
+         |         ELSE NULL END AS dst_domain
+         |  FROM pairs
+         |)
+         |SELECT dst_domain, txt, count(*) AS n_anchors,
+         |  count(DISTINCT doc_id) AS n_pages
+         |FROM e WHERE dst_domain IS NOT NULL
+         |GROUP BY dst_domain, txt ORDER BY dst_domain, txt""".stripMargin
+    },
+    "q137_lm_unseen" ->
+      """WITH rg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1]))
+        |    END) AS gram
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                 x -> x <> '') AS t
+        |        FROM documents WHERE lang = 'en' AND doc_id % 3 <> 0)
+        |), sg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1]))
+        |    END) AS gram
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS t
+        |        FROM documents WHERE doc_id % 3 = 0)
+        |)
+        |SELECT s.doc_id, count(*) AS n_grams,
+        |  count(*) - count(r.gram) AS n_unseen,
+        |  round(CAST(count(*) - count(r.gram) AS DOUBLE) / count(*), 9)
+        |    AS unseen_ratio
+        |FROM sg s LEFT JOIN rg r USING (gram)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q130_link_graph" ->
       s"""WITH e AS ($linkRowsSql)
          |SELECT src_domain, dst_domain, count(*) AS n_links,

@@ -209,6 +209,23 @@ object Sampling {
     df.filter(pmod(mix30(col(keyCol)), lit(1L << 20)) < thr)
   }
 
+  /** Temperature-scaled mixture weights at α = 1/2 — the T5/LLaMA
+    * "alpha sampling" curve that up-weights small sources relative
+    * to their raw share (w_s = T_s^α). Feeding these into
+    * `mixtureByTokens` yields kept-token shares ∝ √T_s with the
+    * smallest source kept whole (it is always the binding stratum:
+    * T/√T = √T is minimized by the smallest T).
+    *
+    * α is fixed at 1/2 because IEEE-754 REQUIRES sqrt to be
+    * correctly rounded — both engines produce bit-identical weights,
+    * so the sampling thresholds (and therefore the kept set) match
+    * exactly. A general-α variant needs pow, whose last-ulp behavior
+    * is libm-specific; at a threshold boundary that could flip a
+    * row, so it is deliberately not offered.
+    */
+  def sqrtTemperatureWeights(supply: Map[String, Long]): Map[String, Double] =
+    supply.collect { case (s, t) if t > 0 => s -> math.sqrt(t.toDouble) }
+
   /** The driver-side fraction math, exposed for tests and oracles:
     * budget = min over weighted strata of supply/weight, fraction_s =
     * budget·w_s / supply_s (the binding stratum gets exactly 1.0).

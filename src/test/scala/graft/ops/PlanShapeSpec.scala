@@ -126,4 +126,43 @@ class PlanShapeSpec extends SparkSpec {
     }
     filtersBelowStage2.exists(_.condition.toString.contains("_cap_rn")) shouldBe true
   }
+
+  it("Mojibake repair is a zero-exchange scan projection") {
+    import graft.text.Mojibake
+    val df = (1L to 300L).map(i => (i, s"text $i " + Mojibake.mojibake("é")))
+      .toDF("id", "t")
+      .withColumn("fixed", Mojibake.repair(col("t")))
+      .withColumn("flag", Mojibake.looksCorrupted(col("t")))
+    df.collect()
+    nodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
+  }
+
+  it("robots enforcement never shuffles the URL corpus") {
+    import graft.text.Robots
+    val urls = (1L to 400L).map(i => (i, s"https://h${i % 5}.com/p/$i"))
+      .toDF("id", "url")
+    val rules = Seq(("h1.com", "/p/1")).toDF("domain", "rule")
+    val out = Robots.filterAllowed(urls, "url", rules)
+    out.collect()
+    // broadcast anti join: no exchange on the corpus side, no
+    // sort-merge join anywhere
+    val ns = nodes(out.queryExecution.executedPlan)
+    ns.count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
+    ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) shouldBe false
+  }
+
+  it("ZoneMap.readRange opens only the manifest-surviving files") {
+    val dir = "target/scratch/planshape_zonemap"
+    val df = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
+    ZoneMap.write(df, dir, "k", 10)
+    val pruned = ZoneMap.readRange(spark, dir, "k",
+      lit(100L), lit(200L))
+    // the planned scan's file set IS the pruned set — strictly fewer
+    // than the 10 on disk
+    pruned.inputFiles.length should be < 10
+    pruned.inputFiles.length should be >= 1
+    pruned.count() shouldBe 100L
+  }
 }

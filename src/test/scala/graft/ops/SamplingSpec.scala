@@ -77,6 +77,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  describe("sqrtTemperatureWeights") {
+    it("the smallest source binds (kept whole); shares flatten toward √T") {
+      val supply = Map("web" -> 90000L, "wiki" -> 10000L, "code" -> 40000L)
+      val f = Sampling.mixtureFractions(supply,
+        Sampling.sqrtTemperatureWeights(supply))
+      // binding stratum = smallest (T/√T = √T is minimal there)
+      f("wiki") shouldBe 1.0 +- 1e-12
+      // kept tokens T_s·f_s ∝ √T_s: web keeps √(90000·10000) = 30000
+      (supply("web") * f("web")) shouldBe 30000.0 +- 1e-6
+      (supply("code") * f("code")) shouldBe 20000.0 +- 1e-6
+    }
+    it("zero-supply sources are dropped, not divided by") {
+      Sampling.sqrtTemperatureWeights(Map("a" -> 0L, "b" -> 4L)) shouldBe
+        Map("b" -> 2.0)
+    }
+  }
+
   describe("mixtureByTokens") {
     it("achieves the target token mixture within hash-threshold noise") {
       import org.apache.spark.sql.functions.{col, lit, sum}

@@ -113,4 +113,30 @@ class HtmlExtractSpec extends AnyFunSpec with Matchers with SparkSpec {
       linksOf("<p>no anchors</p>") shouldBe empty
     }
   }
+
+  describe("HtmlExtract.anchors") {
+    def pairsOf(html: String): Seq[(String, String)] =
+      Seq(html).toDF("h")
+        .select(HtmlExtract.anchorHrefs(col("h")),
+          HtmlExtract.anchorTexts(col("h")))
+        .as[(Seq[String], Seq[String])].head() match {
+        case (hs, ts) => hs.zip(ts)
+      }
+
+    it("hrefs and texts stay position-aligned") {
+      pairsOf("<a href=\"/a\">One</a> gap " +
+        "<a rel=\"x\" href=\"/b\" id=\"k\">Two words</a>") shouldBe
+        Seq("/a" -> "One", "/b" -> "Two words")
+    }
+
+    it("anchors with nested markup inside are outside the contract") {
+      pairsOf("<a href=\"/a\"><b>bold</b></a><a href=\"/c\">ok</a>") shouldBe
+        Seq("/c" -> "ok")
+    }
+
+    it("empty anchor text is kept (pairs stay aligned)") {
+      pairsOf("<a href=\"/a\"></a><a href=\"/b\">t</a>") shouldBe
+        Seq("/a" -> "", "/b" -> "t")
+    }
+  }
 }
