@@ -464,7 +464,69 @@ object WebEntry {
       .orderBy("dom")
   }
 
+  // ---------------------------------------------------------------
+  // q141 — cohort retention (the classic product-analytics matrix:
+  // users who first appeared in week W, still active W+k weeks
+  // later). Weeks are integer epoch-ms buckets (calendar-free, so
+  // both engines bucket identically). Shapes: distinct (user, week)
+  // partial-aggregates; the cohort join is keyed on user_id
+  // (co-partitioned with the distinct's output); the final matrix is
+  // |cohorts|×|offsets| — tiny at any corpus scale.
+  // ---------------------------------------------------------------
+  val WeekMs = 604800000L
+
+  /** Retention matrix over (user, integer period) pairs: one row per
+    * (cohort period, offset) with the distinct users still active.
+    * Invariants pinned by RetentionSpec: offset 0 always carries the
+    * full cohort, and no offset row can exceed its cohort size.
+    */
+  def cohortRetention(userPeriods: DataFrame): DataFrame = {
+    val userWeeks = userPeriods.select("user_id", "wk").distinct()
+    val cohort = userWeeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    userWeeks.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(t(s, dir, "events")
+        .select(col("user_id"), expr(s"(ts div 1000000) div $WeekMs").as("wk")))
+      .orderBy("cohort_wk", "week_offset")
+
+  // ---------------------------------------------------------------
+  // q142 — time-RANGE rolling window (7-day per-user rolling count
+  // and decimal-exact value sum at every event): the feature-
+  // engineering staple rows-based frames (q19/q49) cannot express —
+  // the frame is [ms − 7d, ms] by VALUE, so ties and gaps behave
+  // correctly. Decimal sums make the result order-independent
+  // inside the frame, which is what lets two engines agree exactly.
+  // One exchange on user_id; frames evaluate within partitions.
+  // ---------------------------------------------------------------
+  /** Per-user time-range rolling aggregates over [ms − windowMs, ms]
+    * (both ends INCLUSIVE — Spark/SQL RANGE frames; RetentionSpec
+    * pins the boundary). Decimal accumulation, surfaced as double.
+    */
+  def rollingByTime(ev: DataFrame, windowMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-windowMs, 0)
+    ev.select(col("event_id"), col("user_id"), col("ms"),
+      count(lit(1)).over(w).as("n_7d"),
+      sum(col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").as("sum_7d"))
+  }
+
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    rollingByTime(
+      t(s, dir, "events").filter(col("user_id") % 20 === 0)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("ms"), col("value")),
+      WeekMs)
+      .orderBy("user_id", "ms", "event_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_cohort_retention" -> (q141 _),
+    "q142_rolling_window" -> (q142 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -478,6 +540,28 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q141_cohort_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, (epoch_ns(ts) // 1000000) // $WeekMs AS wk
+         |  FROM events GROUP BY user_id, wk
+         |), c AS (
+         |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+         |)
+         |SELECT c.cohort_wk, e.wk - c.cohort_wk AS week_offset,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM e JOIN c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q142_rolling_window" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ms, value
+         |  FROM events WHERE user_id % 20 = 0
+         |)
+         |SELECT event_id, user_id, ms,
+         |  count(*) OVER w AS n_7d,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms
+         |  RANGE BETWEEN $WeekMs PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ms, event_id""".stripMargin,
     "q139_temperature_mix" -> {
       import graft.ops.Sampling.mix30Sql
       // (length(trim)) whitespace token count — q31's proven chain
