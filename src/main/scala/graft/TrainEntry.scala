@@ -608,7 +608,49 @@ object TrainEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q143 — BPE vocabulary training (Sennrich 2016; the tokenizer-
+  // building step of an LLM data pipeline): ONE corpus-sized pass
+  // aggregates (word, cnt); every merge round then runs on the
+  // vocabulary-sized word table — a partial-aggregated pair count, a
+  // 1-row argmax collect (bounded driver scalar), and a codegen'd
+  // replace. The oracle is GENERATED by the same loop (Bpe.trainSql,
+  // PageRank.sql's pattern) with MATERIALIZED stage CTEs so the two
+  // engines walk identical merge sequences; ties break (cnt DESC,
+  // lhs, rhs) — total order, cross-engine deterministic.
+  // ---------------------------------------------------------------
+  private val BpeMerges = 8
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val words = Bpe.wordCounts(
+      t(s, dir, "documents").select("text"), "text")
+    val merges = Bpe.train(s, words, BpeMerges)
+    s.createDataFrame(merges).select("iter", "lhs", "rhs", "cnt")
+      .orderBy("iter")
+  }
+
+  // ---------------------------------------------------------------
+  // q144 — BPE encode + token census (training composed with
+  // inference): the learned merges are driver scalars, so encoding
+  // is ONE codegen'd chained-replace projection over the word table
+  // — no join, no shuffle — and the census is one partial-aggregated
+  // count. Top-30 with (n DESC, token) tiebreak. The oracle extends
+  // q143's generated chain with the same census over w_N.
+  // ---------------------------------------------------------------
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val words = Bpe.wordCounts(
+        t(s, dir, "documents").select("text"), "text")
+      .persist() // train makes N passes; encode one more
+    val merges = Bpe.train(s, words, BpeMerges)
+    Bpe.tokenCensus(Bpe.applyMerges(words, merges))
+      .orderBy(col("n").desc, col("token")).limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_bpe_train" -> (q143 _),
+    "q144_bpe_census" -> (q144 _),
     "q119_rest_offset" -> (q119 _),
     "q126_domain_cap" -> (q126 _),
     "q127_domain_blocklist" -> (q127 _),
@@ -630,6 +672,10 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    "q143_bpe_train" -> graft.text.Bpe.trainSql(
+      graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
+    "q144_bpe_census" -> graft.text.Bpe.censusSql(
+      graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges, 30),
     // q126: the oracle re-derives the exact survivor set with the
     // textbook single window (the shape graft avoids at scale) —
     // identical (mix30, id) order, so counts AND the kept-id
