@@ -648,9 +648,29 @@ object TrainEntry {
       .orderBy(col("n").desc, col("token")).limit(30)
   }
 
+  // ---------------------------------------------------------------
+  // q145 — perceptual near-dup for image assets (multimodal/Phash;
+  // the media complement of q23's MinHash): each doc becomes a REAL
+  // 8×8 greyscale PNG (zlib IDAT that actually inflates; groups of 5
+  // share a base image — one exact re-encode, three single-swap
+  // near-dups), then decode + 64-bit average-hash in ONE
+  // mapPartitions pass, LSH band join (4×16 bits — complete for
+  // Hamming ≤ 3 by pigeonhole), Hamming verify. The oracle
+  // recomputes identical hashes arithmetically from the pixel
+  // formula and brute-forces the pair set (test-scale only).
+  // ---------------------------------------------------------------
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Phash
+    val assets = Phash.synthesizeCorpus(t(s, dir, "documents"), "doc_id")
+    val hashed = Phash.hashAssets(assets, "doc_id", "payload")
+    Phash.nearDupPairs(hashed, "doc_id", "ahash", tau = 3, bands = 4)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
+    "q145_image_neardup" -> (q145 _),
     "q119_rest_offset" -> (q119 _),
     "q126_domain_cap" -> (q126 _),
     "q127_domain_blocklist" -> (q127 _),
@@ -676,6 +696,13 @@ object TrainEntry {
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
     "q144_bpe_census" -> graft.text.Bpe.censusSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges, 30),
+    "q145_image_neardup" ->
+      s"""WITH ${graft.multimodal.Phash.fixtureHashSql("SELECT doc_id FROM documents")}
+         |SELECT a, b, dist FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.ahash, y.ahash)) AS INT) AS dist
+         |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+         |WHERE dist <= 3 ORDER BY a, b""".stripMargin,
     // q126: the oracle re-derives the exact survivor set with the
     // textbook single window (the shape graft avoids at scale) —
     // identical (mix30, id) order, so counts AND the kept-id

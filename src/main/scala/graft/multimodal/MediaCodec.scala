@@ -105,6 +105,91 @@ object MediaCodec {
   }
 
   // ---------------------------------------------------------------
+  // PNG with REAL pixel data: greyscale 8-bit, one IDAT chunk whose
+  // zlib stream actually inflates (java.util.zip) to filtered
+  // scanlines (filter 0). This is the decodable-image path the
+  // perceptual-hash dedup (q145) runs on.
+  // ---------------------------------------------------------------
+
+  /** A square greyscale 8-bit PNG carrying `pixels` (row-major,
+    * values 0..255; length must be a perfect square).
+    */
+  def synthesizePngGray(pixels: Array[Int]): Array[Byte] = {
+    val side = math.sqrt(pixels.length.toDouble).toInt
+    require(side * side == pixels.length,
+      s"pixel count must be square, got ${pixels.length}")
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(side).putInt(side)
+      .put(8.toByte).put(0.toByte) // bit depth 8, greyscale
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    writeChunk(out, "IHDR", ihdr.array())
+    val raw = new Array[Byte](side * (side + 1)) // filter byte + row
+    var r = 0
+    while (r < side) {
+      raw(r * (side + 1)) = 0 // filter type 0 (None)
+      var c = 0
+      while (c < side) {
+        raw(r * (side + 1) + 1 + c) = pixels(r * side + c).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, n))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a greyscale-8 PNG produced by any writer using filter-0
+    * scanlines: chunk walk, IHDR shape check, inflate concatenated
+    * IDATs, strip per-row filter bytes. None on anything malformed
+    * (quarantine, don't throw — corpus-decode contract).
+    */
+  def parsePngGray(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 33 || !bytes.take(8).sameElements(PngSig)) return None
+    if (new String(bytes.slice(12, 16), "US-ASCII") != "IHDR") return None
+    val w = be32(bytes, 16); val h = be32(bytes, 20)
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return None
+    if (u8(bytes, 24) != 8 || u8(bytes, 25) != 0) return None // depth 8 grey
+    val idat = new ByteArrayOutputStream()
+    var i = 8
+    while (i + 8 <= bytes.length) {
+      val len = be32(bytes, i)
+      val typ = new String(bytes.slice(i + 4, i + 8), "US-ASCII")
+      if (len < 0 || i + 12 + len > bytes.length) return None
+      if (typ == "IDAT") idat.write(bytes, i + 8, len)
+      if (typ == "IEND") i = bytes.length
+      else i += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (w + 1))
+    try {
+      val n = inflater.inflate(raw)
+      if (n != raw.length || !inflater.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      if (raw(r * (w + 1)) != 0) return None // only filter 0 supported
+      var c = 0
+      while (c < w) {
+        px(r * w + c) = raw(r * (w + 1) + 1 + c) & 0xFF
+        c += 1
+      }
+      r += 1
+    }
+    Some(px)
+  }
+
+  // ---------------------------------------------------------------
   // WAV: RIFF/WAVE with a PCM fmt chunk; sample rate little-endian.
   // ---------------------------------------------------------------
 
