@@ -667,10 +667,41 @@ object TrainEntry {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------
+  // q146 — right-to-be-forgotten propagation (ops/Forget): a
+  // requests-sized deletion set (every 97th user seen in events)
+  // fans out across every table carrying the key family — customer,
+  // orders, events — as BROADCAST anti-joins/left-join audits, so
+  // each 100 TB table pays exactly one pass and zero exchanges. The
+  // audit (before/purged/after + surviving-key checksum) is the
+  // compliance artifact; an in-query require cross-checks purge()
+  // against the audit arithmetic on the largest table.
+  // ---------------------------------------------------------------
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Forget
+    val events = t(s, dir, "events")
+    val requests = events.select(col("user_id").as("k"))
+      .filter(col("k") % 97 === 0).distinct()
+    val audit = graft.plans.Plans.barrier(Forget.audit(Seq(
+      ("customer", t(s, dir, "customer"), "c_custkey"),
+      ("events", events, "user_id"),
+      ("orders", t(s, dir, "orders"), "o_custkey")), requests))
+    // defense-in-depth: the purged table must agree with the audit's
+    // arithmetic (rows_after, surviving-key checksum) row for events
+    val p = Forget.purge(events, "user_id", requests)
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("s")).head()
+    val a = audit.filter(col("table_name") === "events").head()
+    require(p.getLong(0) == a.getAs[Long]("rows_after") &&
+      p.getLong(1) == a.getAs[Long]("sum_remaining_keys"),
+      s"purge/audit mismatch on events: $p vs $a")
+    audit.orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
     "q145_image_neardup" -> (q145 _),
+    "q146_forget_purge" -> (q146 _),
     "q119_rest_offset" -> (q119 _),
     "q126_domain_cap" -> (q126 _),
     "q127_domain_blocklist" -> (q127 _),
@@ -696,6 +727,23 @@ object TrainEntry {
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
     "q144_bpe_census" -> graft.text.Bpe.censusSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges, 30),
+    "q146_forget_purge" -> {
+      def leg(name: String, table: String, key: String) =
+        s"""SELECT '$name' AS table_name, count(*) AS rows_before,
+           |  count(*) FILTER (WHERE $key IN (SELECT k FROM req)) AS rows_purged,
+           |  count(*) FILTER (WHERE $key NOT IN (SELECT k FROM req)) AS rows_after,
+           |  coalesce(CAST(sum($key) FILTER (WHERE $key NOT IN (SELECT k FROM req))
+           |    AS BIGINT), 0) AS sum_remaining_keys
+           |FROM $table""".stripMargin
+      s"""WITH req AS (
+         |  SELECT DISTINCT user_id AS k FROM events WHERE user_id % 97 = 0)
+         |${leg("customer", "customer", "c_custkey")}
+         |UNION ALL
+         |${leg("events", "events", "user_id")}
+         |UNION ALL
+         |${leg("orders", "orders", "o_custkey")}
+         |ORDER BY table_name""".stripMargin
+    },
     "q145_image_neardup" ->
       s"""WITH ${graft.multimodal.Phash.fixtureHashSql("SELECT doc_id FROM documents")}
          |SELECT a, b, dist FROM (
