@@ -524,9 +524,29 @@ object WebEntry {
       WeekMs)
       .orderBy("user_id", "ms", "event_id")
 
+  // ---------------------------------------------------------------
+  // q147 — HITS hubs & authorities over the q130 domain graph
+  // (ops/Hits — Kleinberg's companion signal to q131's PageRank):
+  // integer fixed-point with divide-first L1 normalization so every
+  // iteration is exactly reproducible cross-engine and nothing can
+  // overflow at any graph size; per round, two map-combined keyed
+  // aggregations + two nodes-sized left joins + broadcast 1-row
+  // totals. Oracle generated by the same loop (Hits.sql).
+  // ---------------------------------------------------------------
+  private val HitsIters = 4
+
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Hits
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    Hits.run(edges, "src", "dst", HitsIters)
+      .orderBy(col("auth_u").desc, col("hub_u").desc, col("node"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_cohort_retention" -> (q141 _),
     "q142_rolling_window" -> (q142 _),
+    "q147_hits" -> (q147 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -540,6 +560,13 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q147_hits" -> {
+      val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
+        s"FROM ($linkRowsSql) lr"
+      s"""SELECT node, hub_u, auth_u FROM (
+         |${graft.ops.Hits.sql(edgesCte, HitsIters)}
+         |) hs ORDER BY auth_u DESC, hub_u DESC, node""".stripMargin
+    },
     "q141_cohort_retention" ->
       s"""WITH e AS (
          |  SELECT user_id, (epoch_ns(ts) // 1000000) // $WeekMs AS wk
