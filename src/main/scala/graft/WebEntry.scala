@@ -543,10 +543,48 @@ object WebEntry {
       .orderBy(col("auth_u").desc, col("hub_u").desc, col("node"))
   }
 
+  // ---------------------------------------------------------------
+  // q148 — first/last-touch attribution (ops/Attribution): every
+  // purchase credits the first and the last non-purchase event the
+  // same user made strictly before it, in (ms, event_id) total
+  // order. ONE user-keyed window over the merged stream (running
+  // first/last-non-null channel in a ROWS [unbounded, -1] frame) —
+  // never a per-conversion join into the touch history. Oracle
+  // restates the same frame with IGNORE NULLS window functions.
+  // ---------------------------------------------------------------
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Attribution
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      expr("ts div 1000000").as("ms"),
+      when(col("event_type") === "purchase", lit(null))
+        .otherwise(col("event_type")).as("channel"),
+      (col("event_type") === "purchase").as("is_conversion"),
+      col("value"))
+    Attribution.credit(ev).orderBy("model", "channel")
+  }
+
+  // ---------------------------------------------------------------
+  // q149 — exact triangle count of the q130 domain graph
+  // (ops/Triangles): degree-ordered orientation bounds every
+  // out-degree at O(√m), so the wedge join — the only
+  // quadratic-risk step — is bounded (Schank–Wagner; the textbook
+  // distributed triangle scheme). Oracle generated by Triangles.sql
+  // over the identical edge CTE.
+  // ---------------------------------------------------------------
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Triangles
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    Triangles.census(edges, "src", "dst")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_cohort_retention" -> (q141 _),
     "q142_rolling_window" -> (q142 _),
     "q147_hits" -> (q147 _),
+    "q148_attribution" -> (q148 _),
+    "q149_triangles" -> (q149 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -566,6 +604,36 @@ object WebEntry {
       s"""SELECT node, hub_u, auth_u FROM (
          |${graft.ops.Hits.sql(edgesCte, HitsIters)}
          |) hs ORDER BY auth_u DESC, hub_u DESC, node""".stripMargin
+    },
+    "q148_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ms,
+        |    CASE WHEN event_type = 'purchase' THEN NULL
+        |         ELSE event_type END AS channel,
+        |    event_type = 'purchase' AS is_conv, value
+        |  FROM events
+        |), a AS (
+        |  SELECT is_conv, value,
+        |    first_value(channel IGNORE NULLS) OVER w AS first_ch,
+        |    last_value(channel IGNORE NULLS) OVER w AS last_ch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT model, channel, n_conv, sum_value FROM (
+        |  SELECT 'first_touch' AS model,
+        |    coalesce(first_ch, '(none)') AS channel, count(*) AS n_conv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM a WHERE is_conv GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'last_touch', coalesce(last_ch, '(none)'), count(*),
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |  FROM a WHERE is_conv GROUP BY 2
+        |) ORDER BY model, channel""".stripMargin,
+    "q149_triangles" -> {
+      val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
+        s"FROM ($linkRowsSql) lr"
+      graft.ops.Triangles.sql(edgesCte)
     },
     "q141_cohort_retention" ->
       s"""WITH e AS (
