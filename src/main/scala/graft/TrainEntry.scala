@@ -697,11 +697,32 @@ object TrainEntry {
     audit.orderBy("table_name")
   }
 
+  // ---------------------------------------------------------------
+  // q150 — one distributed k-means Lloyd step (ann/KMeans; the
+  // clustering primitive behind IVF coarse quantizers q37 and
+  // SemDeDup-style corpus partitioning): assignment is one codegen'd
+  // scan expression against k driver-literal centroids (the k
+  // smallest-id vectors — bounded collect), the update one
+  // partial-aggregated (cluster, dim) sum of µ-quantized INTEGERS
+  // (q115's floor rounding) so the cross-row aggregation is
+  // order-independent and cross-engine exact; means surface as
+  // round(sum/(n·10⁶), 9). Oracle generated by KMeans.sql with the
+  // same sequential-fold distance (cosSql's precedent).
+  // ---------------------------------------------------------------
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.KMeans
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", k = 8)
+    KMeans.lloydStep(emb, "vec_id", "embedding", cents)
+      .orderBy("cl", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
     "q145_image_neardup" -> (q145 _),
     "q146_forget_purge" -> (q146 _),
+    "q150_kmeans_step" -> (q150 _),
     "q119_rest_offset" -> (q119 _),
     "q126_domain_cap" -> (q126 _),
     "q127_domain_blocklist" -> (q127 _),
@@ -727,6 +748,10 @@ object TrainEntry {
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
     "q144_bpe_census" -> graft.text.Bpe.censusSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges, 30),
+    "q150_kmeans_step" ->
+      s"""SELECT * FROM (
+         |${graft.ann.KMeans.sql("embeddings", "vec_id", "embedding", 8)}
+         |) km ORDER BY cl, dim""".stripMargin,
     "q146_forget_purge" -> {
       def leg(name: String, table: String, key: String) =
         s"""SELECT '$name' AS table_name, count(*) AS rows_before,
