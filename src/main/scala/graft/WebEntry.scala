@@ -579,12 +579,71 @@ object WebEntry {
     Triangles.census(edges, "src", "dst")
   }
 
+  // ---------------------------------------------------------------
+  // q151 — CDC apply with deletes (ops/CdcApply — the consuming half
+  // of the CDC family: q85/q122 produce changelogs, this merges one
+  // in): a synthesized feed carries updates (two seqs for the same
+  // key — the later must win), deletes (beating earlier updates on
+  // %77 keys), inserts of new keys, and a delete for a key that
+  // never existed (no-op). The changelog collapses FIRST (one
+  // changes-sized window), then ONE full-outer hash join on the key;
+  // the base never sorts or windows. Census by segment; oracle
+  // restates collapse + merge + filter.
+  // ---------------------------------------------------------------
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CdcApply
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    val k = col("c_custkey")
+    def change(op: String, key: Column, seq: Int, cid: Column,
+        seg: Column, bal: Column, filter: Column) =
+      base.filter(filter).select(lit(op).as("op"), key.as("c_custkey"),
+        lit(seq).as("seq"), cid.as("change_id"),
+        seg.as("c_mktsegment"), bal.as("c_acctbal"))
+    val changes = Seq(
+      change("U", k, 1, k * 10 + 1, col("c_mktsegment"),
+        col("c_acctbal") + 100.0, k % 7 === 0),
+      change("U", k, 2, k * 10 + 2, col("c_mktsegment"),
+        col("c_acctbal") + 250.0, k % 21 === 0),
+      change("D", k, 3, k * 10 + 3, col("c_mktsegment"),
+        col("c_acctbal"), k % 11 === 0),
+      change("I", k + 500000, 1, k * 10 + 4, lit("NEWSEG"),
+        lit(42.5), k % 13 === 0),
+      change("D", k + 900000, 1, k * 10 + 5, col("c_mktsegment"),
+        col("c_acctbal"), k % 17 === 0)).reduce(_ unionByName _)
+    CdcApply(base, changes, "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_bal"),
+        sum(col("c_custkey")).as("sum_keys"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------
+  // q152 — sliding-window aggregation (streaming/Streams.slidingAgg,
+  // the overlapping sibling of q21's tumbling windows): 1-hour
+  // windows sliding every 15 minutes — each event lands in exactly
+  // 4 windows; same code path runs batch and streaming (StreamsSpec
+  // pins batch/stream parity), state multiplied by size/slide only.
+  // Oracle expands the 4 aligned window starts per event.
+  // ---------------------------------------------------------------
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    val events = t(s, dir, "events")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    Streams.slidingAgg(events).orderBy("w_start_ms", "event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_cohort_retention" -> (q141 _),
     "q142_rolling_window" -> (q142 _),
     "q147_hits" -> (q147 _),
     "q148_attribution" -> (q148 _),
     "q149_triangles" -> (q149 _),
+    "q151_cdc_apply" -> (q151 _),
+    "q152_stream_sliding" -> (q152 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -635,6 +694,54 @@ object WebEntry {
         s"FROM ($linkRowsSql) lr"
       graft.ops.Triangles.sql(edgesCte)
     },
+    "q151_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer
+        |), changes AS (
+        |  SELECT 'U' AS op, c_custkey AS k, 1 AS seq, c_custkey*10+1 AS cid,
+        |    c_mktsegment AS seg, bal + 100.0 AS bal
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'U', c_custkey, 2, c_custkey*10+2, c_mktsegment, bal + 250.0
+        |  FROM base WHERE c_custkey % 21 = 0
+        |  UNION ALL
+        |  SELECT 'D', c_custkey, 3, c_custkey*10+3, c_mktsegment, bal
+        |  FROM base WHERE c_custkey % 11 = 0
+        |  UNION ALL
+        |  SELECT 'I', c_custkey + 500000, 1, c_custkey*10+4, 'NEWSEG', 42.5
+        |  FROM base WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT 'D', c_custkey + 900000, 1, c_custkey*10+5, c_mktsegment, bal
+        |  FROM base WHERE c_custkey % 17 = 0
+        |), latest AS (
+        |  SELECT op, k, seg, bal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k
+        |      ORDER BY seq DESC, cid DESC) AS rn
+        |    FROM changes) WHERE rn = 1
+        |), merged AS (
+        |  SELECT coalesce(l.k, b.c_custkey) AS k,
+        |    CASE WHEN l.op IS NOT NULL THEN l.seg
+        |         ELSE b.c_mktsegment END AS seg,
+        |    CASE WHEN l.op IS NOT NULL THEN l.bal ELSE b.bal END AS bal
+        |  FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+        |  WHERE l.op IS NULL OR l.op <> 'D'
+        |)
+        |SELECT seg AS c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q152_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000000 AS ms, event_type, value FROM events
+        |), w AS (
+        |  SELECT ((ms // 900000) - k) * 900000 AS w_start_ms,
+        |    event_type, value
+        |  FROM e, range(0, 4) g(k)
+        |)
+        |SELECT w_start_ms, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY w_start_ms, event_type""".stripMargin,
     "q141_cohort_retention" ->
       s"""WITH e AS (
          |  SELECT user_id, (epoch_ns(ts) // 1000000) // $WeekMs AS wk

@@ -80,6 +80,23 @@ object Streams {
       .select(unix_millis(col("window.start")).as("hour_ms"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour/15-minute aggregation — the overlapping-window
+    * sibling of `tumblingAgg` (each event lands in 4 windows: the
+    * trend-smoothing shape dashboards actually chart). Works on
+    * batch and streaming frames alike; on streams the per-window
+    * state is bounded by the caller's watermark exactly as with
+    * tumbling windows — the overlap multiplies state rows by
+    * size/slide, never by data volume.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_millis(col("window.start")).as("w_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup — the incremental twin of `Dedup.exact`:
     * keeps one row per key, with state BOUNDED by the event-time
     * watermark (a duplicate arriving later than the watermark delay

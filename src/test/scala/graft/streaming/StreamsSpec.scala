@@ -74,6 +74,32 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  describe("slidingAgg batch/stream parity") {
+    it("each event lands in 4 overlapping windows, identically on batch and stream") {
+      import spark.implicits._
+      val dir = "/root/testdata/sf0.001"
+      val batch = graft.sources.Tables.load(spark, dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val expected = slidingAgg(batch)
+        .as[(Long, String, Long, Double)].collect().toSet
+      // overlap sanity: 4× the tumbling row-weight (same events,
+      // hour windows every 15 min)
+      val nEvents = batch.count()
+      slidingAgg(batch).agg(sum("n_events")).head().getLong(0) shouldBe
+        4L * nEvents
+
+      val stream = slidingAgg(readEvents(spark, dir))
+      val q = stream.writeStream.format("memory")
+        .queryName("slide_out").outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("slide_out")
+          .as[(Long, String, Long, Double)].collect().toSet
+        got shouldBe expected
+      } finally q.stop()
+    }
+  }
+
   describe("decontaminateStream") {
     it("matches the batch contamination result in append mode and drops late docs") {
       import spark.implicits._
