@@ -8,10 +8,13 @@ import graft.sources.Tables
 /** q113+: the training-data tail — leakage-safe splits, mergeable
   * sketch profiling, embedding quantization, HTML main-text
   * extraction, time travel in both shapes (SCD2 as-of reads,
-  * versioned-table commits), and crawl hygiene (per-domain
-  * contribution caps, domain blocklists). Same conventions as the earlier entry
-  * objects: exact DuckDB oracles where the math is portable,
-  * contract gates where the operator is inherently randomized.
+  * versioned-table commits), crawl hygiene (per-domain contribution
+  * caps, domain blocklists), BPE tokenizer training + encoding,
+  * perceptual image near-dup, right-to-be-forgotten propagation,
+  * and a distributed k-means Lloyd step. Same conventions as the
+  * earlier entry objects: exact DuckDB oracles where the math is
+  * portable, contract gates where the operator is inherently
+  * randomized.
   */
 object TrainEntry {
 

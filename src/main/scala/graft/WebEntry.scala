@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** q130+: the web-graph / warehouse-metadata tail — link extraction
-  * into a domain graph, integer-exact PageRank, zone-map data
-  * skipping, mojibake repair, column-level lineage, robots.txt
-  * honoring. Same conventions as the earlier entry objects: every
-  * fixture is synthesized deterministically from the driver corpus,
-  * and every oracle is either generated from the SAME constants as
-  * the Spark plan (link fixture, repair table) or restates the
-  * semantics in portable SQL.
+/** q130+: the web-graph / warehouse-metadata / product-analytics
+  * tail — link extraction into a domain graph, integer-exact
+  * PageRank and HITS, triangle counting, zone-map data skipping,
+  * mojibake repair, column-level lineage, robots.txt honoring,
+  * cohort retention, time-range rolling windows, first/last-touch
+  * attribution, CDC apply, sliding-window streaming. Same
+  * conventions as the earlier entry objects: every fixture is
+  * synthesized deterministically from the driver corpus, and every
+  * oracle is either generated from the SAME constants as the Spark
+  * plan (link fixture, repair table, iteration loops) or restates
+  * the semantics in portable SQL.
   */
 object WebEntry {
 
