@@ -720,12 +720,31 @@ object TrainEntry {
       .orderBy("cl", "dim")
   }
 
+  // ---------------------------------------------------------------
+  // q153 — perceptual AUDIO near-dup (q145's twin over PCM-16 WAVs):
+  // real RIFF containers with spliced 16-bit LE samples, decoded by
+  // a chunk walk (fmt must precede data, PCM/mono/16 enforced), then
+  // a sign-of-derivative 64-bit fingerprint — amplitude-invariant
+  // waveform shape, the Chromaprint-family primitive. Same
+  // mapPartitions + band-join machinery as q145 (nearDupPairs is
+  // hash-agnostic); oracle recomputes samples arithmetically and
+  // brute-forces pairs at test scale.
+  // ---------------------------------------------------------------
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Phash
+    val assets = Phash.synthesizeWavCorpus(t(s, dir, "documents"), "doc_id")
+    val hashed = Phash.hashWavAssets(assets, "doc_id", "payload")
+    Phash.nearDupPairs(hashed, "doc_id", "ahash", tau = 3, bands = 4)
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
     "q145_image_neardup" -> (q145 _),
     "q146_forget_purge" -> (q146 _),
     "q150_kmeans_step" -> (q150 _),
+    "q153_audio_neardup" -> (q153 _),
     "q119_rest_offset" -> (q119 _),
     "q126_domain_cap" -> (q126 _),
     "q127_domain_blocklist" -> (q127 _),
@@ -772,6 +791,13 @@ object TrainEntry {
          |${leg("orders", "orders", "o_custkey")}
          |ORDER BY table_name""".stripMargin
     },
+    "q153_audio_neardup" ->
+      s"""WITH ${graft.multimodal.Phash.wavFixtureHashSql("SELECT doc_id FROM documents")}
+         |SELECT a, b, dist FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(bit_count(xor(x.ahash, y.ahash)) AS INT) AS dist
+         |  FROM h x JOIN h y ON x.doc_id < y.doc_id)
+         |WHERE dist <= 3 ORDER BY a, b""".stripMargin,
     "q145_image_neardup" ->
       s"""WITH ${graft.multimodal.Phash.fixtureHashSql("SELECT doc_id FROM documents")}
          |SELECT a, b, dist FROM (

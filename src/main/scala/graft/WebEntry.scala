@@ -625,6 +625,22 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q154 — first-order Markov transition matrix over per-user event
+  // journeys (ops/Transitions — "after a click, what happens
+  // next?"): one user-keyed lag window in (ms, event_id) total order
+  // + one partial-aggregated census; probabilities are
+  // round(n/total, 9) of exact BIGINT counts. "(start)" opens each
+  // user's path. Oracle restates the identical lag + rollup.
+  // ---------------------------------------------------------------
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Transitions
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000000").as("ms"), col("event_id"),
+      col("event_type").as("state"))
+    Transitions.matrix(ev).orderBy("prev_state", "next_state")
+  }
+
+  // ---------------------------------------------------------------
   // q152 — sliding-window aggregation (streaming/Streams.slidingAgg,
   // the overlapping sibling of q21's tumbling windows): 1-hour
   // windows sliding every 15 minutes — each event lands in exactly
@@ -647,6 +663,7 @@ object WebEntry {
     "q149_triangles" -> (q149 _),
     "q151_cdc_apply" -> (q151 _),
     "q152_stream_sliding" -> (q152 _),
+    "q154_markov_transitions" -> (q154 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -734,6 +751,27 @@ object WebEntry {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q154_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
+        |    event_type AS state
+        |  FROM events
+        |), pr AS (
+        |  SELECT coalesce(lag(state) OVER (PARTITION BY user_id
+        |      ORDER BY ms, event_id), '(start)') AS prev_state,
+        |    state AS next_state
+        |  FROM e
+        |), c AS (
+        |  SELECT prev_state, next_state, count(*) AS n
+        |  FROM pr GROUP BY 1, 2
+        |), t AS (
+        |  SELECT prev_state, CAST(sum(n) AS BIGINT) AS total
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT c.prev_state, c.next_state, n,
+        |  round(CAST(n AS DOUBLE) / total, 9) AS p
+        |FROM c JOIN t USING (prev_state)
+        |ORDER BY prev_state, next_state""".stripMargin,
     "q152_stream_sliding" ->
       """WITH e AS (
         |  SELECT epoch_ns(ts) // 1000000 AS ms, event_type, value FROM events

@@ -205,6 +205,59 @@ object MediaCodec {
     b.array()
   }
 
+  /** WAV with REAL 16-bit little-endian mono PCM samples — the
+    * decodable-audio path (q153's perceptual audio near-dup).
+    */
+  def synthesizeWavPcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val data = ByteBuffer.allocate(samples.length * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(s => data.putShort(s.toShort))
+    val head = synthesizeWav(sampleRate, samples.length * 2)
+    // synthesizeWav reserves the data region zero-filled; splice in
+    System.arraycopy(data.array(), 0, head, 44, samples.length * 2)
+    head
+  }
+
+  /** Decode the data chunk of a PCM-16 mono WAV back to samples;
+    * None on anything malformed or non-PCM16-mono (quarantine).
+    */
+  def parseWavPcm16(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes.length < 44 ||
+        new String(bytes.slice(0, 4), "US-ASCII") != "RIFF" ||
+        new String(bytes.slice(8, 12), "US-ASCII") != "WAVE") return None
+    val riffEnd = math.min(8L + le32(bytes, 4), bytes.length.toLong).toInt
+    var fmtOk = false
+    var i = 12
+    while (i + 8 <= riffEnd) {
+      val id = new String(bytes.slice(i, i + 4), "US-ASCII")
+      val sz = le32(bytes, i + 4)
+      if (sz < 0 || i + 8 + sz > bytes.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        val codec = le16(bytes, i + 8)
+        val channels = le16(bytes, i + 10)
+        val bits = le16(bytes, i + 22)
+        if (codec != 1 || channels != 1 || bits != 16) return None
+        fmtOk = true
+      } else if (id == "data") {
+        if (!fmtOk || (sz & 1) == 1) return None // fmt must precede data
+        val out = new Array[Int](sz / 2)
+        var j = 0
+        while (j < out.length) {
+          val lo = bytes(i + 8 + 2 * j) & 0xFF
+          val hi = bytes(i + 8 + 2 * j + 1)
+          out(j) = (hi << 8) | lo // sign from the high byte
+          j += 1
+        }
+        return Some(out)
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
   def parseWav(bytes: Array[Byte]): Option[Meta] = {
     if (bytes.length < 36 ||
         new String(bytes.slice(0, 4), "US-ASCII") != "RIFF" ||

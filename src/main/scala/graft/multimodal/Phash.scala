@@ -91,6 +91,40 @@ object Phash {
       .dropDuplicates("a", "b") // a pair may collide in several bands
   }
 
+  /** Audio twin of `hashAssets` (q153): decode PCM-16 WAVs and
+    * fingerprint the waveform SHAPE — bit i set iff sample i+1 rises
+    * above sample i (the sign-of-derivative code Chromaprint-family
+    * fingerprints build on; amplitude-invariant, so re-encodes with
+    * small local edits stay Hamming-close). Needs ≥ 65 samples;
+    * shorter or malformed payloads quarantine. Same one-pass
+    * mapPartitions shape as the image path; pairs come from the SAME
+    * `nearDupPairs` band join.
+    */
+  def hashWavAssets(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.parseWavPcm16(r.getAs[Array[Byte]](binIdx)).flatMap { s =>
+          if (s.length < 65) None
+          else {
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              if (s(i + 1) > s(i)) h |= (1L << i)
+              i += 1
+            }
+            Some(Row(r.getLong(idIdx), h))
+          }
+        }.iterator
+      }
+    }(Encoders.row(schema))
+      .withColumnRenamed("id", idCol)
+  }
+
   // ----------------------------------------------------------------
   // Deterministic image-corpus fixture (q145): the corpus ships no
   // sidecar images, so each doc becomes a REAL 8×8 greyscale PNG
@@ -135,6 +169,66 @@ object Phash {
           Row(id, MediaCodec.synthesizePngGray(fixturePixels(id)))
         }
       }(Encoders.row(schema))
+  }
+
+  // Audio fixture (q153): 65 signed 16-bit samples per doc from the
+  // same group/swap scheme — groups of 5 share a waveform, member 4
+  // is an exact re-encode, members 1-3 swap one adjacent sample pair
+  // (perturbing at most 3 derivative bits: within tau=3 of the base).
+  private[graft] def fixtureSamples(docId: Long): Array[Int] = {
+    val g = docId / 5
+    val r = (docId % 5).toInt
+    Array.tabulate(65) { i =>
+      val j =
+        if (r >= 1 && r <= 3 && i == 2 * r) 2 * r + 1
+        else if (r >= 1 && r <= 3 && i == 2 * r + 1) 2 * r
+        else i
+      (mix30Jvm(g * 131 + j) % 65536).toInt - 32768
+    }
+  }
+
+  /** (id, payload) corpus of synthesized PCM-16 WAVs. */
+  def synthesizeWavCorpus(docs: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, MediaCodec.synthesizeWavPcm16(16000, fixtureSamples(id)))
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** DuckDB SQL recomputing the audio fixture's fingerprint per doc
+    * id from `idsCte`: the same mix30 samples and the same
+    * rising-edge bit packing (bit 63 via the two's-complement
+    * constant).
+    */
+  def wavFixtureHashSql(idsCte: String): String = {
+    val mixed = graft.ops.Sampling.mix30Sql("(g * 131 + j)")
+    s"""sm AS (
+       |  SELECT doc_id, i, (($mixed) % 65536) - 32768 AS v
+       |  FROM (
+       |    SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+       |    FROM ($idsCte)),
+       |    UNNEST(generate_series(0, 64)) AS t(i),
+       |    LATERAL (SELECT CASE
+       |      WHEN r BETWEEN 1 AND 3 AND i = 2 * r THEN 2 * r + 1
+       |      WHEN r BETWEEN 1 AND 3 AND i = 2 * r + 1 THEN 2 * r
+       |      ELSE i END AS j) s
+       |), h AS (
+       |  SELECT a.doc_id,
+       |    bit_or(CASE WHEN b.v > a.v THEN
+       |      CASE WHEN a.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |           ELSE (CAST(1 AS BIGINT) << a.i) END
+       |      ELSE CAST(0 AS BIGINT) END) AS ahash
+       |  FROM sm a JOIN sm b
+       |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  WHERE a.i < 64
+       |  GROUP BY a.doc_id
+       |)""".stripMargin
   }
 
   /** DuckDB SQL recomputing the fixture's hash per doc id from

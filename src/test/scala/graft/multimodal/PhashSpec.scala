@@ -52,6 +52,49 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  describe("MediaCodec PCM-16 WAV") {
+    it("round-trips signed samples through a real data chunk") {
+      val s = Phash.fixtureSamples(12L)
+      s.min should be < 0 // sign handling is actually exercised
+      val bytes = MediaCodec.synthesizeWavPcm16(16000, s)
+      MediaCodec.parseWavPcm16(bytes).map(_.toSeq) shouldBe Some(s.toSeq)
+    }
+
+    it("quarantines non-PCM16-mono or malformed payloads") {
+      MediaCodec.parseWavPcm16("RIFFgarbage".getBytes) shouldBe None
+      MediaCodec.parseWavPcm16(
+        MediaCodec.synthesizeJpeg(8, 8)) shouldBe None
+      val good = MediaCodec.synthesizeWavPcm16(16000, Array(1, -2, 3))
+      MediaCodec.parseWavPcm16(good.take(40)) shouldBe None
+    }
+  }
+
+  describe("hashWavAssets") {
+    it("fingerprints rising edges; swapped fixture pair stays within 3 bits") {
+      import spark.implicits._
+      val ids = Seq(0L, 1L, 2L, 3L, 4L)
+      val df = ids.map(id =>
+          (id, MediaCodec.synthesizeWavPcm16(16000, Phash.fixtureSamples(id))))
+        .toDF("doc_id", "payload")
+      val h = Phash.hashWavAssets(df, "doc_id", "payload")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      h(0L) shouldBe h(4L) // exact re-encode
+      ids.filter(r => r >= 1 && r <= 3).foreach { r =>
+        java.lang.Long.bitCount(h(0L) ^ h(r)) should be <= 3
+      }
+    }
+
+    it("drops payloads shorter than 65 samples") {
+      import spark.implicits._
+      val df = Seq(
+        (1L, MediaCodec.synthesizeWavPcm16(16000, Array.fill(64)(7))),
+        (2L, MediaCodec.synthesizeWavPcm16(16000, Phash.fixtureSamples(2L))))
+        .toDF("doc_id", "payload")
+      Phash.hashWavAssets(df, "doc_id", "payload")
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    }
+  }
+
   describe("nearDupPairs") {
     it("matches the brute-force Hamming pair set (band-join completeness)") {
       // adversarial spread: hashes at controlled distances incl. a
