@@ -641,6 +641,26 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q155 — Poisson-bootstrap confidence intervals (ops/Bootstrap —
+  // Chamandy 2012's one-pass production bootstrap): per-returnflag
+  // revenue totals with p5/p50/p95 error bars from B=100
+  // deterministic mix30-seeded Poisson(1) replicates. The ×B
+  // explode collapses map-side to |groups|·B cells before the only
+  // exchange; percentiles are exact order statistics over B rows
+  // per group. Oracle replays the identical hardcoded-CDF weights
+  // and decimal sums.
+  // ---------------------------------------------------------------
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bootstrap
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("row_id"),
+        col("l_extendedprice"))
+    Bootstrap.sumCi(li, "l_returnflag", "row_id", "l_extendedprice")
+      .orderBy("l_returnflag", "p")
+  }
+
+  // ---------------------------------------------------------------
   // q152 — sliding-window aggregation (streaming/Streams.slidingAgg,
   // the overlapping sibling of q21's tumbling windows): 1-hour
   // windows sliding every 15 minutes — each event lands in exactly
@@ -664,6 +684,7 @@ object WebEntry {
     "q151_cdc_apply" -> (q151 _),
     "q152_stream_sliding" -> (q152 _),
     "q154_markov_transitions" -> (q154 _),
+    "q155_bootstrap_ci" -> (q155 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -751,6 +772,30 @@ object WebEntry {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q155_bootstrap_ci" -> {
+      val w = graft.ops.Bootstrap.weightSql("id", "rep")
+      s"""WITH e AS (
+         |  SELECT l_returnflag AS g, l_orderkey * 10 + l_linenumber AS id,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS vq
+         |  FROM lineitem
+         |), r AS (
+         |  SELECT g, id, vq, rep FROM e, range(0, 100) t(rep)
+         |), tt AS (
+         |  SELECT g, rep, CAST(SUM(vq * ($w)) AS BIGINT) AS tq
+         |  FROM r GROUP BY 1, 2
+         |), o AS (
+         |  SELECT g, rep, tq,
+         |    row_number() OVER (PARTITION BY g ORDER BY tq, rep) AS rn
+         |  FROM tt
+         |)
+         |SELECT g AS l_returnflag,
+         |  CAST(CASE rn WHEN 5 THEN 0.05 WHEN 50 THEN 0.5
+         |       WHEN 95 THEN 0.95 END AS DOUBLE) AS p,
+         |  round(CAST(tq AS DOUBLE) / 1000000.0, 6) AS total
+         |FROM o WHERE rn IN (5, 50, 95)
+         |ORDER BY l_returnflag, p""".stripMargin
+    },
     "q154_markov_transitions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
