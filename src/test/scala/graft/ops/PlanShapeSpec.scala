@@ -165,4 +165,52 @@ class PlanShapeSpec extends SparkSpec {
     pruned.inputFiles.length should be >= 1
     pruned.count() shouldBe 100L
   }
+
+  it("Transitions windows on user_id only (never a global lag)") {
+    val ev = (1L to 200L).map(i => (i % 9, i, i, s"s${i % 4}"))
+      .toDF("user_id", "ms", "event_id", "state")
+    val out = Transitions.matrix(ev)
+    out.collect()
+    val wins = nodes(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    wins should not be empty
+    wins.foreach(_.partitionSpec should not be empty)
+  }
+
+  it("CdcApply windows the changelog alone — the base is never sorted") {
+    val base = (1L to 300L).map(i => (i, s"v$i")).toDF("k", "payload")
+    val changes = Seq(("U", 5L, 1, 51L, "nv"), ("D", 7L, 1, 71L, "x"))
+      .toDF("op", "k", "seq", "change_id", "payload")
+    val out = CdcApply(base, changes, "k")
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val wins = nodes(plan).collect { case w: WindowExec => w }
+    wins.size shouldBe 1
+    // the windowed subtree must NOT contain the base's local relation:
+    // only the 2-row changelog sorts
+    val winLeaves = nodes(wins.head).collect {
+      case l if l.children.isEmpty => l
+    }
+    winLeaves.foreach { l =>
+      l.toString should not include "v299" // base payload never below the window
+    }
+  }
+
+  it("Bootstrap.sumCi keeps the CDF comparisons off the mix chain (one u per row-rep)") {
+    val df = (1L to 100L).map(i => ("g", i, 1.0)).toDF("g", "id", "v")
+    val out = Bootstrap.sumCi(df, "g", "id", "v", b = 20,
+      ps = Seq(0.05, 0.5, 0.95))
+    out.collect()
+    // the aggregate expression must reference the materialized draw,
+    // not re-derive it: pmod (the mix chain) appears in a projection
+    // below the first aggregate, and the aggregate itself carries no
+    // pmod at all
+    val aggs = nodes(out.queryExecution.executedPlan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    aggs should not be empty
+    val partial = aggs.last // deepest = partial aggregation
+    partial.aggregateExpressions.map(_.toString)
+      .exists(_.contains("pmod")) shouldBe false
+  }
 }
