@@ -716,7 +716,7 @@ object TrainEntry {
     import graft.ann.KMeans
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val cents = KMeans.initCentroids(emb, "vec_id", "embedding", k = 8)
-    KMeans.lloydStep(emb, "vec_id", "embedding", cents)
+    KMeans.lloydStep(emb, "embedding", cents)
       .orderBy("cl", "dim")
   }
 

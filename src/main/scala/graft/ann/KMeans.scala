@@ -28,7 +28,7 @@ object KMeans {
   /** @param centroids k driver-side vectors (from `initCentroids`).
     * @return (cl, dim, n_members, mean_x) — k·dim rows.
     */
-  def lloydStep(emb: DataFrame, idCol: String, vecCol: String,
+  def lloydStep(emb: DataFrame, vecCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val assigned = emb.select(

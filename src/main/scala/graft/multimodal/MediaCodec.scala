@@ -138,10 +138,17 @@ object MediaCodec {
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
+    // drain until finished: a single deflate() call into a fixed
+    // buffer silently truncates once the stream outgrows it
+    // (incompressible pixels exceed raw.length past ~500×500)
+    val zipped = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      zipped.write(buf, 0, n)
+    }
     deflater.end()
-    writeChunk(out, "IDAT", java.util.Arrays.copyOf(buf, n))
+    writeChunk(out, "IDAT", zipped.toByteArray)
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

@@ -136,14 +136,11 @@ object Phash {
   // mean — a near-dup within ≤ 2 hash bits of the base).
   // ----------------------------------------------------------------
 
-  private[graft] def mix30Jvm(key: Long): Long = {
-    val p = 1073741789L
-    val x1 = key ^ (key >> 16)
-    val x2 = java.lang.Math.floorMod(x1 * 0x9E3779B1L, p)
-    val x3 = x2 ^ (x2 >> 13)
-    val x4 = java.lang.Math.floorMod(x3 * 0x85EBCA77L, p)
-    x4 ^ (x4 >> 16)
-  }
+  // the one scalar mix30 (bit-identical to Sampling.mix30 /
+  // mix30Sql for the non-negative keys used here) — never a fourth
+  // copy of the constant-sensitive hash
+  private[graft] def mix30Jvm(key: Long): Long =
+    graft.functions.TextHashExprs.mix30(key)
 
   private[graft] def fixturePixels(docId: Long): Array[Int] = {
     val g = docId / 5

@@ -34,10 +34,14 @@ object Attribution {
   def credit(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val attributed = events
+    // barrier: both model legs consume this frame — without the cut
+    // the corpus-sized sort + window would run once per leg (the
+    // materialized slice is conversions-only, the small side)
+    val attributed = graft.plans.Plans.barrier(events
       .withColumn("first_ch", first(col("channel"), ignoreNulls = true).over(w))
       .withColumn("last_ch", last(col("channel"), ignoreNulls = true).over(w))
       .filter(col("is_conversion"))
+      .select("first_ch", "last_ch", "value"))
     Seq(("first_touch", "first_ch"), ("last_touch", "last_ch"))
       .map { case (model, ch) =>
         attributed.groupBy(

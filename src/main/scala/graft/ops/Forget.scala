@@ -22,9 +22,12 @@ object Forget {
   /** The purged table: rows whose `keyCol` is in `requests.k` are
     * gone. Broadcast left-anti — never shuffles `df`.
     */
-  def purge(df: DataFrame, keyCol: String, requests: DataFrame): DataFrame =
-    df.join(broadcast(requests.select(col("k")).distinct()),
-      df(keyCol) === col("k"), "left_anti")
+  def purge(df: DataFrame, keyCol: String, requests: DataFrame): DataFrame = {
+    // qualify both sides: an unqualified col("k") is ambiguous when
+    // the fact table itself carries a column named k
+    val req = requests.select(col("k")).distinct()
+    df.join(broadcast(req), df(keyCol) === req("k"), "left_anti")
+  }
 
   /** One audit row per (name, table, keyCol): rows before/purged/
     * after plus the checksum of surviving keys — each computed in a
@@ -34,15 +37,16 @@ object Forget {
       requests: DataFrame): DataFrame = {
     // distinct defensively: a duplicated request id would double-join
     // rows and inflate every count in the audit
-    val req = broadcast(requests.select(col("k")).distinct())
+    val reqD = requests.select(col("k")).distinct()
+    val req = broadcast(reqD)
     tables.map { case (name, df, keyCol) =>
-      df.join(req, df(keyCol) === col("k"), "left")
+      df.join(req, df(keyCol) === reqD("k"), "left")
         .agg(
           count(lit(1)).as("rows_before"),
-          count(col("k")).as("rows_purged"),
-          (count(lit(1)) - count(col("k"))).as("rows_after"),
-          coalesce(sum(when(col("k").isNull, col(keyCol).cast("long"))), lit(0L))
-            .as("sum_remaining_keys"))
+          count(reqD("k")).as("rows_purged"),
+          (count(lit(1)) - count(reqD("k"))).as("rows_after"),
+          coalesce(sum(when(reqD("k").isNull, col(keyCol).cast("long"))),
+            lit(0L)).as("sum_remaining_keys"))
         .withColumn("table_name", lit(name))
         .select("table_name", "rows_before", "rows_purged", "rows_after",
           "sum_remaining_keys")

@@ -155,6 +155,8 @@ object Bpe {
     * nMerges, mirroring the Spark side's per-round persist.
     */
   def trainSql(wordsCte: String, nMerges: Int): String = {
+    require(nMerges >= 1, // 0 rounds would generate an empty UNION body
+      s"trainSql needs nMerges >= 1, got $nMerges")
     val base =
       s"""WITH dw AS MATERIALIZED ($wordsCte),
          |w0 AS MATERIALIZED (SELECT cnt,
@@ -165,9 +167,14 @@ object Bpe {
          |${pairCountsSql(s"w${k - 1}")}),
          |b$k AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$k
          |  ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |w$k AS MATERIALIZED (SELECT cnt, replace(sym,
-         |    ' ' || (SELECT lhs FROM b$k) || '  ' || (SELECT rhs FROM b$k) || ' ',
-         |    ' ' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || ' ') AS sym
+         |w$k AS MATERIALIZED (SELECT cnt,
+         |  CASE WHEN (SELECT count(*) FROM b$k) = 0 THEN sym
+         |    -- corpus exhausted: mirror train()'s early stop instead of
+         |    -- NULL-poisoning every sym via replace(sym, NULL, NULL)
+         |    ELSE replace(sym,
+         |      ' ' || (SELECT lhs FROM b$k) || '  ' || (SELECT rhs FROM b$k) || ' ',
+         |      ' ' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || ' ')
+         |  END AS sym
          |  FROM w${k - 1})""".stripMargin
     }
     val finals = (1 to nMerges)

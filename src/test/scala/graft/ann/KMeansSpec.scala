@@ -22,7 +22,7 @@ class KMeansSpec extends SparkSpec {
       (3L, Seq(9.0, 11.0)),  // → cluster 1
       (4L, Seq(4.0, 4.0)))   // d²=32 vs 72 → cluster 0
     val cents = KMeans.initCentroids(df, "vec_id", "embedding", 2)
-    val out = KMeans.lloydStep(df, "vec_id", "embedding", cents)
+    val out = KMeans.lloydStep(df, "embedding", cents)
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
       .toMap
@@ -36,7 +36,7 @@ class KMeansSpec extends SparkSpec {
       (0L, Seq(0.0)), (1L, Seq(2.0)), // seeds
       (2L, Seq(1.0))) // exactly between → cluster 0
     val cents = KMeans.initCentroids(df, "vec_id", "embedding", 2)
-    val out = KMeans.lloydStep(df, "vec_id", "embedding", cents)
+    val out = KMeans.lloydStep(df, "embedding", cents)
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     out(0) shouldBe 2L // seed 0 + the tied vector
     out(1) shouldBe 1L
@@ -45,7 +45,7 @@ class KMeansSpec extends SparkSpec {
   it("quantized means handle negative components (floor rounding)") {
     val df = emb((0L, Seq(-1.25)), (1L, Seq(-1.75)))
     val cents = Seq(Seq(0.0)) // one cluster: everything joins it
-    val out = KMeans.lloydStep(df, "vec_id", "embedding", cents).head()
+    val out = KMeans.lloydStep(df, "embedding", cents).head()
     out.getLong(2) shouldBe 2L
     out.getDouble(3) shouldBe -1.5
   }
