@@ -661,6 +661,48 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q156 — metric anomaly detection (quality/Anomaly): trailing
+  // 7-day z-scores over the per-type daily value series — the
+  // monitoring layer above the warehouse aggregates (q14 freshness
+  // says data ARRIVED; this says it arrived WRONG). Daily totals
+  // quantize to integer cents so window sums/sums-of-squares are
+  // exact BIGINT in both engines; z runs an identical double-op
+  // sequence on those integers. Window excludes the current day.
+  // ---------------------------------------------------------------
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Anomaly
+    val ev = t(s, dir, "events").select(col("event_type").as("series"),
+      expr("(ts div 1000000) div 86400000").as("day"), col("value"))
+    Anomaly.trailingZ(ev).orderBy("series", "day")
+  }
+
+  // ---------------------------------------------------------------
+  // q157 — salted skew join (Skew.saltedJoin — the manual twin of
+  // AQE's skew split, for when statistics lie or the skew is known
+  // up front): a third of events collapse onto one hot key, the
+  // fact side draws a row-hash salt in [0,8), the dim replicates ×8,
+  // and the join keys on (key, salt) so the hot key spreads over 8
+  // reducers. The oracle bypasses the mechanism entirely (segment
+  // derives from the key), so a lost or doubled row breaks parity.
+  // ---------------------------------------------------------------
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val fact = t(s, dir, "events").select(
+      when(col("user_id") % 3 === 0, lit(0L)).otherwise(col("user_id"))
+        .as("uid"),
+      col("event_id"), col("value"))
+    val dim = fact.select("uid").distinct()
+      .withColumn("segment",
+        concat(lit("seg-"), pmod(col("uid"), lit(7L)).cast("string")))
+    Skew.saltedJoin(fact, dim, "uid", r = 8)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        sum(col("uid")).as("sum_uids"))
+      .orderBy("segment")
+  }
+
+  // ---------------------------------------------------------------
   // q152 — sliding-window aggregation (streaming/Streams.slidingAgg,
   // the overlapping sibling of q21's tumbling windows): 1-hour
   // windows sliding every 15 minutes — each event lands in exactly
@@ -685,6 +727,8 @@ object WebEntry {
     "q152_stream_sliding" -> (q152 _),
     "q154_markov_transitions" -> (q154 _),
     "q155_bootstrap_ci" -> (q155 _),
+    "q156_metric_anomaly" -> (q156 _),
+    "q157_salted_join" -> (q157 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -772,6 +816,49 @@ object WebEntry {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q156_metric_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type AS series,
+        |    (epoch_ns(ts) // 1000000) // 86400000 AS day, value
+        |  FROM events
+        |), d AS (
+        |  SELECT series, day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS tq
+        |  FROM e GROUP BY 1, 2
+        |), st AS (
+        |  SELECT series, day, tq,
+        |    count(*) OVER w AS n_ref,
+        |    CAST(sum(tq) OVER w AS BIGINT) AS s,
+        |    CAST(sum(tq * tq) OVER w AS BIGINT) AS ss
+        |  FROM d WINDOW w AS (PARTITION BY series ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), f AS (
+        |  SELECT series, day, round(CAST(tq AS DOUBLE) / 100.0, 2) AS total,
+        |    n_ref,
+        |    CASE WHEN n_ref >= 2 AND
+        |      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |         / n_ref) / (n_ref - 1) > 0
+        |    THEN round((CAST(tq AS DOUBLE) - CAST(s AS DOUBLE) / n_ref)
+        |      / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |         / n_ref) / (n_ref - 1)), 6)
+        |    END AS z
+        |  FROM st
+        |)
+        |SELECT series, day, total, n_ref, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
+        |FROM f ORDER BY series, day""".stripMargin,
+    "q157_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS uid,
+        |    event_id, value
+        |  FROM events
+        |)
+        |SELECT 'seg-' || CAST(uid % 7 AS VARCHAR) AS segment,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(uid) AS BIGINT) AS sum_uids
+        |FROM fact GROUP BY 1 ORDER BY segment""".stripMargin,
     "q155_bootstrap_ci" -> {
       val w = graft.ops.Bootstrap.weightSql("id", "rep")
       s"""WITH e AS (

@@ -55,4 +55,25 @@ object Skew {
       .agg(merge(aggs.head._1, aggs.head._3),
         aggs.tail.map(a => merge(a._1, a._3)): _*)
   }
+
+  /** Salted equi-join for a skewed FACT against a smaller-but-not-
+    * broadcastable DIM (the manual twin of AQE's skew-join split,
+    * usable when statistics lie or the skew is known up front): the
+    * fact side draws a deterministic row-hash salt in [0, r), the
+    * dim side replicates ×r via one generator, and the join keys on
+    * (key, salt) — the hot key's rows spread over r reducers instead
+    * of one straggler task. Inner join; dim must be unique on `key`
+    * (replication would double matches otherwise — caller contract,
+    * same as any dim join).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      r: Int): DataFrame = {
+    require(r >= 1, s"replication must be >= 1, got $r")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(r.toLong)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(r.toLong - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }
