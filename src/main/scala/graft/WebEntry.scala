@@ -703,6 +703,78 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q158 — dataset cards (quality/DatasetCard): one summary row per
+  // TABLE across the whole warehouse — rows, columns, null cells —
+  // each table costing exactly one partial-aggregated scan with the
+  // null census folded into one projection. The column inventory is
+  // ONE shared constant consumed by both the Spark side and the
+  // generated oracle, so schema drift fails loudly in both engines.
+  // ---------------------------------------------------------------
+  private val CardTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.DatasetCard
+    DatasetCard.cards(CardTables.map(n => n -> t(s, dir, n)))
+      .orderBy("table_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q159 — referential-integrity sweep (quality/Checks.relationships
+  // fanned across the WHOLE warehouse FK graph — q13 checks one
+  // pair, this is the audit a deploy gate runs): seven child→parent
+  // edges, each one broadcast-anti-join orphan count; parent keysets
+  // are dimension-sized so no fact table ever shuffles. Oracle
+  // restates each edge as NOT EXISTS.
+  // ---------------------------------------------------------------
+  private val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Checks
+    FkEdges.map { case (child, fk, parent, pk) =>
+      val label = s"${child}_$fk"
+      Checks.relationships(
+        t(s, dir, child).select(col(fk).as(label)), label,
+        t(s, dir, parent), pk)
+    }.reduce(_ unionByName _).orderBy("column_name")
+  }
+
+  // ---------------------------------------------------------------
+  // q160 — Hive-style partitioned layout (ops/HivePartitions — the
+  // lakehouse layout family member q40/q78/q90/q132 did not cover):
+  // events written partitioned by day (dt-directory tree), then a
+  // 7-day range read whose filter sits on the partition key, so
+  // planning prunes whole directories from the file index (the
+  // plan-level assertion lives in PlanShapeSpec; the in-query gate
+  // pins the surviving day span). Oracle answers from the raw table
+  // — the layout must be invisible in the result.
+  // ---------------------------------------------------------------
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HivePartitions
+    val path = s"target/scratch/q160_${ExtendedEntry.sanitize(dir)}"
+    val ev = t(s, dir, "events")
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    HivePartitions.write(
+      ev.select("event_id", "event_type", "value", "day"), path, "day")
+    val d0 = ev.agg(min("day")).head().getLong(0) // bounded scalar
+    val pruned = HivePartitions.readRange(s, path, "day",
+      lit(d0 + 5), lit(d0 + 12))
+    val days = pruned.select(countDistinct(col("day"))).head().getLong(0)
+    require(days == 7, s"expected the 7-day span, read $days days")
+    pruned.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
   // q152 — sliding-window aggregation (streaming/Streams.slidingAgg,
   // the overlapping sibling of q21's tumbling windows): 1-hour
   // windows sliding every 15 minutes — each event lands in exactly
@@ -729,6 +801,9 @@ object WebEntry {
     "q155_bootstrap_ci" -> (q155 _),
     "q156_metric_anomaly" -> (q156 _),
     "q157_salted_join" -> (q157 _),
+    "q158_dataset_card" -> (q158 _),
+    "q159_fk_sweep" -> (q159 _),
+    "q160_partitioned_layout" -> (q160 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -816,6 +891,28 @@ object WebEntry {
         |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q158_dataset_card" ->
+      graft.quality.DatasetCard.sql(CardTables),
+    "q159_fk_sweep" -> {
+      FkEdges.map { case (child, fk, parent, pk) =>
+        s"""SELECT 'relationships' AS check_name,
+           |  '${child}_$fk' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS violations
+           |FROM $child c WHERE c.$fk IS NOT NULL AND NOT EXISTS (
+           |  SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+    },
+    "q160_partitioned_layout" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    (epoch_ns(ts) // 1000000) // 86400000 AS day
+        |  FROM events
+        |), lo AS (SELECT min(day) AS d0 FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM e WHERE day >= (SELECT d0 FROM lo) + 5
+        |  AND day < (SELECT d0 FROM lo) + 12
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q156_metric_anomaly" ->
       """WITH e AS (
         |  SELECT event_type AS series,

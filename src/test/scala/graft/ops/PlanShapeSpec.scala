@@ -166,6 +166,23 @@ class PlanShapeSpec extends SparkSpec {
     pruned.count() shouldBe 100L
   }
 
+  it("HivePartitions.readRange prunes directories at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.lit
+    val path = "target/scratch/planshape_hive"
+    val df = (0L until 300L).map(i => (i, i % 30)).toDF("id", "day")
+    HivePartitions.write(df, path, "day")
+    val pruned = HivePartitions.readRange(spark, path, "day",
+      lit(5), lit(12))
+    pruned.count() shouldBe 70L
+    val scans = nodes(pruned.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    scans should not be empty
+    scans.head.partitionFilters should not be empty
+    // only the 7 surviving day-directories are selected, out of 30
+    scans.head.selectedPartitions.partitionCount shouldBe 7
+  }
+
   it("Transitions windows on user_id only (never a global lag)") {
     val ev = (1L to 200L).map(i => (i % 9, i, i, s"s${i % 4}"))
       .toDF("user_id", "ms", "event_id", "state")
