@@ -775,6 +775,55 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q161 — politeness-striped crawl scheduling (the dispatch order
+  // q140's frontier feeds into): fetches interleave across hosts —
+  // every host's k-th fetch happens before any host's (k+1)-th — by
+  // ordering on (per-host rank, host). The rank is a HOST-keyed
+  // window (hosts are many, partitions are small); the global
+  // interleave is expressed as an ORDER + LIMIT head, which Spark
+  // plans as TakeOrdered (per-partition heaps + a k-row driver
+  // merge) — never a global sort. Priority within a host is
+  // deterministic mix30 (unbiased w.r.t. crawl id order).
+  // ---------------------------------------------------------------
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Sampling
+    val frontier = t(s, dir, "documents").select(
+      col("doc_id").as("url_id"),
+      concat(lit("host"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example.com")).as("host"))
+      .withColumn("pri", Sampling.mix30(col("url_id")))
+    val w = Window.partitionBy("host").orderBy("pri", "url_id")
+    frontier.withColumn("fetch_round", row_number().over(w))
+      .orderBy("fetch_round", "host", "url_id")
+      .limit(50)
+      .select("fetch_round", "host", "url_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q162 — deterministic epoch shuffling (the training-order
+  // re-permutation between passes over the corpus): shard assignment
+  // is mix30(doc_id + epoch·7919) — a pure scan expression, so
+  // re-shuffling 100 TB between epochs costs zero data movement
+  // until the write — and differs per epoch while each epoch still
+  // partitions the corpus completely (the per-shard census sums
+  // reconcile against the corpus in the oracle).
+  // ---------------------------------------------------------------
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    val docs = t(s, dir, "documents").select("doc_id")
+    val epochs = Seq(0L, 1L, 2L)
+    epochs.map { e =>
+      docs.groupBy(
+          pmod(Sampling.mix30(col("doc_id") + lit(e * 7919L)), lit(8L))
+            .as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .select(lit(e).as("epoch"), col("shard"), col("n_docs"),
+          col("sum_ids"))
+    }.reduce(_ unionByName _).orderBy("epoch", "shard")
+  }
+
+  // ---------------------------------------------------------------
   // q152 — sliding-window aggregation (streaming/Streams.slidingAgg,
   // the overlapping sibling of q21's tumbling windows): 1-hour
   // windows sliding every 15 minutes — each event lands in exactly
@@ -804,6 +853,8 @@ object WebEntry {
     "q158_dataset_card" -> (q158 _),
     "q159_fk_sweep" -> (q159 _),
     "q160_partitioned_layout" -> (q160 _),
+    "q161_politeness_schedule" -> (q161 _),
+    "q162_epoch_shuffle" -> (q162 _),
     "q136_anchor_text" -> (q136 _),
     "q137_lm_unseen" -> (q137 _),
     "q138_warc_ingest" -> (q138 _),
@@ -893,6 +944,31 @@ object WebEntry {
         |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q158_dataset_card" ->
       graft.quality.DatasetCard.sql(CardTables),
+    "q161_politeness_schedule" -> {
+      import graft.ops.Sampling.mix30Sql
+      s"""WITH f AS (
+         |  SELECT doc_id AS url_id,
+         |    'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         |    (${mix30Sql("doc_id")}) AS pri
+         |  FROM documents
+         |), r AS (
+         |  SELECT url_id, host,
+         |    CAST(row_number() OVER (PARTITION BY host ORDER BY pri, url_id)
+         |      AS INT) AS fetch_round
+         |  FROM f
+         |)
+         |SELECT fetch_round, host, url_id FROM r
+         |ORDER BY fetch_round, host, url_id LIMIT 50""".stripMargin
+    },
+    "q162_epoch_shuffle" -> {
+      import graft.ops.Sampling.mix30Sql
+      Seq(0L, 1L, 2L).map { e =>
+        s"""SELECT CAST($e AS BIGINT) AS epoch,
+           |  (${mix30Sql(s"(doc_id + ${e * 7919})")}) % 8 AS shard,
+           |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM documents GROUP BY 2""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY epoch, shard"
+    },
     "q159_fk_sweep" -> {
       FkEdges.map { case (child, fk, parent, pk) =>
         s"""SELECT 'relationships' AS check_name,
