@@ -45,7 +45,7 @@ object PipelineEntry {
   /** embeddings ∪ scaled copies of every 25th vector (direction
     * preserved ⇒ cosine 1 with the original).
     */
-  private def vecCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vecCorpus(s: SparkSession, dir: String): DataFrame = {
     val vecs = t(s, dir, "embeddings").select("vec_id", "embedding")
     vecs.unionByName(vecs.filter(col("vec_id") % 25 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)

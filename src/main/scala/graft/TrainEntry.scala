@@ -738,7 +738,37 @@ object TrainEntry {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------
+  // q163 — SemDeDup semantic dedup (dedup/Dedup.semantic — the
+  // LAION/LLM curation recipe, Abbas et al. 2023): k-means cluster
+  // partition (q150's codegen'd nearest-centroid assignment against
+  // the 8 smallest-id seed centroids) + within-cluster cosine ≥ τ
+  // prune keeping the min id — the composition q150 and q26 are
+  // parts of. Corpus = q26's proven near-dup fixture (every 25th
+  // vector re-appears ×1.01-scaled under a high id — same direction,
+  // cosine ≈ 1, so copies that co-cluster with their original are
+  // dropped). Gated output is the per-cluster census (totals, drops,
+  // survivor id checksum); the oracle replays assignment with
+  // KMeans.sql's distance chain and the prune with cosSql's
+  // sequential-double cosine, so cluster boundaries and the ε-ball
+  // election must agree bit-for-bit cross-engine.
+  // ---------------------------------------------------------------
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.KMeans
+    import graft.dedup.Dedup
+    val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = PipelineEntry.vecCorpus(s, dir)
+    val cents = KMeans.initCentroids(base, "vec_id", "embedding", k = 8)
+    Dedup.semantic(corpus, "vec_id", "embedding", cents, tau = 0.95)
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(!col("kept"), 1)).as("n_dropped"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_sum_ids"))
+      .orderBy("cl")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_semdedup" -> (q163 _),
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
     "q145_image_neardup" -> (q145 _),
@@ -766,6 +796,53 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    // q163: assignment restated with KMeans.sql's distance chain
+    // (sequential-double fold, ties to the smallest cid), the prune
+    // with cosSql's bit-reproducible cosine, the census over the
+    // same FILTER semantics — cluster boundaries, the ε-ball
+    // election, and the survivor checksum must all agree.
+    "q163_semdedup" -> {
+      val cos = PipelineEntry.cosSql("x.dv", "y.dv")
+      s"""WITH cents AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+         |  FROM embeddings
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+         |                   ORDER BY vec_id LIMIT 8)),
+         |corpus AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |v AS MATERIALIZED (
+         |  SELECT vec_id AS vid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM corpus),
+         |d AS MATERIALIZED (
+         |  SELECT v.vid, c.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(dv) + 1),
+         |        i -> (dv[i] - c.c[i]) * (dv[i] - c.c[i]))),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM v, cents c),
+         |a AS MATERIALIZED (
+         |  SELECT vid, cid FROM (
+         |    SELECT vid, cid,
+         |      row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |drops AS MATERIALIZED (
+         |  SELECT DISTINCT y.vid AS b
+         |  FROM v x JOIN a ax ON x.vid = ax.vid
+         |    JOIN a ay ON ax.cid = ay.cid
+         |    JOIN v y ON y.vid = ay.vid AND x.vid < y.vid
+         |  WHERE $cos >= 0.95)
+         |SELECT cid AS cl, count(*) AS n_total,
+         |  count(*) FILTER (WHERE vid IN (SELECT b FROM drops)) AS n_dropped,
+         |  CAST(sum(vid) FILTER (WHERE vid NOT IN (SELECT b FROM drops))
+         |    AS BIGINT) AS kept_sum_ids
+         |FROM a GROUP BY 1 ORDER BY cl""".stripMargin
+    },
     "q143_bpe_train" -> graft.text.Bpe.trainSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
     "q144_bpe_census" -> graft.text.Bpe.censusSql(

@@ -657,4 +657,55 @@ object Dedup {
       .filter(col("cos") >= tau)
       .distinct()
   }
+
+  // ----------------------------------------------------------------
+  // SemDeDup — semantic dedup through k-means cluster partitions
+  // ----------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the LAION/LLM
+    * curation recipe): partition the corpus by nearest-centroid
+    * assignment, then inside each cluster drop every vector whose
+    * cosine to a SMALLER-id cluster-mate reaches `tau` (the
+    * deterministic keep-one-per-ε-ball rule; the paper keeps an
+    * arbitrary representative, we pin min-id like q22/q23).
+    *
+    * Scale shape: assignment is one codegen'd scan expression against
+    * k driver-literal centroids (`VectorColumns.nearestCentroid` —
+    * ann/KMeans's primitive, k·dim scalars on the driver); candidate
+    * pairs come from the same split-capped bucket join as q23/q26
+    * (`bucketPairs` keyed on the cluster id), so a degenerate cluster
+    * spreads over bounded sub-bucket tasks instead of one reducer;
+    * the verdict join's build side is ∝ duplicates found. Cross-
+    * cluster near-dups are out of contract BY DESIGN — that is
+    * SemDeDup's approximation: k grows with the corpus so clusters
+    * stay bounded and the within-cluster join is O(Σ cᵢ²/maxBucket)
+    * tasks, never corpus².
+    *
+    * @param centroids k driver-side vectors (e.g. `KMeans.initCentroids`
+    *                  or the converged means of repeated `lloydStep`s).
+    * @return (doc_id, cl, kept) — the full assignment with the
+    *         survival verdict; filter on `kept` to apply.
+    */
+  def semantic(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      tau: Double,
+      maxBucket: Int = 200): DataFrame = {
+    // barrier: the assignment feeds both the pair join (twice, as the
+    // self-join's two branches) and the verdict join — one scan.
+    val assigned = barrier(vecs.select(col(idCol).as("doc_id"),
+      col(vecCol).as("v"),
+      graft.functions.VectorColumns.nearestCentroid(col(vecCol), centroids)
+        .as("cl")))
+    val drops = bucketPairs(assigned, Seq("cl"), maxBucket, Seq("v"))
+      .filter(graft.functions.VectorColumns.cosine(col("v_a"), col("v_b"))
+        >= tau)
+      .select(col("b").as("doc_id")).distinct()
+    assigned.select(col("doc_id"), col("cl"))
+      .join(drops.withColumn("kept", lit(false)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cl"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+  }
 }
