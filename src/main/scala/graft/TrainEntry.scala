@@ -767,7 +767,31 @@ object TrainEntry {
       .orderBy("cl")
   }
 
+  // ---------------------------------------------------------------
+  // q164 — repeated-substring exposure report (Dedup.repeatedGramReport
+  // — the doc-level shape of Lee et al. 2022's exact substring dedup):
+  // per doc, the fraction of its distinct word 8-grams already OWNED
+  // by an earlier doc (owner = min doc id containing the gram).
+  // Fixture plants recycled text: every 9th doc re-appears under a
+  // high id with a fresh tail appended, so copies score high (most
+  // grams owned by the original) while originals score near zero.
+  // The big-big gram join is the q137 shape — both sides 8-byte
+  // hashes; oracle restates q64/q129's proven gram chain at k=8 with
+  // the same min-owner attribution.
+  // ---------------------------------------------------------------
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val corpus = base.unionByName(base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" graft tail marker alpha beta gamma"))
+          .as("text")))
+    Dedup.repeatedGramReport(corpus, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
@@ -796,6 +820,38 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    // q164: gram generation restated exactly as q64/q129's proven
+    // chain at k=8 (lowercase, \s+ split, empty filter, distinct
+    // 8-grams, whole-text gram under 8 tokens); owner = min doc id
+    // per gram, n_seen counts grams with a strictly-smaller owner.
+    "q164_substring_report" ->
+      """WITH corpus AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    text || ' graft tail marker alpha beta gamma'
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 6),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |                t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+        |                t[i+6] || ' ' || t[i+7]))
+        |    END) AS gram
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS t
+        |        FROM corpus)
+        |), o AS MATERIALIZED (
+        |  SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram
+        |)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (WHERE o.owner < g.doc_id) AS n_seen,
+        |  round(CAST(count(*) FILTER (WHERE o.owner < g.doc_id) AS DOUBLE)
+        |    / count(*), 9) AS frac_repeated
+        |FROM g JOIN o USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // q163: assignment restated with KMeans.sql's distance chain
     // (sequential-double fold, ties to the smallest cid), the prune
     // with cosSql's bit-reproducible cosine, the census over the

@@ -520,6 +520,42 @@ object Dedup {
         round(col("n_matched").cast("double") / col("n_grams"), 9))
   }
 
+  /** Repeated-substring exposure report (the doc-level shape of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — exact substring dedup asks "which spans repeat
+    * verbatim across the corpus"; this reports, per doc, the fraction
+    * of its distinct word n-grams already OWNED by an earlier doc,
+    * where the owner of a gram is the min doc id containing it).
+    * Filter on `frac_repeated` to drop heavily-recycled docs, or feed
+    * the distribution to pick the threshold (q129's decontamination
+    * analogue, pointed at the corpus itself).
+    *
+    * NOT q129's broadcast shape: the gram-owner side is CORPUS-sized,
+    * so this is the big-big join (q137's precedent) — both sides are
+    * (8-byte gram hash, id) pairs, gram text never shuffles. The
+    * owner aggregate is partial-aggregatable min (the Zipf-head gram
+    * combines map-side); the join-back is a plain hash join AQE can
+    * skew-split; the rollup partial-aggregates per doc.
+    */
+  def repeatedGramReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    import graft.functions.TextHashes.wordShingleHashes
+    // barrier: the exploded grams feed both the owner aggregate and
+    // the join-back — one tokenize+hash pass, not two
+    val grams = barrier(docs.select(col(idCol).as("doc_id"),
+      explode(wordShingleHashes(col(textCol), n)).as("gram")))
+    val owners = grams.groupBy("gram").agg(min(col("doc_id")).as("owner"))
+    grams.join(owners, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("owner") < col("doc_id"), 1)).as("n_seen"))
+      .withColumn("frac_repeated",
+        round(col("n_seen").cast("double") / col("n_grams"), 9))
+  }
+
   // ----------------------------------------------------------------
   // duplicate clusters — q38
   // ----------------------------------------------------------------
