@@ -790,7 +790,27 @@ object TrainEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q165 — DSIR importance weighting (text/Dsir — Xie et al. 2023's
+  // data-selection-by-importance-resampling scoring pass): every doc
+  // scored by the mean Laplace-smoothed bigram importance ratio
+  // against a small target set (fixture: every 31st doc ≡ the
+  // exemplar corpus). Occurrence-mass grams (NOT the distinct-set
+  // sketch), big-big hashed count join, broadcast target counts,
+  // three driver scalars (BM25's precedent), µ-quantized BIGINT mean
+  // (q150/q155's discipline). Oracle generated by Dsir.sql from the
+  // same shape — gram chain, smoothing arithmetic, and quantization
+  // cannot drift.
+  // ---------------------------------------------------------------
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dsir
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Dsir.score(docs, docs.filter(col("doc_id") % 31 === 7), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_dsir_weights" -> (q165 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q143_bpe_train" -> (q143 _),
@@ -820,6 +840,12 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    "q165_dsir_weights" ->
+      s"""SELECT * FROM (
+         |${graft.text.Dsir.sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT text FROM documents WHERE doc_id % 31 = 7")}
+         |) z ORDER BY doc_id""".stripMargin,
     // q164: gram generation restated exactly as q64/q129's proven
     // chain at k=8 (lowercase, \s+ split, empty filter, distinct
     // 8-grams, whole-text gram under 8 tokens); owner = min doc id
