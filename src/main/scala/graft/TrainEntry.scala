@@ -809,7 +809,45 @@ object TrainEntry {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q166 — k-anonymity / l-diversity audit (quality/Anonymity — the
+  // pre-export privacy gate; measures what q55 redaction and q146
+  // purge enforce): equivalence classes over the quasi-identifiers
+  // (c_nationkey, c_mktsegment) flagged when smaller than k=10 or
+  // when the sensitive attribute (account-balance sign) shows < 2
+  // distinct values. One partial-aggregated groupBy, output ∝
+  // classes; oracle restates the census + HAVING directly.
+  // ---------------------------------------------------------------
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Anonymity
+    val cust = t(s, dir, "customer")
+      .withColumn("acct_negative", (col("c_acctbal") < 0).cast("int"))
+    Anonymity.audit(cust, Seq("c_nationkey", "c_mktsegment"),
+        "acct_negative", k = 10L, l = 2L)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  // ---------------------------------------------------------------
+  // q167 — hard-negative mining (ann/Ann.hardNegatives — the
+  // DPR/SimCSE contrastive-training recipe): per anchor, the 5
+  // most-similar vectors with cosine BELOW the 0.95 near-dup
+  // threshold, so a planted near-duplicate (q26's ×1.01 copies —
+  // cosine ≈ 1) never leaks in as a negative. Plan = q27's broadcast
+  // shape + one scan predicate; oracle = the exact filtered top-k in
+  // SQL with the same bit-reproducible cosine.
+  // ---------------------------------------------------------------
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Ann
+    val corpus = PipelineEntry.vecCorpus(s, dir)
+    val anchors = corpus.filter(col("vec_id") % 25 === 0 &&
+      col("vec_id") < 200)
+    Ann.hardNegatives(corpus, anchors, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_k_anonymity" -> (q166 _),
+    "q167_hard_negatives" -> (q167 _),
     "q165_dsir_weights" -> (q165 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
@@ -840,6 +878,47 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    "q166_k_anonymity" ->
+      """WITH a AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |      AS n_sensitive
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT c_nationkey, c_mktsegment, class_size, n_sensitive,
+        |  class_size < 10 AS k_violation,
+        |  n_sensitive < 2 AS l_violation
+        |FROM a WHERE class_size < 10 OR n_sensitive < 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // q167: the exact filtered top-k (cos < 0.95 strict — both
+    // engines compute the identical sequential double, so the
+    // verdict agrees) over the q26 near-dup corpus.
+    "q167_hard_negatives" -> {
+      val cos = PipelineEntry.cosSql("qv", "dv")
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |cv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM corpus),
+         |q AS (
+         |  SELECT vec_id AS query_id, dv AS qv FROM cv
+         |  WHERE vec_id % 25 = 0 AND vec_id < 200),
+         |scored AS (
+         |  SELECT query_id, vec_id AS neighbor_id, $cos AS cos
+         |  FROM q JOIN cv ON query_id <> vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored WHERE cos < 0.95)
+         |SELECT query_id, neighbor_id, cos, rk FROM ranked
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
     "q165_dsir_weights" ->
       s"""SELECT * FROM (
          |${graft.text.Dsir.sql(

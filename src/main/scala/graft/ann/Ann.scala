@@ -171,6 +171,32 @@ object Ann {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * recipe): per anchor, the k most-similar corpus vectors whose
+    * cosine stays BELOW the near-dup threshold — similar enough to
+    * be informative negatives, dissimilar enough not to be a
+    * positive in disguise (a near-duplicate used as a negative
+    * poisons the contrastive loss; Dedup.embeddingPairs finds those
+    * at `dupTau`, this excludes them by the same cosine). Plan =
+    * bruteForceTopK's shape (anchors broadcast, corpus streams,
+    * per-partition top-k) with one more scan predicate — the corpus
+    * still never shuffles.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dupTau: Double = 0.95): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.functions.VectorColumns.cosine(col("qv"), col("nv")))
+      .filter(col("cos") < dupTau)
+    rankTopK(scored, k)
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
