@@ -838,7 +838,27 @@ object WebEntry {
     Streams.slidingAgg(events).orderBy("w_start_ms", "event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q168 — event-sequence pattern with a negative condition
+  // (ops/SequencePattern — MATCH_RECOGNIZE-lite CEP): every
+  // "view then purchase within 1 h with NO error strictly between"
+  // occurrence per user — the absence-over-an-interval guard the
+  // funnel (q95) and transition (q154) shapes cannot express. First-B
+  // semantics via a user-keyed join + partial-aggregated min; the
+  // guard is one user-keyed LEFT ANTI join. Oracle restates the
+  // pairing, min, and NOT EXISTS directly.
+  // ---------------------------------------------------------------
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SequencePattern
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000").as("ms"))
+    SequencePattern.firstThenWithout(ev, "user_id", "event_type", "ms",
+        a = "view", b = "purchase", guard = "error", windowMs = 3600000L)
+      .orderBy("user", "a_ms")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_sequence_pattern" -> (q168 _),
     "q141_cohort_retention" -> (q141 _),
     "q142_rolling_window" -> (q142 _),
     "q147_hits" -> (q147 _),
@@ -868,6 +888,25 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q168_sequence_pattern" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS typ,
+        |    epoch_ns(ts) // 1000000 AS ms
+        |  FROM events
+        |), fb AS (
+        |  SELECT a.u, a.ms AS a_ms, min(b.ms) AS b_ms
+        |  FROM e a JOIN e b ON a.u = b.u
+        |  WHERE a.typ = 'view' AND b.typ = 'purchase'
+        |    AND b.ms > a.ms AND b.ms <= a.ms + 3600000
+        |  GROUP BY a.u, a.ms
+        |)
+        |SELECT u AS "user", a_ms, b_ms, b_ms - a_ms AS gap_ms
+        |FROM fb
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e c
+        |  WHERE c.u = fb.u AND c.typ = 'error'
+        |    AND c.ms > fb.a_ms AND c.ms < fb.b_ms)
+        |ORDER BY u, a_ms""".stripMargin,
     "q147_hits" -> {
       val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
         s"FROM ($linkRowsSql) lr"
