@@ -845,7 +845,24 @@ object TrainEntry {
       .orderBy("query_id", "rk")
   }
 
+  // ---------------------------------------------------------------
+  // q169 — Johnson–Lindenstrauss random projection
+  // (ann/RandomProjection): embeddings reduced 64 → 16 dims via the
+  // LSH family's seeded deterministic Gaussian planes, y = (1/√k)R·v
+  // — a pure zero-exchange per-row projection (the cost reducer the
+  // ANN/dedup passes run behind at 100 TB). Oracle generated by
+  // RandomProjection.sql with the plane doubles embedded as
+  // round-trip literals and the same sequential-fold dot.
+  // ---------------------------------------------------------------
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.RandomProjection
+    RandomProjection.project(t(s, dir, "embeddings"), "vec_id",
+        "embedding", outDim = 16)
+      .orderBy("vec_id", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_random_projection" -> (q169 _),
     "q166_k_anonymity" -> (q166 _),
     "q167_hard_negatives" -> (q167 _),
     "q165_dsir_weights" -> (q165 _),
@@ -878,6 +895,11 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    "q169_random_projection" ->
+      s"""SELECT * FROM (
+         |${graft.ann.RandomProjection.sql("embeddings", "vec_id",
+            "embedding", outDim = 16)}
+         |) z ORDER BY vec_id, j""".stripMargin,
     "q166_k_anonymity" ->
       """WITH a AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
