@@ -857,7 +857,29 @@ object WebEntry {
       .orderBy("user", "a_ms")
   }
 
+  // ---------------------------------------------------------------
+  // q170 — CUSUM changepoint detection (quality/Cusum — Page 1954,
+  // the SUSTAINED-shift monitor completing q156's spike z-scores):
+  // one-sided upward CUSUM vs the first-7-day baseline, computed via
+  // the closed form S_t = P_t − min(0, min≤t P) — two cumulative
+  // windows over the metadata-sized series, exact baseline-scaled
+  // BIGINT end to end. Fixture triples click volume from day 19742
+  // (2024-01-20): the shift accumulates past the alarm within days
+  // while unshifted series stay below the slack. Oracle restates the
+  // rollup, baseline, and both windows with identical integers.
+  // ---------------------------------------------------------------
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Cusum
+    val day = expr("(ts div 1000000) div 86400000")
+    val ev = t(s, dir, "events").select(col("event_type").as("series"),
+      day.as("day"),
+      when(col("event_type") === "click" && day >= 19742L,
+        col("value") * 3).otherwise(col("value")).as("value"))
+    Cusum.upwardShift(ev).orderBy("series", "day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_cusum_shift" -> (q170 _),
     "q168_sequence_pattern" -> (q168 _),
     "q141_cohort_retention" -> (q141 _),
     "q142_rolling_window" -> (q142 _),
@@ -888,6 +910,44 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q170_cusum_shift" ->
+      """WITH e AS (
+        |  SELECT event_type AS series,
+        |    (epoch_ns(ts) // 1000000) // 86400000 AS day,
+        |    CASE WHEN event_type = 'click'
+        |           AND (epoch_ns(ts) // 1000000) // 86400000 >= 19742
+        |         THEN value * 3 ELSE value END AS value
+        |  FROM events
+        |), d AS (
+        |  SELECT series, day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS tq
+        |  FROM e GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY series ORDER BY day)
+        |    AS rn FROM d
+        |), b AS (
+        |  SELECT series, CAST(sum(tq) AS BIGINT) AS sum_base,
+        |    count(*) AS bdays
+        |  FROM r WHERE rn <= 7 GROUP BY 1
+        |), m AS (
+        |  SELECT r.series, r.day, r.tq, b.bdays,
+        |    b.bdays * r.tq - b.sum_base - b.bdays * 100000 AS dd
+        |  FROM r JOIN b USING (series) WHERE rn > 7
+        |), c AS (
+        |  SELECT series, day, tq, bdays,
+        |    CAST(sum(dd) OVER w AS BIGINT) AS p
+        |  FROM m WINDOW w AS (PARTITION BY series ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT series, day,
+        |  round(CAST(tq AS DOUBLE) / 100.0, 2) AS total,
+        |  round(CAST(p - least(min(p) OVER w, 0) AS DOUBLE)
+        |    / (bdays * 100.0), 2) AS s_plus,
+        |  (p - least(min(p) OVER w, 0)) > bdays * 200000 AS alarm
+        |FROM c WINDOW w AS (PARTITION BY series ORDER BY day
+        |  ROWS UNBOUNDED PRECEDING)
+        |ORDER BY series, day""".stripMargin,
     "q168_sequence_pattern" ->
       """WITH e AS (
         |  SELECT user_id AS u, event_type AS typ,
