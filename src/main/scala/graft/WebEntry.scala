@@ -878,7 +878,23 @@ object WebEntry {
     Cusum.upwardShift(ev).orderBy("series", "day")
   }
 
+  // ---------------------------------------------------------------
+  // q171 — association-rule mining (ops/Baskets — Agrawal–Srikant
+  // support/confidence/lift at the pair level): orders are baskets,
+  // parts are items; pairs co-occurring in ≥3 baskets surface with
+  // their exact-integer counts and 9dp ratios. Basket-keyed
+  // self-join (bounded baskets, the funnel-family contract), the
+  // n_ab=1 Zipf bulk dies in the HAVING before any join-back.
+  // ---------------------------------------------------------------
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Baskets
+    Baskets.pairRules(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minCount = 3L)
+      .orderBy("item_a", "item_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_basket_rules" -> (q171 _),
     "q170_cusum_shift" -> (q170 _),
     "q168_sequence_pattern" -> (q168 _),
     "q141_cohort_retention" -> (q141 _),
@@ -910,6 +926,25 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q171_basket_rules" ->
+      """WITH i AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT bk) AS nb FROM i
+        |), ic AS MATERIALIZED (
+        |  SELECT it, count(*) AS n_i FROM i GROUP BY 1
+        |), pc AS (
+        |  SELECT x.it AS item_a, y.it AS item_b, count(*) AS n_ab
+        |  FROM i x JOIN i y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT item_a, item_b, n_ab, a.n_i AS n_a, b.n_i AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(nb AS DOUBLE), 9) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / a.n_i, 9) AS confidence,
+        |  round(CAST(n_ab * nb AS DOUBLE) / (a.n_i * b.n_i), 9) AS lift
+        |FROM pc JOIN ic a ON pc.item_a = a.it
+        |  JOIN ic b ON pc.item_b = b.it CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin,
     "q170_cusum_shift" ->
       """WITH e AS (
         |  SELECT event_type AS series,
