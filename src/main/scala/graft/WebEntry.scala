@@ -893,7 +893,32 @@ object WebEntry {
       .orderBy("item_a", "item_b")
   }
 
+  // ---------------------------------------------------------------
+  // q172 — functional-dependency discovery (quality/FunctionalDeps —
+  // the profiling primitive behind key detection, next to q158's
+  // cards and q159's FK sweep): declared candidate FDs across three
+  // tables, each table ONE expand-pass aggregation (no per-candidate
+  // rescan); holds ⟺ |distinct lhs| = |distinct (lhs, rhs)|, with
+  // the violation mass reported. Candidates mix true keys
+  // (c_custkey→c_name) with real violations (o_custkey→o_orderstatus).
+  // ---------------------------------------------------------------
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.FunctionalDeps
+    def leg(table: String, cands: Seq[(String, String)]) =
+      FunctionalDeps.check(t(s, dir, table), cands)
+        .select(lit(table).as("table_name"), col("lhs"), col("rhs"),
+          col("n_lhs"), col("n_pairs"), col("n_violations"), col("holds"))
+    leg("customer", Seq("c_custkey" -> "c_name",
+        "c_nationkey" -> "c_mktsegment"))
+      .unionByName(leg("orders", Seq("o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderstatus")))
+      .unionByName(leg("part", Seq("p_partkey" -> "p_brand",
+        "p_brand" -> "p_type")))
+      .orderBy("table_name", "lhs", "rhs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_functional_deps" -> (q172 _),
     "q171_basket_rules" -> (q171 _),
     "q170_cusum_shift" -> (q170 _),
     "q168_sequence_pattern" -> (q168 _),
@@ -926,6 +951,26 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q172_functional_deps" -> {
+      def leg(table: String, a: String, b: String) =
+        s"""SELECT '$table' AS table_name, '$a' AS lhs, '$b' AS rhs,
+           |  (SELECT count(DISTINCT $a) FROM $table) AS n_lhs,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM $table
+           |    WHERE $a IS NOT NULL AND $b IS NOT NULL)) AS n_pairs""".stripMargin
+      val legs = Seq(
+        leg("customer", "c_custkey", "c_name"),
+        leg("customer", "c_nationkey", "c_mktsegment"),
+        leg("orders", "o_orderkey", "o_custkey"),
+        leg("orders", "o_custkey", "o_orderstatus"),
+        leg("part", "p_partkey", "p_brand"),
+        leg("part", "p_brand", "p_type")).mkString("\nUNION ALL\n")
+      s"""SELECT table_name, lhs, rhs, n_lhs, n_pairs,
+         |  n_pairs - n_lhs AS n_violations,
+         |  n_pairs = n_lhs AS holds
+         |FROM (
+         |$legs
+         |) ORDER BY table_name, lhs, rhs""".stripMargin
+    },
     "q171_basket_rules" ->
       """WITH i AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
