@@ -917,7 +917,28 @@ object WebEntry {
       .orderBy("table_name", "lhs", "rhs")
   }
 
+  // ---------------------------------------------------------------
+  // q173 — mutual information / Theil's U (quality/MutualInfo — the
+  // SOFT functional dependency: q172 says whether A determines B
+  // exactly, this says how much knowing A explains B, U ∈ [0,1]):
+  // one corpus pass per pair builds the contingency cells, marginals
+  // come from keyed windows over the CELLS (never the corpus), and
+  // the entropy sums follow q93's round-then-decimal-sum discipline
+  // so the one-reducer combine is order-independent and ln's 1-ulp
+  // cross-engine wobble dies at 12dp. Candidates span an exact FD
+  // (U = 1), a near-independent pair (U ≈ 0), and a correlated one.
+  // ---------------------------------------------------------------
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.MutualInfo
+    MutualInfo.score(t(s, dir, "customer"), "c_nationkey", "c_mktsegment")
+      .unionByName(MutualInfo.score(t(s, dir, "orders"),
+        "o_orderkey", "o_orderstatus"))
+      .unionByName(MutualInfo.score(t(s, dir, "part"), "p_brand", "p_type"))
+      .orderBy("lhs")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_mutual_info" -> (q173 _),
     "q172_functional_deps" -> (q172 _),
     "q171_basket_rules" -> (q171 _),
     "q170_cusum_shift" -> (q170 _),
@@ -951,6 +972,45 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    // q173: the identical per-cell term formulas (same association,
+    // same 12dp round, DECIMAL(38,12) sums) per leg; raws round at
+    // 9dp in the outer select exactly as MutualInfo.score does.
+    "q173_mutual_info" -> {
+      def leg(table: String, a: String, b: String) =
+        s"""SELECT '$a' AS lhs, '$b' AS rhs, n,
+           |  round(mi_raw, 9) AS mi, round(ha_raw, 9) AS h_lhs,
+           |  round(hb_raw, 9) AS h_rhs,
+           |  CASE WHEN round(hb_raw, 9) > 0
+           |    THEN round(round(mi_raw, 9) / round(hb_raw, 9), 9)
+           |  END AS u
+           |FROM (
+           |  WITH cells AS MATERIALIZED (
+           |    SELECT $a AS av, $b AS bv, count(*) AS n_ab FROM $table
+           |    WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2),
+           |  nn AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+           |  m AS (
+           |    SELECT n_ab,
+           |      CAST(sum(n_ab) OVER (PARTITION BY av) AS BIGINT) AS n_a,
+           |      CAST(sum(n_ab) OVER (PARTITION BY bv) AS BIGINT) AS n_b
+           |    FROM cells)
+           |  SELECT n,
+           |    CAST(sum(CAST(round((CAST(n_ab AS DOUBLE) / n) *
+           |      ln((CAST(n_ab AS DOUBLE) * n) /
+           |        (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 12)
+           |      AS DECIMAL(38,12))) AS DOUBLE) AS mi_raw,
+           |    CAST(sum(CAST(round((CAST(n_ab AS DOUBLE) / n_a) *
+           |      (CAST(n_a AS DOUBLE) / n) * -ln(CAST(n_a AS DOUBLE) / n), 12)
+           |      AS DECIMAL(38,12))) AS DOUBLE) AS ha_raw,
+           |    CAST(sum(CAST(round((CAST(n_ab AS DOUBLE) / n_b) *
+           |      (CAST(n_b AS DOUBLE) / n) * -ln(CAST(n_b AS DOUBLE) / n), 12)
+           |      AS DECIMAL(38,12))) AS DOUBLE) AS hb_raw
+           |  FROM m CROSS JOIN nn GROUP BY n
+           |)""".stripMargin
+      Seq(leg("customer", "c_nationkey", "c_mktsegment"),
+        leg("orders", "o_orderkey", "o_orderstatus"),
+        leg("part", "p_brand", "p_type"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY lhs")
+    },
     "q172_functional_deps" -> {
       def leg(table: String, a: String, b: String) =
         s"""SELECT '$table' AS table_name, '$a' AS lhs, '$b' AS rhs,
