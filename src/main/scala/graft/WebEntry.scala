@@ -937,7 +937,41 @@ object WebEntry {
       .orderBy("lhs")
   }
 
+  // ---------------------------------------------------------------
+  // q174 — two-hop reach over the extracted domain graph
+  // (ops/TwoHop — friend-of-a-friend counts: link-farm detection /
+  // recommendation candidates, completing the local-graph family
+  // next to q149's triangles): distinct nodes exactly two directed
+  // hops away — through a neighbor, not direct, not self. Same
+  // shared link fixture as q130/q131; oracle restates the middle-
+  // node join + NOT EXISTS subtraction over linkRowsSql.
+  // ---------------------------------------------------------------
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TwoHop
+    TwoHop.reach(linkRows(s, dir), "src_domain", "dst_domain")
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------
+  // q175 — time-weighted average over irregular samples (ops/Twap —
+  // the TWAP metrics/finance staple; a plain AVG over-weights
+  // bursts): per (event_type, day), each sample's value holds until
+  // the next sample, the last to midnight; weights are exact ms ×
+  // integer cents so the numerator is an order-independent BIGINT
+  // sum. Oracle restates the lead window (same (ms, event_id) tie
+  // order) and the division chain.
+  // ---------------------------------------------------------------
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Twap
+    val ev = t(s, dir, "events").select(col("event_type").as("series"),
+      expr("ts div 1000000").as("ms"), col("event_id").as("id"),
+      col("value"))
+    Twap.daily(ev).orderBy("series", "day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_two_hop" -> (q174 _),
+    "q175_twap" -> (q175 _),
     "q173_mutual_info" -> (q173 _),
     "q172_functional_deps" -> (q172 _),
     "q171_basket_rules" -> (q171 _),
@@ -972,6 +1006,38 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q174_two_hop" ->
+      s"""WITH links AS MATERIALIZED (
+         |$linkRowsSql
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT src_domain AS src, dst_domain AS dst
+         |  FROM links WHERE src_domain <> dst_domain
+         |)
+         |SELECT a.src AS node, count(DISTINCT b.dst) AS n_two_hop
+         |FROM e a JOIN e b ON a.dst = b.src
+         |WHERE b.dst <> a.src
+         |  AND NOT EXISTS (SELECT 1 FROM e d
+         |    WHERE d.src = a.src AND d.dst = b.dst)
+         |GROUP BY 1 ORDER BY node""".stripMargin,
+    "q175_twap" ->
+      """WITH e AS (
+        |  SELECT event_type AS series,
+        |    epoch_ns(ts) // 1000000 AS ms, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vq,
+        |    (epoch_ns(ts) // 1000000) // 86400000 AS day
+        |  FROM events
+        |), d AS (
+        |  SELECT series, day, vq, ms,
+        |    coalesce(lead(ms) OVER (PARTITION BY series, day
+        |        ORDER BY ms, id),
+        |      (day + 1) * 86400000) - ms AS dur
+        |  FROM e
+        |)
+        |SELECT series, day, count(*) AS n_samples,
+        |  CAST(sum(dur) AS BIGINT) AS covered_ms,
+        |  round(CAST(sum(vq * dur) AS DOUBLE)
+        |    / CAST(sum(dur) AS BIGINT) / 100.0, 4) AS twap
+        |FROM d GROUP BY 1, 2 ORDER BY series, day""".stripMargin,
     // q173: the identical per-cell term formulas (same association,
     // same 12dp round, DECIMAL(38,12) sums) per leg; raws round at
     // 9dp in the outer select exactly as MutualInfo.score does.
