@@ -969,7 +969,37 @@ object WebEntry {
     Twap.daily(ev).orderBy("series", "day")
   }
 
+  // ---------------------------------------------------------------
+  // q176 — per-series OLS trend (quality/Trend — the drift
+  // quantifier completing the monitoring family: q156 spikes, q170
+  // level shifts, this slow drift with a rate and fit quality):
+  // closed-form slope/intercept/r² from five EXACT BIGINT moment
+  // sums in one partial-aggregated pass (x = day bucket, y = cents).
+  // Fixture injects +5%/day drift into the view series: its r²
+  // lands near 1 while undrifted series stay noise-flat.
+  // ---------------------------------------------------------------
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Trend
+    val day = expr("(ts div 1000000) div 86400000")
+    // floor-quantize the drifted product to exact cents (q115's
+    // idiom): a raw double→DECIMAL cast diverges cross-engine on
+    // non-2-decimal doubles (Spark rounds the shortest string
+    // rendering, DuckDB the exact binary value)
+    val drifted = when(col("event_type") === "view",
+      floor(col("value") * (lit(1.0) +
+          (day - lit(19723L)).cast("double") * lit(0.05)) * lit(100.0)
+        + lit(0.5)) / lit(100.0))
+      .otherwise(col("value"))
+    val daily = t(s, dir, "events")
+      .select(col("event_type").as("series"), day.as("day"),
+        drifted.as("v"))
+      .groupBy("series", "day")
+      .agg(sum(col("v").cast("decimal(18,2)")).as("value"))
+    Trend.ols(daily).orderBy("series")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_trend_ols" -> (q176 _),
     "q174_two_hop" -> (q174 _),
     "q175_twap" -> (q175 _),
     "q173_mutual_info" -> (q173 _),
@@ -1006,6 +1036,45 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q176_trend_ols" ->
+      """WITH e AS (
+        |  SELECT event_type AS series,
+        |    (epoch_ns(ts) // 1000000) // 86400000 AS day,
+        |    CASE WHEN event_type = 'view'
+        |      THEN floor(value * (1.0 +
+        |        CAST((epoch_ns(ts) // 1000000) // 86400000 - 19723
+        |          AS DOUBLE) * 0.05) * 100.0 + 0.5) / 100.0
+        |      ELSE value END AS v
+        |  FROM events
+        |), d AS (
+        |  SELECT series, day,
+        |    CAST(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT series, count(*) AS n,
+        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(day * day) AS BIGINT) AS sxx,
+        |    CAST(sum(day * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT series, n AS n_days,
+        |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) END AS slope,
+        |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |      - CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n / 100.0, 6)
+        |  END AS intercept,
+        |  CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |      AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+        |FROM m ORDER BY series""".stripMargin,
     "q174_two_hop" ->
       s"""WITH links AS MATERIALIZED (
          |$linkRowsSql
