@@ -998,7 +998,40 @@ object WebEntry {
     Trend.ols(daily).orderBy("series")
   }
 
+  // ---------------------------------------------------------------
+  // q177 — percentile winsorization (quality/Winsorize — clamp the
+  // tails instead of dropping rows, between q102's outlier flags
+  // and deletion): per event_type, values clamp to the 6dp-rounded
+  // exact [p05, p95] (percentile ≡ quantile_cont, q41's proven
+  // equivalence; rounding makes a last-ulp interpolation wobble
+  // unable to flip a boundary row), clamped census + cents-quantized
+  // winsorized mean reported.
+  // ---------------------------------------------------------------
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Winsorize
+    Winsorize.report(t(s, dir, "events"), "event_type", "value")
+      .orderBy("group_key")
+  }
+
+  // ---------------------------------------------------------------
+  // q178 — join-key skew report (ops/SkewReport — the "should I
+  // salt this join" advisor closing the loop on q157's mechanics):
+  // q157's hot-key fixture (a third of events collapse onto key 0)
+  // re-examined as a census — top-10 keys via TakeOrdered with row
+  // shares, the top-1 share ≈ 1/3 being exactly the number you
+  // compare against 1/shufflePartitions to size the salt.
+  // ---------------------------------------------------------------
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.SkewReport
+    val ev = t(s, dir, "events").select(
+      when(col("user_id") % 3 === 0, lit(0L)).otherwise(col("user_id"))
+        .as("k"))
+    SkewReport.topKeys(ev, "k", 10).orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_skew_report" -> (q178 _),
+    "q177_winsorize" -> (q177 _),
     "q176_trend_ols" -> (q176 _),
     "q174_two_hop" -> (q174 _),
     "q175_twap" -> (q175 _),
@@ -1036,6 +1069,41 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q178_skew_report" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS key,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |    count(*) AS n_distinct FROM c
+        |), r AS (
+        |  SELECT key, n_rows,
+        |    CAST(row_number() OVER (ORDER BY n_rows DESC, key) AS INT)
+        |      AS rank
+        |  FROM c
+        |)
+        |SELECT rank, key, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+        |    AS share,
+        |  n_total, n_distinct
+        |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q177_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type AS group_key, count(*) AS n,
+        |  count(*) FILTER (WHERE value < lo) AS n_clamped_lo,
+        |  count(*) FILTER (WHERE value > hi) AS n_clamped_hi,
+        |  any_value(lo) AS lo, any_value(hi) AS hi,
+        |  round(CAST(sum(CAST(floor(least(greatest(value, lo), hi)
+        |      * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100.0, 4) AS mean_winsorized
+        |FROM events e JOIN b ON e.event_type = b.g
+        |GROUP BY 1 ORDER BY group_key""".stripMargin,
     "q176_trend_ols" ->
       """WITH e AS (
         |  SELECT event_type AS series,
