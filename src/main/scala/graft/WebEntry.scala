@@ -1029,7 +1029,30 @@ object WebEntry {
     SkewReport.topKeys(ev, "k", 10).orderBy("rank")
   }
 
+  // ---------------------------------------------------------------
+  // q179 — Cohen's kappa between two filter heuristics
+  // (quality/Agreement): rater A = token-count gate (≥50), rater
+  // B = stopword-evidence gate (≥3 en-marker hits), per source
+  // domain — the chance-corrected agreement you check before
+  // swapping one quality gate for another (raw agreement flatters
+  // raters that both keep most docs). One partial-aggregated 2×2
+  // census per group; oracle restates both raters from the proven
+  // SQL twins (WsTokSql / StopHitsSql) and the identical κ chain.
+  // ---------------------------------------------------------------
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Agreement
+    import graft.text.TextAnalysis
+    val docs = t(s, dir, "documents")
+      .select(srcDomainCol.as("domain"), col("text"))
+    Agreement.kappa(docs,
+        TextAnalysis.wsTokenCount(col("text")) >= 50L,
+        TextAnalysis.stopwordHits(col("text")) >= 3L,
+        "domain")
+      .orderBy("group_key")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_rater_kappa" -> (q179 _),
     "q178_skew_report" -> (q178 _),
     "q177_winsorize" -> (q177 _),
     "q176_trend_ols" -> (q176 _),
@@ -1069,6 +1092,35 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q179_rater_kappa" ->
+      s"""WITH r AS (
+         |  SELECT $SrcDomainSql AS group_key,
+         |    ${graft.PipelineEntry.WsTokSql} >= 50 AS ra,
+         |    ${graft.PipelineEntry.StopHitsSql} >= 3 AS rb
+         |  FROM documents
+         |), c AS (
+         |  SELECT group_key, count(*) AS n,
+         |    count(*) FILTER (WHERE ra AND rb) AS n11,
+         |    count(*) FILTER (WHERE ra AND NOT rb) AS n10,
+         |    count(*) FILTER (WHERE NOT ra AND rb) AS n01,
+         |    count(*) FILTER (WHERE NOT ra AND NOT rb) AS n00
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT group_key, n, n11, n10, n01, n00,
+         |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS p_observed,
+         |  CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |      + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+         |    THEN round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |          + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+         |          + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+         |  END AS kappa
+         |FROM c ORDER BY group_key""".stripMargin,
     "q178_skew_report" ->
       """WITH c AS (
         |  SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS key,
