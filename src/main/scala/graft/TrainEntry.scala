@@ -861,7 +861,32 @@ object TrainEntry {
       .orderBy("vec_id", "j")
   }
 
+  // ---------------------------------------------------------------
+  // q180 — c-TF-IDF cluster labeling (text/ClusterTerms — the
+  // BERTopic recipe: q150's k-means partitions the corpus, this
+  // names the clusters by their DISTINGUISHING terms; corpus-wide
+  // filler scores exactly 0 via ln(k/k)): documents join their
+  // embeddings, assign to the 8 seed centroids (q163's proven
+  // chain), then per cluster the top-5 terms by the 9dp-rounded
+  // (tf/m)·ln(k/df) score. Oracle restates assignment via the
+  // KMeans.sql distance CTEs + the identical scoring chain.
+  // ---------------------------------------------------------------
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.KMeans
+    import graft.text.ClusterTerms
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val cents = KMeans.initCentroids(emb, "vec_id", "embedding", k = 8)
+    val assigned = emb.select(col("vec_id").as("doc_id"),
+      graft.functions.VectorColumns.nearestCentroid(col("embedding"), cents)
+        .as("cl"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .join(assigned, Seq("doc_id"))
+    ClusterTerms.label(docs, "cl", "text", topK = 5)
+      .orderBy("cl", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_cluster_terms" -> (q180 _),
     "q169_random_projection" -> (q169 _),
     "q166_k_anonymity" -> (q166 _),
     "q167_hard_negatives" -> (q167 _),
@@ -895,6 +920,53 @@ object TrainEntry {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   val oracleSql: Map[String, String] = Map(
+    // q180: assignment = q163's proven cents/v/d/a distance chain;
+    // scoring = the identical (tf/m)·ln(k/df) with the 9dp round
+    // BEFORE ranking so ln's last-ulp wobble cannot reorder.
+    "q180_cluster_terms" ->
+      """WITH cents AS MATERIALIZED (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+        |  FROM embeddings
+        |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+        |                   ORDER BY vec_id LIMIT 8)),
+        |v AS MATERIALIZED (
+        |  SELECT vec_id AS vid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings),
+        |d AS MATERIALIZED (
+        |  SELECT v.vid, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(dv) + 1),
+        |        i -> (dv[i] - c.c[i]) * (dv[i] - c.c[i]))),
+        |      (acc, x) -> acc + x) AS dist
+        |  FROM v, cents c),
+        |a AS MATERIALIZED (
+        |  SELECT vid, cid FROM (
+        |    SELECT vid, cid,
+        |      row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |toks AS MATERIALIZED (
+        |  SELECT a.cid AS cl,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS w
+        |  FROM documents doc JOIN a ON a.vid = doc.doc_id),
+        |tf AS MATERIALIZED (
+        |  SELECT cl, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |mass AS (SELECT cl, CAST(sum(tf) AS BIGINT) AS m FROM tf GROUP BY 1),
+        |dfc AS (SELECT w, count(*) AS df_cl FROM tf GROUP BY 1),
+        |kk AS (SELECT CAST(count(DISTINCT cl) AS DOUBLE) AS k FROM tf),
+        |sc AS (
+        |  SELECT cl, w, tf, df_cl,
+        |    round((CAST(tf AS DOUBLE) / m) * ln(k / df_cl), 9) AS score
+        |  FROM tf JOIN mass USING (cl) JOIN dfc USING (w) CROSS JOIN kk),
+        |r AS (
+        |  SELECT cl, w, tf, df_cl, score,
+        |    CAST(row_number() OVER (PARTITION BY cl
+        |      ORDER BY score DESC, w) AS INT) AS rank
+        |  FROM sc)
+        |SELECT cl, rank, w AS term, tf, df_cl, score
+        |FROM r WHERE rank <= 5 ORDER BY cl, rank""".stripMargin,
     "q169_random_projection" ->
       s"""SELECT * FROM (
          |${graft.ann.RandomProjection.sql("embeddings", "vec_id",
