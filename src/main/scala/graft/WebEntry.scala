@@ -1051,7 +1051,23 @@ object WebEntry {
       .orderBy("group_key")
   }
 
+  // ---------------------------------------------------------------
+  // q181 — pre-join profile (ops/JoinProfile — the planning advisor
+  // triad's missing member: q178 says whether the key is skewed,
+  // q159 counts orphans, this sizes the join BEFORE the shuffle):
+  // customer ⋈ orders on custkey — exact output cardinality
+  // Σ n_l·n_r from the key CENSUSES (the censuses join, never the
+  // tables), bidirectional key containment (customers without
+  // orders pull l_key_containment below 1), row match shares.
+  // ---------------------------------------------------------------
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.JoinProfile
+    JoinProfile.profile(t(s, dir, "customer"), "c_custkey",
+      t(s, dir, "orders"), "o_custkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_join_profile" -> (q181 _),
     "q179_rater_kappa" -> (q179 _),
     "q178_skew_report" -> (q178 _),
     "q177_winsorize" -> (q177 _),
@@ -1092,6 +1108,39 @@ object WebEntry {
     "q135_robots_filter" -> (q135 _))
 
   def oracleSql: Map[String, String] = Map(
+    "q181_join_profile" ->
+      """WITH lc AS MATERIALIZED (
+        |  SELECT c_custkey AS k, count(*) AS n FROM customer
+        |  WHERE c_custkey IS NOT NULL GROUP BY 1
+        |), rc AS MATERIALIZED (
+        |  SELECT o_custkey AS k, count(*) AS n FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), m AS (
+        |  SELECT count(*) AS matched_keys,
+        |    CAST(coalesce(sum(l.n), 0) AS BIGINT) AS lm,
+        |    CAST(coalesce(sum(r.n), 0) AS BIGINT) AS rm,
+        |    CAST(coalesce(sum(l.n * r.n), 0) AS BIGINT) AS join_rows
+        |  FROM lc l JOIN rc r USING (k)
+        |), ls AS (
+        |  SELECT count(*) AS l_rows, count(c_custkey) AS l_nonnull
+        |  FROM customer
+        |), rs AS (
+        |  SELECT count(*) AS r_rows, count(o_custkey) AS r_nonnull
+        |  FROM orders
+        |), ld AS (SELECT count(*) AS l_distinct FROM lc),
+        |rd AS (SELECT count(*) AS r_distinct FROM rc)
+        |SELECT l_rows, l_distinct, l_rows - l_nonnull AS l_null_rows,
+        |  r_rows, r_distinct, r_rows - r_nonnull AS r_null_rows,
+        |  matched_keys, join_rows,
+        |  round(CAST(matched_keys AS DOUBLE) / CAST(l_distinct AS DOUBLE), 9)
+        |    AS l_key_containment,
+        |  round(CAST(matched_keys AS DOUBLE) / CAST(r_distinct AS DOUBLE), 9)
+        |    AS r_key_containment,
+        |  round(CAST(lm AS DOUBLE) / CAST(l_rows AS DOUBLE), 9)
+        |    AS l_row_match_share,
+        |  round(CAST(rm AS DOUBLE) / CAST(r_rows AS DOUBLE), 9)
+        |    AS r_row_match_share
+        |FROM m CROSS JOIN ls CROSS JOIN rs CROSS JOIN ld CROSS JOIN rd""".stripMargin,
     "q179_rater_kappa" ->
       s"""WITH r AS (
          |  SELECT $SrcDomainSql AS group_key,
