@@ -248,7 +248,28 @@ object AnalyticsEntry {
     "q103_group_percentiles" -> (q103 _),
     "q104_record_linkage" -> (q104 _),
     "q105_embedding_scaler" -> (q105 _),
-    "q106_stream_funnel" -> (q106 _))
+    "q106_stream_funnel" -> (q106 _),
+    "q182_path_rollup" -> (q182 _))
+
+  // ---------------------------------------------------------------
+  // q182 — hierarchical URL-path rollup (text/PathRollup — the
+  // "traffic by section" drill-down tree, the crawl-side view of
+  // where a site's pages concentrate): every URL counts under EACH
+  // of its path prefixes (/a/b/c → /a, /a/b, /a/b/c), one bounded
+  // explode (≤ maxDepth) + one partial-aggregated (depth, prefix)
+  // census — the distinct-prefix space is site-structure-sized.
+  // Fixture builds 3-level paths /{lang}/cat-{k5}/art-{k50} from
+  // documents; oracle restates extraction, slicing, and the census.
+  // ---------------------------------------------------------------
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.PathRollup
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/cat-"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("/art-"), pmod(col("doc_id"), lit(50)).cast("string"),
+      lit("?utm=1#top"))
+    PathRollup.rollup(t(s, dir, "documents").select(url.as("url")), "url")
+      .orderBy("depth", "prefix")
+  }
 
   // ---------------------------------------------------------------
   // q106 — STREAMING funnel (q95's incremental twin): the same
@@ -336,6 +357,26 @@ object AnalyticsEntry {
          |FROM st GROUP BY stage ORDER BY stage""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q182_path_rollup" ->
+      """WITH u AS (
+        |  SELECT 'https://' || source || '.example.com/' || lang ||
+        |    '/cat-' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '/art-' || CAST(doc_id % 50 AS VARCHAR) || '?utm=1#top' AS url
+        |  FROM documents
+        |), p AS (
+        |  SELECT list_filter(string_split(
+        |      regexp_extract(lower(url),
+        |        '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'),
+        |    x -> x <> '') AS segs
+        |  FROM u
+        |), x AS (
+        |  SELECT CAST(i AS INT) AS depth,
+        |    '/' || array_to_string(segs[1:i], '/') AS prefix
+        |  FROM p, UNNEST(generate_series(1, least(len(segs), 3))) AS g(i)
+        |  WHERE len(segs) >= 1
+        |)
+        |SELECT depth, prefix, count(*) AS n_urls
+        |FROM x GROUP BY 1, 2 ORDER BY depth, prefix""".stripMargin,
     "q95_event_funnel" -> FunnelOracle,
     "q106_stream_funnel" -> FunnelOracle,
     "q96_gap_fill" ->
