@@ -531,7 +531,8 @@ object SparkEntry {
     "q20_sessionize" -> (q20 _),
     "q21_stream_tumbling" -> (q21 _)) ++ PipelineEntry.queries ++
     ExtendedEntry.queries ++ CorpusEntry.queries ++ AnalyticsEntry.queries ++
-    PlatformEntry.queries ++ TrainEntry.queries ++ WebEntry.queries
+    PlatformEntry.queries ++ TrainEntry.queries ++ WebEntry.queries ++
+    MiningEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q44_range_join" ->
@@ -898,5 +899,6 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin) ++
     PipelineEntry.oracleSql ++ ExtendedEntry.oracleSql ++
     CorpusEntry.oracleSql ++ AnalyticsEntry.oracleSql ++
-    PlatformEntry.oracleSql ++ TrainEntry.oracleSql ++ WebEntry.oracleSql
+    PlatformEntry.oracleSql ++ TrainEntry.oracleSql ++ WebEntry.oracleSql ++
+    MiningEntry.oracleSql
 }

@@ -71,4 +71,55 @@ object Drift {
         round(col("p"), 9).as("p"), round(col("q"), 9).as("q"),
         col("psi_contrib"))
   }
+
+  /** Pearson chi-square homogeneity test between a baseline and a
+    * current CATEGORICAL slice (PSI's sibling for discrete columns —
+    * "did the event mix shift?"). Per category: expected current
+    * count e = n_base · N_cur / N_base, contribution (o − e)² / e.
+    *
+    * Determinism: e and the contribution are single-op IEEE chains on
+    * exactly-represented integer counts — bit-identical in any
+    * engine; the TOTAL is a sum of µ-quantized (round-9) per-category
+    * contributions, so it is order-independent too (same discipline
+    * as q165's quantized ratios). Categories present in only one
+    * slice are kept (o or e may be 0); a category absent from the
+    * baseline has e = 0 and its contribution is defined as 0 there —
+    * callers watching for NEW categories read n_base = 0 directly.
+    *
+    * 100 TB shape: two partial-aggregable groupBys on the category
+    * (≤ |categories| rows leave each map task) and a
+    * categories-sized join + window. Nothing data-sized moves.
+    */
+  def chiSquare(
+      baseline: DataFrame,
+      current: DataFrame,
+      catCol: String): DataFrame = {
+    def counted(df: DataFrame, as: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).as("category"))
+        .agg(count(lit(1)).as(as))
+    val joined = counted(baseline, "n_base")
+      .join(counted(current, "n_cur"), Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    joined
+      .withColumn("expected",
+        col("n_base").cast("double") * sum(col("n_cur")).over(all) /
+          sum(col("n_base")).over(all))
+      .withColumn("contrib",
+        when(col("expected") > 0,
+          round(
+            (col("n_cur") - col("expected")) * (col("n_cur") - col("expected")) /
+              col("expected"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("chi2_total",
+        sum(col("contrib").cast("decimal(28,9)")).over(all).cast("double"))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        round(col("expected"), 9).as("expected"), col("contrib"),
+        col("chi2_total"))
+  }
 }

@@ -37,4 +37,25 @@ class DriftSpec extends SparkSpec {
       rows.map(_.getAs[Long]("n_cur")).sum shouldBe 1L
     }
   }
+
+  describe("Drift.chiSquare") {
+    it("computes per-category contributions and the quantized total") {
+      val base = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("c")
+      val cur = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq("c")).toDF("c")
+      val rows = Drift.chiSquare(base, cur, "c").orderBy("category")
+        .select("category", "n_base", "n_cur", "expected", "contrib",
+          "chi2_total")
+        .as[(String, Long, Long, Double, Double, Double)].collect()
+      rows(0) shouldBe (("a", 8L, 5L, 8.0, 1.125, 3.125))
+      rows(1) shouldBe (("b", 2L, 4L, 2.0, 2.0, 3.125))
+      // category new in `cur`: visible with n_base = 0, contributes 0
+      rows(2) shouldBe (("c", 0L, 1L, 0.0, 0.0, 3.125))
+    }
+    it("is zero when the mix is unchanged") {
+      val base = (Seq.fill(6)("x") ++ Seq.fill(4)("y")).toDF("c")
+      val total = Drift.chiSquare(base, base, "c")
+        .select("chi2_total").as[Double].head()
+      total shouldBe 0.0
+    }
+  }
 }
