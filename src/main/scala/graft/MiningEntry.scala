@@ -87,11 +87,71 @@ object MiningEntry {
       .orderBy("source", "blocked_word")
   }
 
+  // ---------------------------------------------------------------
+  // q187 — semi-structured JSON shredding: schema-driven `from_json`
+  // over the events.props payload (nested object + array access,
+  // malformed-row tolerance). Every 17th event carries broken JSON —
+  // it must surface as n_malformed, never kill the scan. The parse
+  // is a codegen'd scan projection; the only exchange is the final
+  // 5-row census. Spark-first: from_json with an explicit DDL schema
+  // IS the shredding operator — no custom parser.
+  // ---------------------------------------------------------------
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events").select(col("event_type"),
+      when(pmod(col("event_id"), lit(17)) === 0, lit("{not json"))
+        .otherwise(col("props")).as("props"))
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType
+        .fromDDL("k INT")).getField("k")
+    val nested = concat(lit("{\"a\":{\"b\":"), col("k").cast("string"),
+      lit("},\"tags\":["), pmod(col("k"), lit(3)).cast("string"), lit(","),
+      pmod(col("k"), lit(5)).cast("string"), lit("]}"))
+    raw.withColumn("k", k)
+      .withColumn("p", from_json(nested,
+        org.apache.spark.sql.types.StructType
+          .fromDDL("a STRUCT<b: INT>, tags ARRAY<INT>")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("k").isNull, 1)).as("n_malformed"),
+        sum("k").cast("long").as("sum_k"),
+        sum(col("p.a.b")).cast("long").as("sum_ab"),
+        sum(element_at(col("p.tags"), 2)).cast("long").as("sum_tag2"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // q188 — lexical-diversity profile (text/TextAnalysis.lexicalStats):
+  // type-token ratio, hapax count, mean token length per document —
+  // the Gopher-family quality signals that need token
+  // multiplicities. Two-phase (doc, token) partial agg, never an
+  // O(n²) per-row loop.
+  // ---------------------------------------------------------------
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis
+      .lexicalStats(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_distinct", "n_hapax", "n_chars",
+        "ttr", "mean_len")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // q189 — A/B experiment readout (quality/AbTest.welch): Welch
+  // t-test of `value` per event_type, arms split by user_id parity.
+  // One moments groupBy; the t statistic is a fixed double tree over
+  // exact decimal sums.
+  // ---------------------------------------------------------------
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    graft.quality.AbTest.welch(t(s, dir, "events"), "event_type",
+        pmod(col("user_id"), lit(2)) === 1, "value")
+      .withColumnRenamed("stratum", "event_type")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_substring_excise" -> (q183 _),
     "q184_decay_score" -> (q184 _),
     "q185_chisq_drift" -> (q185 _),
-    "q186_word_blocklist" -> (q186 _))
+    "q186_word_blocklist" -> (q186 _),
+    "q187_json_shred" -> (q187 _),
+    "q188_lexical_stats" -> (q188 _),
+    "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
     "q183_substring_excise" ->
@@ -185,5 +245,81 @@ object MiningEntry {
         |  FROM documents
         |)
         |SELECT source, blocked_word, count(*) AS n_docs
-        |FROM d GROUP BY 1, 2 ORDER BY source, blocked_word""".stripMargin)
+        |FROM d GROUP BY 1, 2 ORDER BY source, blocked_word""".stripMargin,
+    "q187_json_shred" ->
+      """WITH raw AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 17 = 0 THEN '{not json' ELSE props END
+        |      AS props
+        |  FROM events
+        |), k AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props)
+        |      THEN CAST(json_extract(props, '$.k') AS INT) END AS k
+        |  FROM raw
+        |), n AS (
+        |  SELECT event_type, k,
+        |    '{"a":{"b":' || CAST(k AS VARCHAR) || '},"tags":[' ||
+        |      CAST(k % 3 AS VARCHAR) || ',' || CAST(k % 5 AS VARCHAR) ||
+        |      ']}' AS nested
+        |  FROM k
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(*) FILTER (k IS NULL) AS n_malformed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(json_extract(nested, '$.a.b') AS INT)) AS BIGINT)
+        |    AS sum_ab,
+        |  CAST(sum(CAST(json_extract(nested, '$.tags[1]') AS INT)) AS BIGINT)
+        |    AS sum_tag2
+        |FROM n GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q188_lexical_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c, sum(len(tok)) AS lsum
+        |  FROM tok GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    count(*) FILTER (c = 1) AS n_hapax,
+        |    CAST(sum(lsum) AS BIGINT) AS n_chars
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_distinct, n_hapax, n_chars,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 9) AS ttr,
+        |  round(CAST(n_chars AS DOUBLE) / n_tokens, 9) AS mean_len
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q189_ab_ttest" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 2 = 1 AS is_b,
+        |    CAST(value AS DECIMAL(12,6)) AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (NOT is_b) AS n_a,
+        |    count(*) FILTER (is_b) AS n_b,
+        |    sum(v) FILTER (NOT is_b) AS s_a,
+        |    sum(v) FILTER (is_b) AS s_b,
+        |    sum(v * v) FILTER (NOT is_b) AS q_a,
+        |    sum(v * v) FILTER (is_b) AS q_b
+        |  FROM e GROUP BY 1
+        |), c AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(s_a AS DOUBLE) / n_a AS m_a,
+        |    CAST(s_b AS DOUBLE) / n_b AS m_b,
+        |    (CAST(q_a AS DOUBLE) -
+        |      CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1)
+        |      AS var_a,
+        |    (CAST(q_b AS DOUBLE) -
+        |      CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1)
+        |      AS var_b
+        |  FROM m
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  round(m_a, 9) AS mean_a, round(m_b, 9) AS mean_b,
+        |  round((m_b - m_a) / sqrt(var_b / n_b + var_a / n_a), 6) AS t_stat,
+        |  abs((m_b - m_a) / sqrt(var_b / n_b + var_a / n_a)) > 1.96
+        |    AS significant
+        |FROM c ORDER BY event_type""".stripMargin)
 }

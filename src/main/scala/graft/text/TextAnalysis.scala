@@ -409,4 +409,32 @@ object TextAnalysis {
       .drop("__chunks")
       .withColumn("chunk_tokens", wsTokenCount(col("chunk_text")))
   }
+
+  /** Per-document lexical-diversity profile — the Gopher-family
+    * signals that need token MULTIPLICITIES, not just counts:
+    * type-token ratio, hapax-legomenon count (tokens occurring
+    * exactly once in the doc — low hapax share flags template/
+    * boilerplate text), and mean token length. `distinctTokenRatio`
+    * above is the scan-level single-doc form; this is the two-phase
+    * explode → (doc, token) partial agg → per-doc rollup, so a
+    * pathological million-token document costs one keyed shuffle of
+    * (doc, token, count) triples, never an O(n²) per-row loop.
+    */
+  def lexicalStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cnt = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"), sum(length(col("tok"))).as("lsum"))
+    cnt.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        count(when(col("c") === 1, 1)).as("n_hapax"),
+        sum("lsum").cast("long").as("n_chars"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 9))
+      .withColumn("mean_len",
+        round(col("n_chars").cast("double") / col("n_tokens"), 9))
+  }
 }

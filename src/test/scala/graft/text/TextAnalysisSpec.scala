@@ -176,4 +176,19 @@ class TextAnalysisSpec extends SparkSpec {
         (2L, 1, "delta"), (2L, 2, "gamma"))
     }
   }
+
+  describe("lexicalStats") {
+    it("counts tokens, types, hapaxes, and mean length per doc") {
+      import spark.implicits._
+      val docs = Seq((1L, "aa bb aa cc"), (2L, "x x x x")).toDF("doc_id", "text")
+      val out = TextAnalysis.lexicalStats(docs, "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_distinct", "n_hapax", "n_chars",
+          "ttr", "mean_len")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      out(0) shouldBe ((1L, 4L, 3L, 2L, 8L, 0.75, 2.0))
+      // fully repetitive doc: zero hapaxes, TTR collapses
+      out(1) shouldBe ((2L, 4L, 1L, 0L, 4L, 0.25, 1.0))
+    }
+  }
 }
