@@ -144,7 +144,36 @@ object MiningEntry {
       .withColumnRenamed("stratum", "event_type")
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------
+  // q190 — mergeable EXACT distinct (functions/BitmapAgg): the
+  // warehouse bitmap-index trick. Per-(event_type, day) bitmap
+  // states stand in for a persisted state table; the rollup merges
+  // STATES (bitwise OR), never re-reading a raw row — and the result
+  // is exactly count(DISTINCT), which IS the oracle's check. The
+  // sum-of-daily-distincts column is deliberately larger than the
+  // merged distinct (users recur across days): the non-additivity
+  // that makes naive rollups wrong and this state shape necessary.
+  // global_distinct merges ALL states once more (1-row broadcast).
+  // ---------------------------------------------------------------
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapAgg._
+    val ev = t(s, dir, "events").select(col("event_type"),
+      to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+      col("user_id"))
+    val states = ev.groupBy("event_type", "day")
+      .agg(bitmapBuild(col("user_id")).as("bm"))
+    val global = states.agg(
+      bitmapCardinality(bitmapMerge(col("bm"))).as("global_distinct"))
+    states.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        bitmapCardinality(bitmapMerge(col("bm"))).as("distinct_users"),
+        sum(bitmapCardinality(col("bm"))).as("sum_daily_distinct"))
+      .crossJoin(broadcast(global))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_bitmap_distinct" -> (q190 _),
     "q183_substring_excise" -> (q183 _),
     "q184_decay_score" -> (q184 _),
     "q185_chisq_drift" -> (q185 _),
@@ -154,6 +183,26 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q190_bitmap_distinct" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+        |), per_day AS (
+        |  SELECT event_type, day, count(DISTINCT user_id) AS dd
+        |  FROM d GROUP BY 1, 2
+        |), per_type AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(dd) AS BIGINT) AS sum_daily_distinct
+        |  FROM per_day GROUP BY 1
+        |), dist AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |  FROM d GROUP BY 1
+        |), g AS (
+        |  SELECT count(DISTINCT user_id) AS global_distinct FROM d
+        |)
+        |SELECT per_type.event_type, n_days, distinct_users,
+        |  sum_daily_distinct, global_distinct
+        |FROM per_type JOIN dist ON per_type.event_type = dist.event_type
+        |CROSS JOIN g ORDER BY per_type.event_type""".stripMargin,
     "q183_substring_excise" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
