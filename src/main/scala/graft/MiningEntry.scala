@@ -172,7 +172,40 @@ object MiningEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q191 — keyed pseudonymization with referential consistency
+  // (quality/Pseudonym): customer and orders tokenized on custkey
+  // under ONE secret, then joined ON THE TOKENS — per-nation
+  // customer/order tallies must equal the raw-key join's (spec pins
+  // that identity; the oracle recomputes the same sha256 chain, so
+  // parity also proves the token bytes are engine-portable). Token
+  // is a codegen'd scan projection; nation dim broadcasts.
+  // ---------------------------------------------------------------
+  private val PseudoSecret = "graft-export-key"
+
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Pseudonym
+    val cust = t(s, dir, "customer").select(
+      Pseudonym.token(PseudoSecret, col("c_custkey")).as("tok"),
+      col("c_nationkey"))
+    val ord = t(s, dir, "orders").select(
+      Pseudonym.token(PseudoSecret, col("o_custkey")).as("tok"),
+      lit(1).as("m"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    cust.join(ord, Seq("tok"), "left")
+      .groupBy("c_nationkey")
+      .agg(countDistinct(col("tok")).as("n_customers"),
+        count(col("m")).as("n_orders"),
+        min(col("tok")).as("sample_token"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_customers"), col("n_orders"),
+        col("sample_token"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_pseudonymize" -> (q191 _),
     "q190_bitmap_distinct" -> (q190 _),
     "q183_substring_excise" -> (q183 _),
     "q184_decay_score" -> (q184 _),
@@ -183,6 +216,28 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q191_pseudonymize" ->
+      """WITH c AS (
+        |  SELECT substr(sha256('graft-export-key:' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 16) AS tok,
+        |    c_nationkey
+        |  FROM customer
+        |), o AS (
+        |  SELECT substr(sha256('graft-export-key:' ||
+        |      CAST(o_custkey AS VARCHAR)), 1, 16) AS tok,
+        |    1 AS m
+        |  FROM orders
+        |), j AS (
+        |  SELECT c.tok, c.c_nationkey, o.m
+        |  FROM c LEFT JOIN o ON c.tok = o.tok
+        |), a AS (
+        |  SELECT c_nationkey, count(DISTINCT tok) AS n_customers,
+        |    count(m) AS n_orders, min(tok) AS sample_token
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT n_name, n_customers, n_orders, sample_token
+        |FROM a JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q190_bitmap_distinct" ->
       """WITH d AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
