@@ -204,7 +204,21 @@ object MiningEntry {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------------
+  // q192 — equal-frequency discretization (quality/Discretize):
+  // quartile-bin l_extendedprice per return flag. Fit = exact
+  // percentiles (6dp-rounded, q177's boundary discipline), transform
+  // = codegen'd comparison sum against broadcast cuts, census = one
+  // partial-aggregated groupBy.
+  // ---------------------------------------------------------------
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Discretize
+      .report(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        nBins = 4)
+      .orderBy("group_key", "bin")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_discretize" -> (q192 _),
     "q191_pseudonymize" -> (q191 _),
     "q190_bitmap_distinct" -> (q190 _),
     "q183_substring_excise" -> (q183 _),
@@ -216,6 +230,28 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q192_discretize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    round(quantile_cont(l_extendedprice, 0.25), 6) AS c1,
+        |    round(quantile_cont(l_extendedprice, 0.50), 6) AS c2,
+        |    round(quantile_cont(l_extendedprice, 0.75), 6) AS c3
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT l.l_returnflag AS group_key,
+        |    CAST(l.l_extendedprice > c1 AS INT) +
+        |    CAST(l.l_extendedprice > c2 AS INT) +
+        |    CAST(l.l_extendedprice > c3 AS INT) AS bin,
+        |    c1, c2, c3
+        |  FROM lineitem l JOIN b ON l.l_returnflag = b.g
+        |)
+        |SELECT group_key, bin, count(*) AS n_rows,
+        |  CASE bin WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3 END
+        |    AS lo_bound,
+        |  CASE bin WHEN 0 THEN c1 WHEN 1 THEN c2 WHEN 2 THEN c3 END
+        |    AS hi_bound
+        |FROM j GROUP BY group_key, bin, lo_bound, hi_bound
+        |ORDER BY group_key, bin""".stripMargin,
     "q191_pseudonymize" ->
       """WITH c AS (
         |  SELECT substr(sha256('graft-export-key:' ||
