@@ -217,7 +217,28 @@ object MiningEntry {
         nBins = 4)
       .orderBy("group_key", "bin")
 
+  // ---------------------------------------------------------------
+  // q193 — two-feature OLS (quality/MultiOls): daily revenue per
+  // event_type regressed on (day index, event volume) — the
+  // controlled-trend readout (does revenue drift AFTER holding
+  // volume fixed). Nine exact moments in one partial-aggregated
+  // pass; Cramer 3×3 closed form; oracle generated by MultiOls.sql
+  // from the same det3 shape.
+  // ---------------------------------------------------------------
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val daily = t(s, dir, "events")
+      .select(col("event_type").as("series"), day.as("day"), col("value"))
+      .groupBy("series", "day")
+      .agg(count(lit(1)).as("x2"),
+        sum(col("value").cast("decimal(18,2)")).as("value"))
+      .select(col("series"), (col("day") - lit(19700L)).as("x1"),
+        col("x2"), col("value"))
+    graft.quality.MultiOls.fit(daily).orderBy("series")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_multi_ols" -> (q193 _),
     "q192_discretize" -> (q192 _),
     "q191_pseudonymize" -> (q191 _),
     "q190_bitmap_distinct" -> (q190 _),
@@ -230,6 +251,14 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q193_multi_ols" -> graft.quality.MultiOls.sql(
+      """
+        |  SELECT event_type AS series,
+        |    (epoch_ms(ts) // 86400000) - 19700 AS x1,
+        |    count(*) AS x2,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS value
+        |  FROM events
+        |  GROUP BY 1, 2""".stripMargin),
     "q192_discretize" ->
       """WITH b AS (
         |  SELECT l_returnflag AS g,
