@@ -237,7 +237,31 @@ object MiningEntry {
     graft.quality.MultiOls.fit(daily).orderBy("series")
   }
 
+  // ---------------------------------------------------------------
+  // q194 — Zipf power-law fit (text/Zipf): ln-ln OLS over each
+  // source's top-100 token ranks. Census is one partial-aggregated
+  // pass; ranking is a per-source window over VOCABULARY-sized rows
+  // (q180's contract); pico-quantized logs make the moments exact.
+  // Natural-looking corpus text lands near s≈1.
+  // ---------------------------------------------------------------
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = t(s, dir, "documents")
+      .select(col("source").as("series"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("series", "w")
+      .agg(count(lit(1)).as("freq"))
+    val ranked = census
+      .withColumn("rank", row_number().over(Window.partitionBy("series")
+        .orderBy(col("freq").desc, col("w"))))
+      .filter(col("rank") <= graft.text.Zipf.DefaultTopR)
+      .select("series", "rank", "freq")
+    graft.text.Zipf.fit(ranked).orderBy("series")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_zipf_fit" -> (q194 _),
     "q193_multi_ols" -> (q193 _),
     "q192_discretize" -> (q192 _),
     "q191_pseudonymize" -> (q191 _),
@@ -251,6 +275,20 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q194_zipf_fit" -> graft.text.Zipf.sql(
+      """
+        |  WITH tok AS (
+        |    SELECT source AS series, unnest(string_split(text, ' ')) AS w
+        |    FROM documents
+        |  ), census AS (
+        |    SELECT series, w, count(*) AS freq FROM tok
+        |    WHERE len(w) > 0 GROUP BY 1, 2
+        |  ), rk AS (
+        |    SELECT series, freq, row_number() OVER (PARTITION BY series
+        |      ORDER BY freq DESC, w) AS rank
+        |    FROM census
+        |  )
+        |  SELECT series, rank, freq FROM rk WHERE rank <= 100""".stripMargin),
     "q193_multi_ols" -> graft.quality.MultiOls.sql(
       """
         |  SELECT event_type AS series,
