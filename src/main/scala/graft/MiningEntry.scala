@@ -260,7 +260,25 @@ object MiningEntry {
     graft.text.Zipf.fit(ranked).orderBy("series")
   }
 
+  // ---------------------------------------------------------------
+  // q195 — interval union / coverage (ops/IntervalUnion): each event
+  // opens a 10-minute exposure window; per user, overlapping windows
+  // merge into islands and coverage is the union length (naive
+  // SUM(end-start) double-counts every overlap). Keyed windows only;
+  // integer ms throughout.
+  // ---------------------------------------------------------------
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val ms = expr("ts div 1000000")
+    val iv = t(s, dir, "events").select(col("user_id").as("key"),
+      ms.as("start"), (ms + lit(600000L)).as("end"),
+      col("event_id").as("id"))
+    graft.ops.IntervalUnion.coverage(iv)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_interval_union" -> (q195 _),
     "q194_zipf_fit" -> (q194 _),
     "q193_multi_ols" -> (q193 _),
     "q192_discretize" -> (q192 _),
@@ -275,6 +293,36 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q195_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS s,
+        |    epoch_ms(ts) + 600000 AS e, event_id AS id
+        |  FROM events
+        |), w AS (
+        |  SELECT key, s, e, id,
+        |    max(e) OVER (PARTITION BY key ORDER BY s, e, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior_end
+        |  FROM iv
+        |), b AS (
+        |  SELECT key, s, e, id,
+        |    CASE WHEN prior_end IS NULL OR s > prior_end
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM w
+        |), isl AS (
+        |  SELECT key, s, e,
+        |    sum(brk) OVER (PARTITION BY key ORDER BY s, e, id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM b
+        |), g AS (
+        |  SELECT key, island, count(*) AS n_iv,
+        |    min(s) AS st, max(e) AS en
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT key AS user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands, CAST(sum(en - st) AS BIGINT) AS covered,
+        |  CAST(max(en - st) AS BIGINT) AS longest_island
+        |FROM g GROUP BY key ORDER BY user_id""".stripMargin,
     "q194_zipf_fit" -> graft.text.Zipf.sql(
       """
         |  WITH tok AS (
