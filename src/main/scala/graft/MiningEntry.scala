@@ -277,7 +277,39 @@ object MiningEntry {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------
+  // q196 — label-propagation communities (ops/LabelProp): vendor
+  // cliques over the supplier co-occurrence graph (consecutive line
+  // items of one order link their suppliers — an ORDER-keyed lag
+  // window, bounded by lines-per-order), restricted to SAME-NATION
+  // pairs (cross-border edges dropped via two broadcast dim joins),
+  // so the graph is a nation-partitioned forest of vendor clusters
+  // at every SF instead of one dense blob. 3 synchronous rounds,
+  // (count desc, label asc) election; oracle = the generated
+  // LabelProp.sql recurrence over the same edge CTE.
+  // ---------------------------------------------------------------
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val raw = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .withColumn("prev", lag("l_suppkey", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("l_suppkey"))
+    val edges = raw
+      .join(broadcast(supp).as("sa"), col("prev") === col("sa.s_suppkey"))
+      .join(broadcast(supp).as("sb"),
+        col("l_suppkey") === col("sb.s_suppkey"))
+      .filter(col("sa.s_nationkey") === col("sb.s_nationkey"))
+      .select(col("prev").as("src"), col("l_suppkey").as("dst"))
+    graft.ops.LabelProp.census(
+        graft.ops.LabelProp.run(edges, "src", "dst", iters = 3))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_label_prop" -> (q196 _),
     "q195_interval_union" -> (q195 _),
     "q194_zipf_fit" -> (q194 _),
     "q193_multi_ols" -> (q193 _),
@@ -293,6 +325,17 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q196_label_prop" -> graft.ops.LabelProp.sql(
+      """SELECT prev AS src, l_suppkey AS dst FROM (
+        |    SELECT l_suppkey,
+        |      lag(l_suppkey) OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber) AS prev
+        |    FROM lineitem) r
+        |  JOIN supplier sa ON r.prev = sa.s_suppkey
+        |  JOIN supplier sb ON r.l_suppkey = sb.s_suppkey
+        |  WHERE prev IS NOT NULL AND prev <> r.l_suppkey
+        |    AND sa.s_nationkey = sb.s_nationkey""".stripMargin,
+      iters = 3),
     "q195_interval_union" ->
       """WITH iv AS (
         |  SELECT user_id AS key, epoch_ms(ts) AS s,
