@@ -308,7 +308,23 @@ object MiningEntry {
       .orderBy("label")
   }
 
+  // ---------------------------------------------------------------
+  // q197 — exact weighted percentiles (quality/WeightedQuantile):
+  // per-unit price quartiles per return flag, each line weighted by
+  // its quantity. Integer cumulative-weight test, the reported
+  // percentile is an untouched data value.
+  // ---------------------------------------------------------------
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.quality.WeightedQuantile.report(
+        t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v"),
+          col("l_quantity").cast("long").as("w"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id")))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_weighted_quantile" -> (q197 _),
     "q196_label_prop" -> (q196 _),
     "q195_interval_union" -> (q195 _),
     "q194_zipf_fit" -> (q194 _),
@@ -325,6 +341,24 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q197_weighted_quantile" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    l_orderkey * 10 + l_linenumber AS id
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT g, v, w,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v, id
+        |      ROWS UNBOUNDED PRECEDING) AS cw,
+        |    sum(w) OVER (PARTITION BY g) AS tw
+        |  FROM d
+        |)
+        |SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cw * 100 >= tw * 25 THEN v END) AS wp25,
+        |  min(CASE WHEN cw * 100 >= tw * 50 THEN v END) AS wp50,
+        |  min(CASE WHEN cw * 100 >= tw * 75 THEN v END) AS wp75
+        |FROM c GROUP BY g ORDER BY l_returnflag""".stripMargin,
     "q196_label_prop" -> graft.ops.LabelProp.sql(
       """SELECT prev AS src, l_suppkey AS dst FROM (
         |    SELECT l_suppkey,
