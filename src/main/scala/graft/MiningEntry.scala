@@ -323,7 +323,32 @@ object MiningEntry {
       .withColumnRenamed("g", "l_returnflag")
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------
+  // q198 — joinability discovery (sources/Joinability): pairwise
+  // value-set containment across nine candidate key columns, built
+  // from one bitmap state per column (one scan per table) and a
+  // catalog-sized pair matrix — finds the undeclared FK edges
+  // (o_custkey⊆c_custkey, l_suppkey⊆s_suppkey, the nationkey
+  // triangle) that q181 then profiles. Oracle intersects RAW values,
+  // so parity doubles as the hash-collision canary.
+  // ---------------------------------------------------------------
+  private val JoinCands = Seq(
+    "customer" -> "c_custkey", "orders" -> "o_custkey",
+    "supplier" -> "s_suppkey", "lineitem" -> "l_suppkey",
+    "nation" -> "n_nationkey", "customer" -> "c_nationkey",
+    "supplier" -> "s_nationkey", "part" -> "p_partkey",
+    "lineitem" -> "l_partkey")
+
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val tables = JoinCands.map(_._1).distinct
+      .map(n => n -> t(s, dir, n)).toMap
+    graft.sources.Joinability
+      .report(graft.sources.Joinability.states(tables, JoinCands))
+      .orderBy("col_a", "col_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_joinability" -> (q198 _),
     "q197_weighted_quantile" -> (q197 _),
     "q196_label_prop" -> (q196 _),
     "q195_interval_union" -> (q195 _),
@@ -341,6 +366,7 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q198_joinability" -> graft.sources.Joinability.sql(JoinCands),
     "q197_weighted_quantile" ->
       """WITH d AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,

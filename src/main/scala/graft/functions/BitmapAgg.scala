@@ -68,6 +68,13 @@ object BitmapAgg {
   /** Exact cardinality of a state: binary → long. */
   def bitmapCardinality(state: Column): Column =
     column(BitmapCardinalityExpr(expression(state)))
+
+  /** Exact |A ∩ B| of two states — the set-overlap primitive behind
+    * joinability/containment discovery (q198): never materializes
+    * the intersection, walks the shared chunks only.
+    */
+  def bitmapAndCardinality(a: Column, b: Column): Column =
+    column(BitmapAndCardinalityExpr(expression(a), expression(b)))
 }
 
 /** Two-level bitmap over signed longs: chunk (high 48 bits, signed)
@@ -136,6 +143,21 @@ private[functions] final class Bitmap64 {
     }.sum
 
   def isEmpty: Boolean = chunks.isEmpty
+
+  /** |this ∩ other| without materializing the intersection: walk the
+    * smaller chunk map, probe the larger, count per-container.
+    */
+  def andCardinality(other: Bitmap64): Long = {
+    val (small, big) =
+      if (chunks.size <= other.chunks.size) (this, other) else (other, this)
+    var n = 0L
+    small.chunks.foreach { case (key, sc) =>
+      big.chunks.get(key).foreach { bc =>
+        n += Bitmap64.andCount(sc, bc)
+      }
+    }
+    n
+  }
 
   /** Canonical bytes: chunk count, then chunks ascending by key, each
     * as (key, tag, payload). Equal sets ⇒ equal bytes.
@@ -219,6 +241,33 @@ private[functions] object Bitmap64 {
       }
       a
     }
+  }
+
+  /** Intersection cardinality of two containers. */
+  def andCount(x: AnyRef, y: AnyRef): Long = (x, y) match {
+    case (a: Array[Char], b: Array[Char]) =>
+      var i = 0; var j = 0; var n = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) i += 1
+        else if (a(i) > b(j)) j += 1
+        else { n += 1; i += 1; j += 1 }
+      }
+      n
+    case (a: Array[Char], b: Array[Long]) => andCount(b, a)
+    case (a: Array[Long], b: Array[Char]) =>
+      var j = 0; var n = 0L
+      while (j < b.length) {
+        val c = b(j)
+        if ((a(c >>> 6) & (1L << (c & 63))) != 0) n += 1
+        j += 1
+      }
+      n
+    case (a: Array[Long], b: Array[Long]) =>
+      var i = 0; var n = 0L
+      while (i < 1024) {
+        n += java.lang.Long.bitCount(a(i) & b(i)); i += 1
+      }
+      n
   }
 
   /** OR two containers; result demotes back to an array when the
@@ -333,6 +382,26 @@ case class BitmapMergeAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): BitmapMergeAgg =
     copy(child = c)
+}
+
+/** Exact intersection cardinality of two serialized states.
+  * Evaluated on pairs of already-aggregated states (metadata-sized
+  * rows), so CodegenFallback costs nothing.
+  */
+case class BitmapAndCardinalityExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64.deserialize(a.asInstanceOf[Array[Byte]])
+      .andCardinality(Bitmap64.deserialize(b.asInstanceOf[Array[Byte]]))
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_and_cardinality"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapAndCardinalityExpr =
+    copy(left = l, right = r)
 }
 
 /** Exact cardinality of serialized state. Evaluated once per GROUP
