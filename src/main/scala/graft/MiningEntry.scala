@@ -347,7 +347,36 @@ object MiningEntry {
       .orderBy("col_a", "col_b")
   }
 
+  // ---------------------------------------------------------------
+  // q199 — rolling 7-day EXACT distinct users (functions/BitmapAgg):
+  // the classic non-additive rolling metric — per-day distincts
+  // cannot sum into a trailing window, so warehouses either rescan
+  // 7 days of raw events per day or accept HLL error. Here each day
+  // aggregates ONCE into a bitmap state; the trailing window is a
+  // range self-join on the DAYS-sized state table plus a state
+  // merge — raw events are read exactly once at any window length.
+  // ---------------------------------------------------------------
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapAgg._
+    val states = t(s, dir, "events")
+      .select(expr("(ts div 1000000) div 86400000").as("day"),
+        col("user_id"))
+      .groupBy("day").agg(bitmapBuild(col("user_id")).as("bm"))
+    val daily = states.select(col("day"),
+      bitmapCardinality(col("bm")).as("distinct_1d"))
+    val spine = states.select(col("day").as("d"))
+    spine.join(states,
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("n_days_present"),
+        bitmapCardinality(bitmapMerge(col("bm"))).as("distinct_7d"))
+      .join(daily, "day")
+      .select("day", "n_days_present", "distinct_1d", "distinct_7d")
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_rolling_distinct" -> (q199 _),
     "q198_joinability" -> (q198 _),
     "q197_weighted_quantile" -> (q197 _),
     "q196_label_prop" -> (q196 _),
@@ -366,6 +395,23 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q199_rolling_distinct" ->
+      """WITH d AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM d
+        |), seven AS (
+        |  SELECT days.day AS day, count(DISTINCT d.day) AS n_days_present,
+        |    count(DISTINCT d.user_id) AS distinct_7d
+        |  FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+        |  GROUP BY 1
+        |), one AS (
+        |  SELECT day, count(DISTINCT user_id) AS distinct_1d
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT seven.day, n_days_present, distinct_1d, distinct_7d
+        |FROM seven JOIN one ON seven.day = one.day
+        |ORDER BY seven.day""".stripMargin,
     "q198_joinability" -> graft.sources.Joinability.sql(JoinCands),
     "q197_weighted_quantile" ->
       """WITH d AS (
