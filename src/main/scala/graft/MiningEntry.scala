@@ -375,7 +375,23 @@ object MiningEntry {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------
+  // q200 — Benford first-digit audit (quality/Benford) over order
+  // totals in cents: leading digit from the decimal STRING rendering
+  // (no float log10 at query time — the nine expected shares embed
+  // as shared round-trip literals), chi-square contributions on
+  // exact counts, 9 digits always present.
+  // ---------------------------------------------------------------
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Benford.audit(
+        t(s, dir, "orders").select(
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")),
+        "cents")
+      .orderBy("digit")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_benford" -> (q200 _),
     "q199_rolling_distinct" -> (q199 _),
     "q198_joinability" -> (q198 _),
     "q197_weighted_quantile" -> (q197 _),
@@ -395,6 +411,11 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q200_benford" -> graft.quality.Benford.sql(
+      """
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS v
+        |  FROM orders""".stripMargin),
     "q199_rolling_distinct" ->
       """WITH d AS (
         |  SELECT epoch_ms(ts) // 86400000 AS day, user_id FROM events
