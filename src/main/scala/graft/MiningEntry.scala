@@ -390,7 +390,47 @@ object MiningEntry {
         "cents")
       .orderBy("digit")
 
+  // ---------------------------------------------------------------
+  // q201 — contact canonicalization (text/Contacts): each customer
+  // appears as a gmail variant pair (dotted+tagged vs googlemail)
+  // plus an example.org row for even keys; canonical email/phone
+  // must merge the pair (n_identities = customers, n_contacts = 2×)
+  // while leaving the non-gmail domain un-dotted and flagging the
+  // short phone invalid. Pure scan projections; census is the only
+  // exchange.
+  // ---------------------------------------------------------------
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Contacts
+    val cust = t(s, dir, "customer")
+    val ck = col("c_custkey")
+    val four = lpad(pmod(ck, lit(10000)).cast("string"), 4, "0")
+    val a = cust.select(
+      concat(lit("john."), ck.cast("string"),
+        lit("+promo@GMAIL.com")).as("email"),
+      concat(lit("+1 (202) 555-"), four).as("phone"))
+    val b = cust.select(
+      concat(lit("john"), ck.cast("string"),
+        lit("@googlemail.com")).as("email"),
+      concat(lit("202.555."), four).as("phone"))
+    val c = cust.filter(pmod(ck, lit(2)) === 0).select(
+      concat(lit("user."), ck.cast("string"),
+        lit("@Example.ORG")).as("email"),
+      concat(lit("555-01"),
+        lpad(pmod(ck, lit(100)).cast("string"), 2, "0")).as("phone"))
+    a.unionByName(b).unionByName(c)
+      .select(Contacts.canonicalEmail(col("email")).as("ce"),
+        Contacts.canonicalPhone(col("phone")).as("cp"))
+      .withColumn("domain", regexp_extract(col("ce"), "@(.+)$", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_contacts"),
+        countDistinct(col("ce")).as("n_identities"),
+        count(col("cp")).as("n_valid_phones"),
+        countDistinct(col("cp")).as("n_distinct_phones"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_contact_canon" -> (q201 _),
     "q200_benford" -> (q200 _),
     "q199_rolling_distinct" -> (q199 _),
     "q198_joinability" -> (q198 _),
@@ -411,6 +451,65 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q201_contact_canon" ->
+      """WITH ct AS (
+        |  SELECT 'john.' || CAST(c_custkey AS VARCHAR) ||
+        |      '+promo@GMAIL.com' AS email,
+        |    '+1 (202) 555-' ||
+        |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS phone
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'john' || CAST(c_custkey AS VARCHAR) ||
+        |      '@googlemail.com',
+        |    '202.555.' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'user.' || CAST(c_custkey AS VARCHAR) || '@Example.ORG',
+        |    '555-01' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |), p2 AS (
+        |  SELECT
+        |    regexp_extract(lower(trim(email)),
+        |      '^([^@]+)@([^@]+)$', 1) AS l0,
+        |    regexp_extract(lower(trim(email)),
+        |      '^([^@]+)@([^@]+)$', 2) AS d0,
+        |    phone
+        |  FROM ct
+        |), p3 AS (
+        |  SELECT l0,
+        |    CASE WHEN d0 = 'googlemail.com' THEN 'gmail.com'
+        |      ELSE d0 END AS d,
+        |    d0, phone
+        |  FROM p2
+        |), p4 AS (
+        |  SELECT l0, d, d0, regexp_replace(l0, '\+.*$', '') AS notag,
+        |    phone
+        |  FROM p3
+        |), p5 AS (
+        |  SELECT l0, d, d0,
+        |    CASE WHEN d = 'gmail.com'
+        |      THEN regexp_replace(notag, '\.', '', 'g')
+        |      ELSE notag END AS lf,
+        |    regexp_replace(phone, '[^0-9]', '', 'g') AS digits
+        |  FROM p4
+        |), p6 AS (
+        |  SELECT
+        |    CASE WHEN l0 <> '' AND d0 <> '' AND lf <> ''
+        |      THEN lf || '@' || d END AS ce,
+        |    CASE WHEN length(digits) = 11 AND substr(digits, 1, 1) = '1'
+        |      THEN substr(digits, 2, 10) ELSE digits END AS nat
+        |  FROM p5
+        |), canon AS (
+        |  SELECT ce,
+        |    CASE WHEN length(nat) = 10 THEN nat END AS cp,
+        |    regexp_extract(ce, '@(.+)$', 1) AS domain
+        |  FROM p6
+        |)
+        |SELECT domain, count(*) AS n_contacts,
+        |  count(DISTINCT ce) AS n_identities,
+        |  count(cp) AS n_valid_phones,
+        |  count(DISTINCT cp) AS n_distinct_phones
+        |FROM canon GROUP BY domain ORDER BY domain""".stripMargin,
     "q200_benford" -> graft.quality.Benford.sql(
       """
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
