@@ -429,7 +429,37 @@ object MiningEntry {
       .orderBy("domain")
   }
 
+  // ---------------------------------------------------------------
+  // q202 — conversion-lag distribution (ops/SequencePattern +
+  // exact percentiles): view→purchase within 24h with no error
+  // between (q168's guarded pairing), then p25/p50/p75/p90 of the
+  // lag per hour-of-day of the view — the "how fast do morning vs
+  // evening visitors convert" readout. Matches are user-keyed joins;
+  // the percentile groups are 24 tiny partitions.
+  // ---------------------------------------------------------------
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000").as("ms"))
+    graft.ops.SequencePattern
+      .firstThenWithout(ev, "user_id", "event_type", "ms",
+        a = "view", b = "purchase", guard = "error",
+        windowMs = 86400000L)
+      .withColumn("hour", pmod(expr("a_ms div 3600000"), lit(24)))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(element_at(expr(
+          "percentile(gap_ms, array(0.25,0.5,0.75,0.9))"), 1), 6).as("p25"),
+        round(element_at(expr(
+          "percentile(gap_ms, array(0.25,0.5,0.75,0.9))"), 2), 6).as("p50"),
+        round(element_at(expr(
+          "percentile(gap_ms, array(0.25,0.5,0.75,0.9))"), 3), 6).as("p75"),
+        round(element_at(expr(
+          "percentile(gap_ms, array(0.25,0.5,0.75,0.9))"), 4), 6).as("p90"))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_conversion_lag" -> (q202 _),
     "q201_contact_canon" -> (q201 _),
     "q200_benford" -> (q200 _),
     "q199_rolling_distinct" -> (q199 _),
@@ -451,6 +481,31 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q202_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS typ, epoch_ms(ts) AS ms
+        |  FROM events
+        |), a AS (
+        |  SELECT u, ms AS a_ms FROM e WHERE typ = 'view'
+        |), b AS (
+        |  SELECT u, ms AS b_ms FROM e WHERE typ = 'purchase'
+        |), m AS (
+        |  SELECT a.u, a.a_ms, min(b.b_ms) AS b_ms
+        |  FROM a JOIN b ON a.u = b.u AND b.b_ms > a.a_ms
+        |    AND b.b_ms <= a.a_ms + 86400000
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT u, a_ms, b_ms - a_ms AS gap_ms FROM m
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e c WHERE c.typ = 'error' AND c.u = m.u
+        |      AND c.ms > m.a_ms AND c.ms < m.b_ms)
+        |)
+        |SELECT (a_ms // 3600000) % 24 AS hour, count(*) AS n_conversions,
+        |  round(quantile_cont(gap_ms, 0.25), 6) AS p25,
+        |  round(quantile_cont(gap_ms, 0.50), 6) AS p50,
+        |  round(quantile_cont(gap_ms, 0.75), 6) AS p75,
+        |  round(quantile_cont(gap_ms, 0.90), 6) AS p90
+        |FROM s GROUP BY 1 ORDER BY hour""".stripMargin,
     "q201_contact_canon" ->
       """WITH ct AS (
         |  SELECT 'john.' || CAST(c_custkey AS VARCHAR) ||
