@@ -458,7 +458,23 @@ object MiningEntry {
       .orderBy("hour")
   }
 
+  // ---------------------------------------------------------------
+  // q203 — mode imputation (quality/Impute): every 7th customer's
+  // nationkey is nulled (simulated extraction holes); the repair
+  // fills from the per-mktsegment mode with a (count desc, value
+  // asc) election and reports the mode's confidence share.
+  // Election = census + groups-sized window; fill = broadcast join.
+  // ---------------------------------------------------------------
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Impute.modeReport(
+        t(s, dir, "customer").select(col("c_mktsegment"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("c_nationkey")).as("c_nationkey")),
+        "c_mktsegment", "c_nationkey")
+      .orderBy("group_key")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_impute_mode" -> (q203 _),
     "q202_conversion_lag" -> (q202 _),
     "q201_contact_canon" -> (q201 _),
     "q200_benford" -> (q200 _),
@@ -481,6 +497,32 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q203_impute_mode" ->
+      """WITH d AS (
+        |  SELECT c_mktsegment AS g,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |      ELSE c_nationkey END AS v
+        |  FROM customer
+        |), census AS (
+        |  SELECT g, v, count(*) AS c FROM d
+        |  WHERE v IS NOT NULL GROUP BY 1, 2
+        |), modes AS (
+        |  SELECT g, v AS mode_value,
+        |    round(CAST(c AS DOUBLE) / nn, 6) AS mode_share
+        |  FROM (
+        |    SELECT g, v, c,
+        |      row_number() OVER (PARTITION BY g ORDER BY c DESC, v) AS rn,
+        |      sum(c) OVER (PARTITION BY g) AS nn
+        |    FROM census)
+        |  WHERE rn = 1
+        |), base AS (
+        |  SELECT g, count(*) AS n_rows,
+        |    count(*) FILTER (v IS NULL) AS n_null
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT base.g AS group_key, n_rows, n_null, mode_value, mode_share
+        |FROM base LEFT JOIN modes ON base.g = modes.g
+        |ORDER BY group_key""".stripMargin,
     "q202_conversion_lag" ->
       """WITH e AS (
         |  SELECT user_id AS u, event_type AS typ, epoch_ms(ts) AS ms
