@@ -473,7 +473,29 @@ object MiningEntry {
         "c_mktsegment", "c_nationkey")
       .orderBy("group_key")
 
+  // ---------------------------------------------------------------
+  // q204 — partition-key advisor (ops/PartitionAdvisor): one melt
+  // scan over five candidate keys for the events table, each landing
+  // a different verdict (day ok, event_type too-few, user_id
+  // too-many under maxParts=100, a planted hot third skewed, a
+  // 98%-null candidate null-heavy). Verdict priority and thresholds
+  // restated identically in the SQL twin.
+  // ---------------------------------------------------------------
+  private def q204(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PartitionAdvisor.advise(t(s, dir, "events"),
+        Seq(
+          "day" -> expr("(ts div 1000000) div 86400000"),
+          "event_type" -> col("event_type"),
+          "null_demo" -> when(pmod(col("user_id"), lit(50)) === 0,
+            col("user_id")),
+          "skew_demo" -> when(pmod(col("user_id"), lit(3)) === 0,
+            lit(-1L)).otherwise(col("user_id")),
+          "user_id" -> col("user_id")),
+        minParts = 8, maxParts = 100)
+      .orderBy("candidate")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_partition_advisor" -> (q204 _),
     "q203_impute_mode" -> (q203 _),
     "q202_conversion_lag" -> (q202 _),
     "q201_contact_canon" -> (q201 _),
@@ -497,6 +519,16 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q204_partition_advisor" -> graft.ops.PartitionAdvisor.sql(
+      "events",
+      Seq(
+        "day" -> "epoch_ms(ts) // 86400000",
+        "event_type" -> "event_type",
+        "null_demo" -> "CASE WHEN user_id % 50 = 0 THEN user_id END",
+        "skew_demo" ->
+          "CASE WHEN user_id % 3 = 0 THEN -1 ELSE user_id END",
+        "user_id" -> "user_id"),
+      minParts = 8, maxParts = 100),
     "q203_impute_mode" ->
       """WITH d AS (
         |  SELECT c_mktsegment AS g,
