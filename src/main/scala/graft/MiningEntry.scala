@@ -494,7 +494,23 @@ object MiningEntry {
         minParts = 8, maxParts = 100)
       .orderBy("candidate")
 
+  // ---------------------------------------------------------------
+  // q205 — dense surrogate keys (ops/SurrogateKeys): junk dimension
+  // over distinct (mktsegment, nationkey) combos. Two-phase
+  // range-bucket prefix sum — bit-identical to the naive global
+  // row_number the oracle restates, with no single-reducer sort.
+  // ---------------------------------------------------------------
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SurrogateKeys.assign(
+        t(s, dir, "customer").select(col("c_mktsegment"),
+          col("c_nationkey")),
+        Seq("c_mktsegment", "c_nationkey"),
+        bucket = ascii(substring(col("c_mktsegment"), 1, 1)),
+        base = 1L)
+      .orderBy("surrogate_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_surrogate_keys" -> (q205 _),
     "q204_partition_advisor" -> (q204 _),
     "q203_impute_mode" -> (q203 _),
     "q202_conversion_lag" -> (q202 _),
@@ -519,6 +535,13 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q205_surrogate_keys" ->
+      """SELECT CAST(row_number() OVER
+        |    (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)
+        |    AS surrogate_id,
+        |  c_mktsegment, c_nationkey
+        |FROM (SELECT DISTINCT c_mktsegment, c_nationkey FROM customer)
+        |ORDER BY surrogate_id""".stripMargin,
     "q204_partition_advisor" -> graft.ops.PartitionAdvisor.sql(
       "events",
       Seq(

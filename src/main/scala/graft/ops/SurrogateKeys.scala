@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense surrogate-key assignment — the warehouse identity column
+  * (dimension build, junk dims, stable doc ids for training shards)
+  * WITHOUT the classic scale trap: `row_number() OVER (ORDER BY …)`
+  * plans a single-reducer global sort. Here the global order splits
+  * into a RANGE-bucketed two-phase shape (q82/q90's prefix-sum
+  * discipline):
+  *
+  *   1. distinct keys bucket by a caller-supplied expression that is
+  *      MONOTONE in the key order (a range prefix: leading byte,
+  *      id div N, date div month…) — the documented contract; a
+  *      hash bucket would interleave ranges and break density;
+  *   2. per-bucket counts (buckets-sized) prefix-sum into offsets —
+  *      the only cross-bucket step, a window over METADATA-sized
+  *      rows;
+  *   3. each key's id = base + offset(bucket) + rank within its
+  *      bucket (bucket-keyed window).
+  *
+  * The result is bit-identical to the naive global row_number (the
+  * oracle restates exactly that), while no stage ever sees more than
+  * one bucket's keys in one task.
+  */
+object SurrogateKeys {
+
+  /** @param df        source rows (need not be distinct).
+    * @param keyCols   natural-key columns; id order = their asc order.
+    * @param bucket    monotone range-bucket expression over keyCols.
+    * @param base      first id to assign.
+    * @return distinct keys + dense `surrogate_id` starting at base.
+    */
+  def assign(df: DataFrame, keyCols: Seq[String], bucket: Column,
+      base: Long = 1L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val d = df.select(keyCols.map(col): _*).distinct()
+      .withColumn("__sk_b", bucket)
+    val offs = d.groupBy("__sk_b").agg(count(lit(1)).as("__sk_n"))
+      .withColumn("__sk_off",
+        coalesce(sum(col("__sk_n")).over(Window.orderBy("__sk_b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__sk_n")
+    val ranked = d.withColumn("__sk_rn",
+      row_number().over(Window.partitionBy("__sk_b")
+        .orderBy(keyCols.map(col): _*)))
+    ranked.join(broadcast(offs), "__sk_b")
+      .select((lit(base) + col("__sk_off") + col("__sk_rn") - 1)
+        .as("surrogate_id") +: keyCols.map(col): _*)
+  }
+}
