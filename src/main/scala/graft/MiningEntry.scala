@@ -509,7 +509,39 @@ object MiningEntry {
         base = 1L)
       .orderBy("surrogate_id")
 
+  // ---------------------------------------------------------------
+  // q206 — CDC column attribution (ops/Cdc.columnCensus): of the
+  // update rows between two order versions (every 5th status
+  // flipped, every 11th price bumped, every 13th deleted, every
+  // 17th re-inserted under a new key), how many touched each
+  // compared column — the churn audit that picks SCD2 check_cols.
+  // One conditional-sum pass over the changes-sized diff.
+  // ---------------------------------------------------------------
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val before = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val mutated = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0,
+          col("o_totalprice") + 10).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+    val appended = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(17)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val diffed = graft.ops.Cdc.diff(before,
+      mutated.unionByName(appended), Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice"))
+    graft.ops.Cdc
+      .columnCensus(diffed, Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_cdc_column_census" -> (q206 _),
     "q205_surrogate_keys" -> (q205 _),
     "q204_partition_advisor" -> (q204 _),
     "q203_impute_mode" -> (q203 _),
@@ -535,6 +567,39 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q206_cdc_column_census" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+        |  FROM orders
+        |), a AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS s,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 17 = 0
+        |), u AS (
+        |  SELECT b.s AS bs, a.s AS as_, b.p AS bp, a.p AS ap
+        |  FROM b JOIN a ON b.k = a.k
+        |  WHERE (b.s IS DISTINCT FROM a.s) OR (b.p IS DISTINCT FROM a.p)
+        |), agg AS (
+        |  SELECT count(*) AS n_updates,
+        |    count(*) FILTER (bs IS DISTINCT FROM as_) AS chg_s,
+        |    count(*) FILTER (bp IS DISTINCT FROM ap) AS chg_p
+        |  FROM u
+        |)
+        |SELECT 'o_orderstatus' AS column_name,
+        |  CAST(chg_s AS BIGINT) AS n_changed, n_updates,
+        |  round(CAST(chg_s AS DOUBLE) / n_updates, 6) AS share_of_updates
+        |FROM agg
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(chg_p AS BIGINT), n_updates,
+        |  round(CAST(chg_p AS DOUBLE) / n_updates, 6)
+        |FROM agg
+        |ORDER BY column_name""".stripMargin,
     "q205_surrogate_keys" ->
       """SELECT CAST(row_number() OVER
         |    (ORDER BY c_mktsegment, c_nationkey) AS BIGINT)

@@ -54,4 +54,29 @@ object Cdc {
           compareCols.map(c => col(s"b.$c").as(s"before_$c")) ++
           compareCols.map(c => col(s"a.$c").as(s"after_$c")): _*)
   }
+
+  /** Column-level attribution over a [[diff]] result: of the UPDATE
+    * rows, how many touched each compared column — the "what is
+    * actually churning" audit that decides SCD2 check_cols (q11),
+    * incremental merge keys, and whether a noisy column should be
+    * excluded from change detection. One pass of conditional sums
+    * over the (changes-sized) diff output, melted to a row per
+    * column (q172's expand idiom).
+    */
+  def columnCensus(diffed: DataFrame, compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val upd = diffed.filter(col(ChangeCol) === "update")
+    val aggs = compareCols.map(c =>
+      sum(when(!(col(s"before_$c") <=> col(s"after_$c")), 1L)
+        .otherwise(0L)).as(s"chg_$c"))
+    upd.agg(count(lit(1)).as("n_updates"), aggs: _*)
+      .select(col("n_updates"),
+        explode(array(compareCols.map(c =>
+          struct(lit(c).as("column_name"),
+            col(s"chg_$c").as("n_changed"))): _*)).as("s"))
+      .select(col("s.column_name").as("column_name"),
+        col("s.n_changed").as("n_changed"), col("n_updates"),
+        round(col("s.n_changed").cast("double") / col("n_updates"), 6)
+          .as("share_of_updates"))
+  }
 }

@@ -43,5 +43,20 @@ class CdcSpec extends SparkSpec {
         .select("k", "change").as[(Long, String)].collect()
       out shouldBe Array((4L, "update"))
     }
+    it("columnCensus attributes updates to the columns that moved") {
+      val b2 = Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "C", 3.0),
+        (4L, "D", 4.0)).toDF("k", "status", "price")
+      val a2 = Seq((1L, "Z", 1.0), (2L, "B", 9.0), (3L, "Z", 9.0),
+        (4L, "D", 4.0)).toDF("k", "status", "price")
+      val census = Cdc.columnCensus(
+          Cdc.diff(b2, a2, Seq("k"), Seq("status", "price")),
+          Seq("status", "price"))
+        .orderBy("column_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      // 3 updates: k1 status-only, k2 price-only, k3 both
+      census shouldBe Array(("price", 2L, 3L, 0.666667),
+        ("status", 2L, 3L, 0.666667))
+    }
   }
 }
