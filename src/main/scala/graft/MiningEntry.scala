@@ -540,7 +540,22 @@ object MiningEntry {
       .orderBy("column_name")
   }
 
+  // ---------------------------------------------------------------
+  // q207 — Neyman sample allocation (ops/Sampling.neymanAllocation):
+  // split a 1000-row audit budget across event types ∝ N_h·σ_h of
+  // the value column — variable strata earn more rows. One exact
+  // moments pass; weights quantize before the total so Σw is
+  // order-independent.
+  // ---------------------------------------------------------------
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.neymanAllocation(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value", budget = 1000L)
+      .withColumnRenamed("stratum", "event_type")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_neyman_allocation" -> (q207 _),
     "q206_cdc_column_census" -> (q206 _),
     "q205_surrogate_keys" -> (q205 _),
     "q204_partition_advisor" -> (q204 _),
@@ -567,6 +582,46 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q207_neyman_allocation" ->
+      """WITH m AS (
+        |  SELECT event_type AS stratum, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s,
+        |    sum(CAST(value AS DECIMAL(18,6)) *
+        |        CAST(value AS DECIMAL(18,6))) AS q
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT stratum, n,
+        |    CASE WHEN n >= 2 AND
+        |      (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+        |      THEN sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) *
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) - 1))
+        |      ELSE 0.0 END AS sd
+        |  FROM m
+        |), w AS (
+        |  SELECT stratum, n, sd,
+        |    CAST(round(CAST(n AS DOUBLE) * sd, 6) AS DECIMAL(28,6)) AS w
+        |  FROM c
+        |), t AS (
+        |  SELECT sum(w) AS tw FROM w
+        |), r AS (
+        |  SELECT stratum, n, sd, CAST(w AS DOUBLE) AS wd,
+        |    CAST(tw AS DOUBLE) AS twd
+        |  FROM w, t
+        |), r2 AS (
+        |  SELECT stratum, n, sd,
+        |    CASE WHEN twd > 0 THEN round(wd / twd, 6) ELSE 0.0 END
+        |      AS alloc_share,
+        |    CASE WHEN twd > 0
+        |      THEN least(n, CAST(round(1000.0 * wd / twd, 0) AS BIGINT))
+        |      ELSE 0 END AS n_alloc
+        |  FROM r
+        |)
+        |SELECT stratum AS event_type, n AS n_rows, round(sd, 6) AS sd,
+        |  alloc_share, CAST(n_alloc AS BIGINT) AS n_alloc,
+        |  round(CAST(n_alloc AS DOUBLE) / n, 6) AS sampling_rate
+        |FROM r2 ORDER BY event_type""".stripMargin,
     "q206_cdc_column_census" ->
       """WITH b AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p

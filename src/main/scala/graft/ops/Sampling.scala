@@ -37,6 +37,56 @@ object Sampling {
     df.filter(pmod(col(keyCol), denom) === 0)
   }
 
+  /** Neyman allocation for stratified sampling (Neyman 1934): split
+    * a sample budget across strata ∝ N_h·σ_h, so variable strata get
+    * proportionally more rows and near-constant strata almost none —
+    * the statistically efficient version of the flat rates q53's
+    * `stratified` then executes. Reports per stratum the population,
+    * the sd, the allocation, and the implied sampling rate.
+    *
+    * Exactness: per-stratum moments (n, Σv, Σv²) ride exact decimals
+    * in ONE partial-aggregated pass (q189's discipline; Σv² on
+    * DECIMAL(38,12)); sd/weight/allocation is then a fixed double
+    * chain — sqrt is IEEE-correctly-rounded so it's engine-portable.
+    * Allocations are independently rounded (they may sum to
+    * budget±strata/2; use largest-remainder downstream if the total
+    * must be exact) and capped at N_h. Single-row or zero-variance
+    * strata get weight 0 and allocation 0.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val m = df
+      .select(col(strataCol).as("stratum"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val nD = col("n").cast("double")
+    val varU = (col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") / nD) / (nD - 1)
+    val sd = when(col("n") >= 2 && varU > 0, sqrt(varU)).otherwise(lit(0.0))
+    // weights quantize to 6dp decimals BEFORE the total: a raw
+    // double Σw would be partial-order-dependent
+    val weighted = m.withColumn("w",
+      round(nD * sd, 6).cast("decimal(28,6)"))
+    val tot = weighted.agg(sum(col("w")).as("tw"))
+    val wD = col("w").cast("double")
+    val twD = col("tw").cast("double")
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        when(twD > 0,
+          least(col("n"),
+            round(lit(budget.toDouble) * wD / twD, 0).cast("long")))
+          .otherwise(lit(0L)))
+      .select(col("stratum"), col("n").as("n_rows"),
+        round(sd, 6).as("sd"),
+        when(twD > 0, round(wD / twD, 6))
+          .otherwise(lit(0.0)).as("alloc_share"),
+        col("alloc").as("n_alloc"),
+        round(col("alloc").cast("double") / nD, 6).as("sampling_rate"))
+  }
+
   /** Hash-fraction sample for keys with non-uniform spacing (string
     * ids, clustered longs): keep rows whose key hash lands in the
     * first `fraction` of the hash space. Deterministic, uniform, and

@@ -161,4 +161,41 @@ class SamplingSpec extends SparkSpec {
         Sampling.capPerKey(data, "key", "id", 5, 0)
     }
   }
+
+  describe("neymanAllocation") {
+    import spark.implicits._
+
+    it("allocates budget toward the variable stratum") {
+      // flat: 200 rows of constant 10; wild: 200 rows spanning 0..199
+      val rows = (1 to 200).map(i => ("flat", 10.0)) ++
+        (0 until 200).map(i => ("wild", i.toDouble))
+      val r = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v", 100)
+        .orderBy("stratum").collect()
+      // constant stratum: sd 0 → zero allocation
+      r(0).getDouble(2) shouldBe 0.0
+      r(0).getLong(4) shouldBe 0
+      // all budget flows to the variable stratum
+      r(1).getLong(4) shouldBe 100
+      r(1).getDouble(3) shouldBe 1.0
+    }
+
+    it("equal strata split the budget evenly and caps apply") {
+      val rows = (0 until 50).flatMap(i =>
+        Seq(("a", i.toDouble), ("b", i.toDouble)))
+      val r = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v", 200)
+        .orderBy("stratum").collect()
+      // budget 200 over 100 rows: allocation caps at N_h = 50 each
+      r.map(_.getLong(4)).toSeq shouldBe Seq(50L, 50L)
+      r.map(_.getDouble(5)).toSeq shouldBe Seq(1.0, 1.0)
+    }
+
+    it("single-row strata get sd 0 and no allocation") {
+      val rows = Seq(("one", 42.0)) ++ (0 until 20).map(i => ("m", i.toDouble))
+      val r = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v", 10)
+        .orderBy("stratum").collect()
+      val one = r.find(_.getString(0) == "one").get
+      one.getDouble(2) shouldBe 0.0
+      one.getLong(4) shouldBe 0
+    }
+  }
 }
