@@ -554,7 +554,35 @@ object MiningEntry {
       .withColumnRenamed("stratum", "event_type")
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------
+  // q208 — PII inventory (text/TextAnalysis.piiInventory): the audit
+  // twin of q55's redaction — per source, occurrence totals and doc
+  // coverage for emails, long numbers, IPv4s, SSN-shaped strings.
+  // Deterministic injections (every 10th/7th/13th doc) make every
+  // class fire; the oracle injects the identical text and runs the
+  // same RE2 patterns via shared constants.
+  // ---------------------------------------------------------------
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val injected = t(s, dir, "documents")
+      .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or 5551234567"))).otherwise(col("text")))
+      .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+        .otherwise(col("text")))
+      .withColumn("text", when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"), lit(" ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    TextAnalysis.piiInventory(injected, "source", "text")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_pii_inventory" -> (q208 _),
     "q207_neyman_allocation" -> (q207 _),
     "q206_cdc_column_census" -> (q206 _),
     "q205_surrogate_keys" -> (q205 _),
@@ -582,6 +610,47 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q208_pii_inventory" -> {
+      import graft.text.TextAnalysis._
+      s"""WITH inj AS (
+         |  SELECT source,
+         |    text
+         |    || CASE WHEN doc_id % 10 = 0 THEN ' contact: user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com or 5551234567'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |    AS text
+         |  FROM documents
+         |), c AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+         |      AS ne,
+         |    CAST(len(regexp_extract_all(text, '$LongNumberRe')) AS BIGINT)
+         |      AS nn,
+         |    CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT)
+         |      AS ni,
+         |    CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT)
+         |      AS ns
+         |  FROM inj
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_email,
+         |  CAST(sum(nn) AS BIGINT) AS n_numbers,
+         |  CAST(sum(CASE WHEN nn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_number,
+         |  CAST(sum(ni) AS BIGINT) AS n_ips,
+         |  CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_ip,
+         |  CAST(sum(ns) AS BIGINT) AS n_ssns,
+         |  CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_with_ssn
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
     "q207_neyman_allocation" ->
       """WITH m AS (
         |  SELECT event_type AS stratum, count(*) AS n,

@@ -263,6 +263,44 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), LongNumberRe, "<NUM>")
 
+  /** IPv4 and SSN-shaped patterns for the PII INVENTORY (the audit
+    * twin of redaction: compliance wants to know WHERE the PII lives
+    * before deciding what to do with it). RE2-safe like the rest —
+    * \b word boundaries, no lookaround — so DuckDB runs them
+    * verbatim. Deliberately shape-based (999.999.999.999 matches):
+    * an inventory overcounts rather than misses.
+    */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def ipCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long")
+
+  def ssnCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(SsnRe), lit(0))).cast("long")
+
+  /** Per-group PII inventory: occurrence totals and document
+    * coverage per PII class. One codegen'd scan projection + one
+    * partial-aggregated census.
+    */
+  def piiInventory(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(groupCol),
+        emailCount(t).as("ne"), longNumberCount(t).as("nn"),
+        ipCount(t).as("ni"), ssnCount(t).as("ns"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_emails"),
+        sum((col("ne") > 0).cast("long")).as("docs_with_email"),
+        sum(col("nn")).as("n_numbers"),
+        sum((col("nn") > 0).cast("long")).as("docs_with_number"),
+        sum(col("ni")).as("n_ips"),
+        sum((col("ni") > 0).cast("long")).as("docs_with_ip"),
+        sum(col("ns")).as("n_ssns"),
+        sum((col("ns") > 0).cast("long")).as("docs_with_ssn"))
+  }
+
   // ------------------------------------------------------------
   // fingerprint (q32)
   // ------------------------------------------------------------

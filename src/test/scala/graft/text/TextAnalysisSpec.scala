@@ -191,4 +191,34 @@ class TextAnalysisSpec extends SparkSpec {
       out(1) shouldBe ((2L, 4L, 1L, 0L, 4L, 0.25, 1.0))
     }
   }
+
+  describe("piiInventory") {
+    import org.apache.spark.sql.functions.col
+    it("counts occurrences and document coverage per class") {
+      import spark.implicits._
+      val df = Seq(
+        ("s", "mail a@b.co and c@d.org plus ip 10.0.0.1"),
+        ("s", "ssn 123-45-6789 and number 12345678"),
+        ("s", "clean text")).toDF("source", "text")
+      val r = TextAnalysis.piiInventory(df, "source", "text")
+        .collect().head
+      r.getLong(1) shouldBe 3            // n_docs
+      r.getLong(2) shouldBe 2            // n_emails
+      r.getLong(3) shouldBe 1            // docs_with_email
+      r.getLong(4) shouldBe 1            // n_numbers (12345678)
+      r.getLong(6) shouldBe 1            // n_ips
+      r.getLong(8) shouldBe 1            // n_ssns
+    }
+
+    it("ip and ssn shapes don't cross-fire on plain digit runs") {
+      import spark.implicits._
+      val df = Seq(("s", "phone 5551234567 date 2024-01-02"))
+        .toDF("source", "text")
+      val r = TextAnalysis.piiInventory(df, "source", "text")
+        .collect().head
+      r.getLong(6) shouldBe 0
+      r.getLong(8) shouldBe 0
+      r.getLong(4) shouldBe 1
+    }
+  }
 }
