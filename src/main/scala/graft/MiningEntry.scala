@@ -581,7 +581,24 @@ object MiningEntry {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------
+  // q209 — schema drift diff (sources/SchemaDiff): the report
+  // between q16's introspection and q07/q08's contracts. The after
+  // side drops lang, retypes n_chars bigint→int, adds quality — the
+  // diff must classify exactly those three (golden oracle, q16's
+  // precedent; Spark introspects the REAL runtime schemas).
+  // ---------------------------------------------------------------
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+    val drifted = base.drop("lang")
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .withColumn("quality", lit(0.5))
+    graft.sources.SchemaDiff.diff(s, base.schema, drifted.schema)
+      .orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_schema_diff" -> (q209 _),
     "q208_pii_inventory" -> (q208 _),
     "q207_neyman_allocation" -> (q207 _),
     "q206_cdc_column_census" -> (q206 _),
@@ -610,6 +627,13 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q209_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('lang', 'string', CAST(NULL AS VARCHAR), 'removed'),
+        |  ('n_chars', 'bigint', 'int', 'type_changed'),
+        |  ('quality', CAST(NULL AS VARCHAR), 'double', 'added'))
+        |AS t(column_name, before_type, after_type, change)
+        |ORDER BY column_name""".stripMargin,
     "q208_pii_inventory" -> {
       import graft.text.TextAnalysis._
       s"""WITH inj AS (
