@@ -597,7 +597,28 @@ object MiningEntry {
       .orderBy("column_name")
   }
 
+  // ---------------------------------------------------------------
+  // q210 — position-based multi-touch attribution (ops/Attribution
+  // .positionCredit): 40/20/40 U-shape in exact integer basis
+  // points (remainder to the first touch, documented), credited
+  // value on cents×bp BIGINT sums. view/click/signup touches,
+  // purchase conversions, errors excluded.
+  // ---------------------------------------------------------------
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type")
+        .isin("view", "click", "signup", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000").as("ms"),
+        when(col("event_type") =!= "purchase", col("event_type"))
+          .as("channel"),
+        (col("event_type") === "purchase").as("is_conversion"),
+        col("value"))
+    graft.ops.Attribution.positionCredit(ev).orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_position_attribution" -> (q210 _),
     "q209_schema_diff" -> (q209 _),
     "q208_pii_inventory" -> (q208 _),
     "q207_neyman_allocation" -> (q207 _),
@@ -627,6 +648,58 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q210_position_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      AS channel,
+        |    event_type = 'purchase' AS is_conv, value
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+        |), tt AS (
+        |  SELECT user_id, ms AS t_ms, event_id AS t_id, channel
+        |  FROM e WHERE NOT is_conv
+        |), c AS (
+        |  SELECT user_id, ms AS c_ms, event_id AS c_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM e WHERE is_conv
+        |), j AS (
+        |  SELECT tt.user_id, tt.t_ms, tt.t_id, tt.channel, c.c_ms,
+        |    c.c_id, c.cents
+        |  FROM tt JOIN c ON tt.user_id = c.user_id
+        |  WHERE tt.t_ms < c.c_ms
+        |    OR (tt.t_ms = c.c_ms AND tt.t_id < c.c_id)
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, c_id
+        |      ORDER BY t_ms, t_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, c_id) AS n
+        |  FROM j
+        |), b AS (
+        |  SELECT channel, cents,
+        |    CASE WHEN n = 1 THEN 10000
+        |      WHEN n = 2 THEN 5000
+        |      WHEN rn = 1 THEN 4000 + 2000 % (n - 2)
+        |      WHEN rn = n THEN 4000
+        |      ELSE 2000 // (n - 2) END AS bp
+        |  FROM r
+        |), credited AS (
+        |  SELECT channel, count(*) AS n_credits,
+        |    CAST(sum(bp) AS BIGINT) AS total_bp,
+        |    round(CAST(sum(cents * bp) AS DOUBLE) / 1e6, 6)
+        |      AS credited_value
+        |  FROM b GROUP BY channel
+        |), none_row AS (
+        |  SELECT '(none)' AS channel, count(*) AS n_credits,
+        |    CAST(count(*) * 10000 AS BIGINT) AS total_bp,
+        |    round(CAST(sum(cents) * 10000 AS DOUBLE) / 1e6, 6)
+        |      AS credited_value
+        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM j
+        |    WHERE j.user_id = c.user_id AND j.c_id = c.c_id)
+        |  HAVING count(*) > 0
+        |)
+        |SELECT * FROM credited
+        |UNION ALL SELECT * FROM none_row
+        |ORDER BY channel""".stripMargin,
     "q209_schema_diff" ->
       """SELECT * FROM (VALUES
         |  ('lang', 'string', CAST(NULL AS VARCHAR), 'removed'),

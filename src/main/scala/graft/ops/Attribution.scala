@@ -53,4 +53,62 @@ object Attribution {
       }
       .reduce(_ unionByName _)
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the model
+    * between first/last (all-or-nothing) and linear (flat): each
+    * conversion splits credit 40% / 20% / 40% across first / middle
+    * / last prior touches. Credit is INTEGER basis points so the
+    * split is exact: 1 touch → 10000, 2 → 5000+5000, n≥3 → first
+    * 4000 (+ the 2000 mod (n−2) remainder, deterministically), last
+    * 4000, each middle 2000 div (n−2). Credited value rides
+    * cents×bp BIGINT sums — order-independent, one final division.
+    *
+    * Scale shape: unlike first/last (one window), every conversion
+    * must see ALL its prior touches — a user-keyed touches×convs
+    * join under the funnel-family bounded-per-user contract, then
+    * per-conversion windows over bounded groups. Conversions with
+    * no prior touch credit "(none)" in full.
+    *
+    * @param events shape of [[credit]].
+    * @return (channel, n_credits, total_bp, credited_value).
+    */
+  def positionCredit(events: DataFrame): DataFrame = {
+    val touches = events.filter(!col("is_conversion"))
+      .select(col("user_id"), col("ms").as("t_ms"),
+        col("event_id").as("t_id"), col("channel"))
+    val convs = events.filter(col("is_conversion"))
+      .select(col("user_id"), col("ms").as("c_ms"),
+        col("event_id").as("c_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+    val j = touches.join(convs, Seq("user_id"))
+      .filter(col("t_ms") < col("c_ms") ||
+        (col("t_ms") === col("c_ms") && col("t_id") < col("c_id")))
+    val byConv = Window.partitionBy("user_id", "c_id")
+    val ranked = j
+      .withColumn("rn",
+        row_number().over(byConv.orderBy(col("t_ms"), col("t_id"))))
+      .withColumn("n", count(lit(1)).over(byConv))
+    val bp = when(col("n") === 1, lit(10000L))
+      .when(col("n") === 2, lit(5000L))
+      .when(col("rn") === 1,
+        lit(4000L) + expr("2000 % (n - 2)"))
+      .when(col("rn") === col("n"), lit(4000L))
+      .otherwise(expr("2000 div (n - 2)"))
+    val credited = ranked.withColumn("bp", bp)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("bp")).as("total_bp"),
+        round(sum(col("cents") * col("bp")).cast("double") / 1e6, 6)
+          .as("credited_value"))
+    val untouched = convs
+      .join(j.select("user_id", "c_id").distinct(),
+        Seq("user_id", "c_id"), "left_anti")
+      .groupBy(lit("(none)").as("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        (count(lit(1)) * 10000L).as("total_bp"),
+        round((sum(col("cents")) * 10000L).cast("double") / 1e6, 6)
+          .as("credited_value"))
+    credited.unionByName(untouched)
+  }
 }

@@ -55,4 +55,51 @@ class AttributionSpec extends SparkSpec {
       (2L, 2L, 20L, null, true, 1.0))
     out(("first_touch", "(none)")) shouldBe ((1L, 1.0))
   }
+
+  private def runPos(rows: (Long, Long, Long, String, Boolean, Double)*) =
+    Attribution.positionCredit(ev(rows: _*))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toMap
+
+  it("position credit: single touch takes all 10000 bp") {
+    val out = runPos(
+      (1L, 1L, 10L, "ad", false, 0.0),
+      (2L, 1L, 20L, null, true, 5.0))
+    out("ad") shouldBe ((1L, 10000L, 5.0))
+  }
+
+  it("position credit: two touches split 50/50, five follow 40/20/40 with exact remainders") {
+    val out = runPos(
+      (1L, 1L, 10L, "a", false, 0.0),
+      (2L, 1L, 20L, "b", false, 0.0),
+      (3L, 1L, 30L, null, true, 10.0),
+      // user 2: five touches c,d,e,f,g then conversion worth 100
+      (11L, 2L, 10L, "c", false, 0.0),
+      (12L, 2L, 20L, "d", false, 0.0),
+      (13L, 2L, 30L, "e", false, 0.0),
+      (14L, 2L, 40L, "f", false, 0.0),
+      (15L, 2L, 50L, "g", false, 0.0),
+      (16L, 2L, 60L, null, true, 100.0))
+    out("a") shouldBe ((1L, 5000L, 5.0))
+    out("b") shouldBe ((1L, 5000L, 5.0))
+    // first: 4000 + 2000 % 3 = 4002; middles: 2000 div 3 = 666
+    out("c") shouldBe ((1L, 4002L, 40.02))
+    out("d") shouldBe ((1L, 666L, 6.66))
+    out("e") shouldBe ((1L, 666L, 6.66))
+    out("f") shouldBe ((1L, 666L, 6.66))
+    out("g") shouldBe ((1L, 4000L, 40.0))
+    // bp conservation
+    Seq("c", "d", "e", "f", "g").map(out(_)._2).sum shouldBe 10000L
+  }
+
+  it("position credit: untouched conversions land whole in '(none)'") {
+    val out = runPos(
+      (1L, 5L, 10L, null, true, 3.0),
+      (2L, 6L, 10L, "ad", false, 0.0),
+      (3L, 6L, 20L, null, true, 7.0))
+    out("(none)") shouldBe ((1L, 10000L, 3.0))
+    out("ad") shouldBe ((1L, 10000L, 7.0))
+  }
 }
