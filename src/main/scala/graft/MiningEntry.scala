@@ -617,7 +617,38 @@ object MiningEntry {
     graft.ops.Attribution.positionCredit(ev).orderBy("channel")
   }
 
+  // ---------------------------------------------------------------
+  // q211 — data-subject access report (the READ twin of q146's
+  // right-to-be-forgotten purge: before deleting a subject you must
+  // be able to SHOW them what you hold): per table, the subject's
+  // row count and first/last activity, one broadcast-filtered probe
+  // per table (the subject key is a 1-row broadcast — no table ever
+  // shuffles), unioned into the compliance artifact. Subject =
+  // min(user_id), deterministic at any SF.
+  // ---------------------------------------------------------------
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val subject = broadcast(t(s, dir, "events")
+      .agg(min(col("user_id")).as("sk")))
+    def probe(name: String, df: DataFrame, key: org.apache.spark.sql.Column,
+        seen: Option[org.apache.spark.sql.Column]): DataFrame =
+      df.crossJoin(subject).filter(key === col("sk"))
+        .agg(count(lit(1)).as("n_rows"),
+          seen.map(c => min(c).cast("string")).getOrElse(
+            lit(null).cast("string")).as("first_seen"),
+          seen.map(c => max(c).cast("string")).getOrElse(
+            lit(null).cast("string")).as("last_seen"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("first_seen"), col("last_seen"))
+    probe("customer", t(s, dir, "customer"), col("c_custkey"), None)
+      .unionByName(probe("events", t(s, dir, "events"), col("user_id"),
+        Some(to_date(timestamp_micros(expr("ts div 1000"))))))
+      .unionByName(probe("orders", t(s, dir, "orders"), col("o_custkey"),
+        Some(col("o_orderdate"))))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_subject_access" -> (q211 _),
     "q210_position_attribution" -> (q210 _),
     "q209_schema_diff" -> (q209 _),
     "q208_pii_inventory" -> (q208 _),
@@ -648,6 +679,23 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q211_subject_access" ->
+      """WITH sk AS (SELECT min(user_id) AS k FROM events)
+        |SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |  CAST(NULL AS VARCHAR) AS first_seen,
+        |  CAST(NULL AS VARCHAR) AS last_seen
+        |FROM customer, sk WHERE c_custkey = k
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |  CAST(min(CAST(ts AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(ts AS DATE)) AS VARCHAR)
+        |FROM events, sk WHERE user_id = k
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  CAST(min(o_orderdate) AS VARCHAR),
+        |  CAST(max(o_orderdate) AS VARCHAR)
+        |FROM orders, sk WHERE o_custkey = k
+        |ORDER BY table_name""".stripMargin,
     "q210_position_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms,
