@@ -230,4 +230,53 @@ class PlanShapeSpec extends SparkSpec {
     partial.aggregateExpressions.map(_.toString)
       .exists(_.contains("pmod")) shouldBe false
   }
+
+  it("BitmapAgg builds states in two phases (map-side partials, one exchange)") {
+    import graft.functions.BitmapAgg
+    val df = (1L to 2000L).map(i => (i % 5, i % 300)).toDF("g", "id")
+    val out = df.groupBy("g").agg(BitmapAgg.bitmapBuild(col("id")).as("bm"))
+    out.collect()
+    val ns = nodes(out.queryExecution.executedPlan)
+    // TypedImperativeAggregate plans as ObjectHashAggregate: a
+    // partial below the exchange and a final above — states OR
+    // map-side before anything shuffles
+    val objAggs = ns.filter(_.getClass.getSimpleName
+      .contains("ObjectHashAggregate"))
+    objAggs.size shouldBe 2
+    ns.count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 1
+  }
+
+  it("IntervalUnion and WeightedQuantile plan only KEYED windows") {
+    val iv = (1L to 300L).map(i => (i % 9, i * 10, i * 10 + 15, i))
+      .toDF("key", "start", "end", "id")
+    val cov = IntervalUnion.coverage(iv)
+    cov.collect()
+    nodes(cov.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+      .foreach(_.partitionSpec should not be empty)
+
+    val wq = graft.quality.WeightedQuantile.report(
+      (1L to 300L).map(i => (i % 4, i.toDouble, 1L, i))
+        .toDF("g", "v", "w", "id"))
+    wq.collect()
+    nodes(wq.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+      .foreach(_.partitionSpec should not be empty)
+  }
+
+  it("SurrogateKeys' only global window runs on the buckets-sized census") {
+    val df = (1L to 1000L).map(i => Tuple1(i % 211)).toDF("k")
+    val out = SurrogateKeys.assign(df, Seq("k"), col("k") / 20)
+    out.collect()
+    val ws = nodes(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    // the rank window is keyed by bucket; exactly one window (the
+    // bucket-offset prefix sum over the census) is global, and its
+    // input is the aggregate output, never the key rows
+    val (global, keyed) = ws.partition(_.partitionSpec.isEmpty)
+    global.size shouldBe 1
+    keyed should not be empty
+    nodes(global.head).count(_.getClass.getSimpleName
+      .contains("HashAggregate")) should be >= 1
+  }
 }
