@@ -647,7 +647,32 @@ object MiningEntry {
       .orderBy("table_name")
   }
 
+  // ---------------------------------------------------------------
+  // q212 — quality-threshold sweep (the FineWeb-style ablation
+  // table that decides q91's cutoff): score every doc ONCE, cross
+  // the scores with 10 broadcast thresholds, and census kept
+  // docs/tokens per τ — one scan however many thresholds.
+  // ---------------------------------------------------------------
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.text.TextAnalysis
+    val scored = t(s, dir, "documents").select(
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.wsTokenCount(col("text")).as("toks"))
+    val taus = (0 to 9).map(_ / 10.0).toDF("tau")
+    scored.crossJoin(broadcast(taus))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("q") >= col("tau"), 1)).as("kept_docs"),
+        coalesce(sum(when(col("q") >= col("tau"), col("toks"))), lit(0L))
+          .as("kept_tokens"),
+        round(count(when(col("q") >= col("tau"), 1)).cast("double") /
+          count(lit(1)), 6).as("kept_share"))
+      .orderBy("tau")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_quality_sweep" -> (q212 _),
     "q211_subject_access" -> (q211 _),
     "q210_position_attribution" -> (q210 _),
     "q209_schema_diff" -> (q209 _),
@@ -679,6 +704,22 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q212_quality_sweep" ->
+      s"""WITH scored AS (
+         |  SELECT ${PipelineEntry.QualitySql} AS q,
+         |    ${PipelineEntry.WsTokSql} AS toks
+         |  FROM documents
+         |), taus AS (
+         |  SELECT CAST(i AS DOUBLE) / 10 AS tau
+         |  FROM UNNEST(generate_series(0, 9)) AS t(i)
+         |)
+         |SELECT tau, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (q >= tau) AS BIGINT) AS kept_docs,
+         |  CAST(COALESCE(sum(toks) FILTER (q >= tau), 0) AS BIGINT)
+         |    AS kept_tokens,
+         |  round(CAST(count(*) FILTER (q >= tau) AS DOUBLE) / count(*), 6)
+         |    AS kept_share
+         |FROM scored, taus GROUP BY tau ORDER BY tau""".stripMargin,
     "q211_subject_access" ->
       """WITH sk AS (SELECT min(user_id) AS k FROM events)
         |SELECT 'customer' AS table_name, count(*) AS n_rows,
