@@ -671,7 +671,41 @@ object MiningEntry {
       .orderBy("tau")
   }
 
+  // ---------------------------------------------------------------
+  // q213 — corpus duplication-factor report (the number every dedup
+  // paper leads with: cluster-size histogram + how much smaller the
+  // canonical corpus is): q38's pair→component chain, then sizes
+  // histogram (components-sized aggregates), singleton row from the
+  // corpus total, and the global dup factor broadcast onto each row.
+  // ---------------------------------------------------------------
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val corpus = PipelineEntry.nearCorpus(s, dir)
+    val cl = Dedup.clusters(Dedup.ngramJaccard(corpus, "doc_id", "text",
+      n = 4, tau = 0.8))
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val hist = sizes.groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    val totals = corpus.agg(count(lit(1)).as("n_total"))
+      .crossJoin(cl.agg(count(lit(1)).as("n_clustered")))
+    val singleton = broadcast(totals).select(lit(1L).as("size"),
+      (col("n_total") - col("n_clustered")).as("n_clusters"))
+    val full = hist.select(col("size").cast("long").as("size"),
+      col("n_clusters")).unionByName(singleton)
+    val redundant = full.agg(
+      coalesce(sum((col("size") - 1) * col("n_clusters")), lit(0L))
+        .as("n_redundant"))
+    full.crossJoin(broadcast(totals.select(col("n_total"))))
+      .crossJoin(broadcast(redundant))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("n_redundant_docs"),
+        round(col("n_total").cast("double") /
+          (col("n_total") - col("n_redundant")), 6).as("dup_factor"))
+      .orderBy("size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_dup_factor" -> (q213 _),
     "q212_quality_sweep" -> (q212 _),
     "q211_subject_access" -> (q211 _),
     "q210_position_attribution" -> (q210 _),
@@ -704,6 +738,40 @@ object MiningEntry {
     "q189_ab_ttest" -> (q189 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q213_dup_factor" ->
+      s"""WITH RECURSIVE ${PipelineEntry.NgramPairsCte},
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs WHERE jaccard >= 0.8
+         |  UNION
+         |  SELECT b, a FROM pairs WHERE jaccard >= 0.8
+         |), nodes AS (
+         |  SELECT DISTINCT x AS id FROM edges
+         |), r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.x, r.m FROM edges e JOIN r ON e.y = r.id
+         |), cl AS (
+         |  SELECT id, min(m) AS cluster_id FROM r GROUP BY id
+         |), sizes AS (
+         |  SELECT cluster_id, count(*) AS size FROM cl GROUP BY 1
+         |), hist AS (
+         |  SELECT CAST(size AS BIGINT) AS size, count(*) AS n_clusters
+         |  FROM sizes GROUP BY 1
+         |  UNION ALL
+         |  SELECT 1, (SELECT count(*) FROM corpus) -
+         |    (SELECT count(*) FROM cl)
+         |), red AS (
+         |  SELECT COALESCE(sum((size - 1) * n_clusters), 0) AS n_redundant
+         |  FROM hist
+         |), tot AS (
+         |  SELECT count(*) AS n_total FROM corpus
+         |)
+         |SELECT size, n_clusters,
+         |  CAST(size * n_clusters AS BIGINT) AS n_docs,
+         |  CAST((size - 1) * n_clusters AS BIGINT) AS n_redundant_docs,
+         |  round(CAST(n_total AS DOUBLE) / (n_total - n_redundant), 6)
+         |    AS dup_factor
+         |FROM hist, red, tot ORDER BY size""".stripMargin,
     "q212_quality_sweep" ->
       s"""WITH scored AS (
          |  SELECT ${PipelineEntry.QualitySql} AS q,
