@@ -704,7 +704,48 @@ object MiningEntry {
       .orderBy("size")
   }
 
+  // ---------------------------------------------------------------
+  // q214 — pack provenance (training-data governance over q82's
+  // packing: which sources fill each training sequence, and does any
+  // pack end up single-source): spans join back to doc sources,
+  // per-(pack, source) token rollup, dominant source by
+  // (tokens desc, source asc) over pack-keyed windows.
+  // ---------------------------------------------------------------
+  private val PackBlock = 512L
+
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.wsTokenCount(col("text")).as("tok"))
+      .filter(col("tok") > 0)
+    val spans = graft.ops.Packing.packSpans(
+      docs.select("doc_id", "tok"), "doc_id", "tok", PackBlock)
+    val perSrc = spans
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("seq_id", "source")
+      .agg(sum(col("n_tokens")).as("src_tokens"),
+        count(lit(1)).as("n_docs_src"))
+    val w = Window.partitionBy("seq_id")
+    perSrc
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("src_tokens").desc, col("source"))))
+      .withColumn("pack_tokens", sum(col("src_tokens")).over(w))
+      .withColumn("pack_docs", sum(col("n_docs_src")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("seq_id"), col("pack_docs").as("n_docs"),
+        col("n_sources"), col("source").as("dominant_source"),
+        round(col("src_tokens").cast("double") / col("pack_tokens"), 6)
+          .as("dominant_share"),
+        col("pack_tokens").cast("long").as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_pack_provenance" -> (q214 _),
     "q213_dup_factor" -> (q213 _),
     "q212_quality_sweep" -> (q212 _),
     "q211_subject_access" -> (q211 _),
@@ -737,7 +778,49 @@ object MiningEntry {
     "q188_lexical_stats" -> (q188 _),
     "q189_ab_ttest" -> (q189 _))
 
+  private val WsTokSqlM =
+    "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+
   val oracleSql: Map[String, String] = Map(
+    "q214_pack_provenance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST($WsTokSqlM AS BIGINT) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0
+         |), c AS (
+         |  SELECT doc_id, source, tok,
+         |    CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM d WHERE tok > 0
+         |), s AS (
+         |  SELECT doc_id, source, tok, off,
+         |    unnest(range(off // $PackBlock,
+         |      (off + tok - 1) // $PackBlock + 1)) AS seq_id
+         |  FROM c
+         |), spans AS (
+         |  SELECT seq_id, doc_id, source,
+         |    least((seq_id + 1) * $PackBlock, off + tok)
+         |      - greatest(seq_id * $PackBlock, off) AS n_tokens
+         |  FROM s
+         |), per AS (
+         |  SELECT seq_id, source,
+         |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+         |    count(*) AS n_docs_src
+         |  FROM spans GROUP BY 1, 2
+         |), wn AS (
+         |  SELECT *, row_number() OVER (PARTITION BY seq_id
+         |      ORDER BY src_tokens DESC, source) AS rn,
+         |    sum(src_tokens) OVER (PARTITION BY seq_id) AS pack_tokens,
+         |    sum(n_docs_src) OVER (PARTITION BY seq_id) AS pack_docs,
+         |    count(*) OVER (PARTITION BY seq_id) AS n_sources
+         |  FROM per
+         |)
+         |SELECT seq_id, CAST(pack_docs AS BIGINT) AS n_docs, n_sources,
+         |  source AS dominant_source,
+         |  round(CAST(src_tokens AS DOUBLE) / pack_tokens, 6)
+         |    AS dominant_share,
+         |  CAST(pack_tokens AS BIGINT) AS n_tokens
+         |FROM wn WHERE rn = 1 ORDER BY seq_id""".stripMargin,
     "q213_dup_factor" ->
       s"""WITH RECURSIVE ${PipelineEntry.NgramPairsCte},
          |edges AS (
