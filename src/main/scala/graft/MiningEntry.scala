@@ -744,7 +744,39 @@ object MiningEntry {
       .orderBy("seq_id")
   }
 
+  // ---------------------------------------------------------------
+  // q215 — state-based selective rebuild (dag/Dag.stateDiff — dbt's
+  // `state:modified+` deferral): previous-manifest vs current
+  // registry, every model classified new / modified / downstream /
+  // unchanged / removed; rebuild = the non-deferred set. Pure
+  // metadata; golden oracle from the same fixture constants.
+  // ---------------------------------------------------------------
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.dag.Dag.ModelState
+    val v1 = Seq(
+      ModelState("stg_orders", "h1", Nil),
+      ModelState("stg_customers", "h2", Nil),
+      ModelState("int_joined", "h3", Seq("stg_orders", "stg_customers")),
+      ModelState("mart_revenue", "h4", Seq("int_joined")),
+      ModelState("mart_churn", "h5", Seq("stg_customers")),
+      ModelState("tmp_scratch", "h6", Nil))
+    val v2 = Seq(
+      ModelState("stg_orders", "h1", Nil),
+      ModelState("stg_customers", "h2_new", Nil),
+      ModelState("int_joined", "h3", Seq("stg_orders", "stg_customers")),
+      ModelState("mart_revenue", "h4", Seq("int_joined")),
+      ModelState("mart_churn", "h5", Seq("stg_customers")),
+      ModelState("mart_ltv", "h7", Seq("int_joined")))
+    graft.dag.Dag.stateDiff(v1, v2)
+      .toDF("model_name", "status")
+      .withColumn("rebuild",
+        !col("status").isin("unchanged", "removed"))
+      .orderBy("model_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_state_rebuild" -> (q215 _),
     "q214_pack_provenance" -> (q214 _),
     "q213_dup_factor" -> (q213 _),
     "q212_quality_sweep" -> (q212 _),
@@ -782,6 +814,17 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q215_state_rebuild" ->
+      """SELECT * FROM (VALUES
+        |  ('int_joined', 'downstream', true),
+        |  ('mart_churn', 'downstream', true),
+        |  ('mart_ltv', 'new', true),
+        |  ('mart_revenue', 'downstream', true),
+        |  ('stg_customers', 'modified', true),
+        |  ('stg_orders', 'unchanged', false),
+        |  ('tmp_scratch', 'removed', false))
+        |AS t(model_name, status, rebuild)
+        |ORDER BY model_name""".stripMargin,
     "q214_pack_provenance" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, CAST($WsTokSqlM AS BIGINT) AS tok

@@ -111,6 +111,51 @@ object Dag {
     walk(name, Set.empty)
   }
 
+  /** One model's comparable state for [[stateDiff]]: name, a content
+    * hash of its definition (SQL text, config — whatever the caller
+    * considers "the code"), and its dependency names.
+    */
+  final case class ModelState(name: String, contentHash: String,
+      deps: Seq[String])
+
+  /** dbt `state:modified+` — the selective-rebuild set from comparing
+    * two registry states (the previous run's manifest vs the current
+    * project): every model in the NEW state classifies as
+    *   - `new`        not present before;
+    *   - `modified`   content hash or dependency set changed;
+    *   - `downstream` unchanged itself but transitively depends on a
+    *                  new/modified model (stale by inheritance);
+    *   - `unchanged`  safe to defer to the previous artifacts;
+    * and models only in the OLD state report `removed` (artifact
+    * cleanup, q109's territory). Pure metadata — registries are
+    * project-sized; nothing scans.
+    */
+  def stateDiff(oldState: Seq[ModelState],
+      newState: Seq[ModelState]): Seq[(String, String)] = {
+    val om = oldState.map(m => m.name -> m).toMap
+    val direct = newState.collect {
+      case m if !om.contains(m.name) => m.name -> "new"
+      case m if om(m.name).contentHash != m.contentHash ||
+        om(m.name).deps.toSet != m.deps.toSet => m.name -> "modified"
+    }.toMap
+    val dependents = newState.flatMap(m => m.deps.map(_ -> m.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def walkDown(n: String, acc: Set[String]): Set[String] =
+      dependents.getOrElse(n, Nil).foldLeft(acc) { (a, d) =>
+        if (a(d)) a else walkDown(d, a + d)
+      }
+    val stale = direct.keys.foldLeft(Set.empty[String])(
+      (a, n) => walkDown(n, a)) -- direct.keySet
+    val current = newState.map { m =>
+      m.name -> direct.getOrElse(m.name,
+        if (stale(m.name)) "downstream" else "unchanged")
+    }
+    val removed = oldState.collect {
+      case m if !newState.exists(_.name == m.name) => m.name -> "removed"
+    }
+    (current ++ removed).sortBy(_._1)
+  }
+
   /** dbt-style selector: "+name" = name and its ancestors, "name+" =
     * name and its descendants, "+name+" = both, "name" = just name.
     * A selector string may carry MULTIPLE whitespace-separated parts

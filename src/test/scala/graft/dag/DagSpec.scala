@@ -145,4 +145,38 @@ class DagSpec extends SparkSpec {
       spark.read.parquet(s"$wh/stats").head().getLong(0) shouldBe 3
     }
   }
+
+  describe("stateDiff (state:modified+)") {
+    import Dag.ModelState
+    val v1 = Seq(
+      ModelState("a", "h_a", Nil),
+      ModelState("b", "h_b", Seq("a")),
+      ModelState("c", "h_c", Seq("b")),
+      ModelState("d", "h_d", Seq("a")),
+      ModelState("e", "h_e", Nil))
+
+    it("classifies new/modified/downstream/unchanged/removed") {
+      val v2 = Seq(
+        ModelState("a", "h_a", Nil),
+        ModelState("b", "h_b2", Seq("a")),        // modified
+        ModelState("c", "h_c", Seq("b")),         // downstream of b
+        ModelState("d", "h_d", Seq("a")),
+        ModelState("f", "h_f", Seq("c")))         // new, also below b
+      Dag.stateDiff(v1, v2).toMap shouldBe Map(
+        "a" -> "unchanged", "b" -> "modified", "c" -> "downstream",
+        "d" -> "unchanged", "e" -> "removed", "f" -> "new")
+    }
+
+    it("a dependency rewire counts as modified even with the same hash") {
+      val v2 = v1.map {
+        case m if m.name == "d" => m.copy(deps = Seq("b"))
+        case m => m
+      }
+      Dag.stateDiff(v1, v2).toMap.apply("d") shouldBe "modified"
+    }
+
+    it("identical states are fully unchanged") {
+      Dag.stateDiff(v1, v1).map(_._2).distinct shouldBe Seq("unchanged")
+    }
+  }
 }
