@@ -775,7 +775,32 @@ object MiningEntry {
       .orderBy("model_name")
   }
 
+  // ---------------------------------------------------------------
+  // q216 — PII taint through column lineage (dag/Lineage.taint):
+  // declare c_name as PII at the source and every model column whose
+  // transitive source set touches it flags — the audit that makes
+  // redaction actionable downstream. Lineage from ANALYZED plans
+  // (metadata only); golden oracle.
+  // ---------------------------------------------------------------
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.dag.{Lineage, SqlModels}
+    val models = Seq(
+      SqlModels.SqlModel("tn_stg_c",
+        "SELECT c_custkey AS cust_key, c_name AS cname, " +
+          "c_acctbal AS bal FROM source('main', 'customer')"),
+      SqlModels.SqlModel("tn_rpt",
+        "SELECT cust_key, upper(cname) AS display_name, " +
+          "bal * 2 AS bal2 FROM ref('tn_stg_c')"))
+    val edges = Lineage.columnLineage(s, models,
+      Map(("main", "customer") -> t(s, dir, "customer").schema))
+    Lineage.taint(edges, Set(("main.customer", "c_name")))
+      .toDF("model", "column_name", "tainted", "pii_sources")
+      .orderBy("model", "column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_pii_lineage" -> (q216 _),
     "q215_state_rebuild" -> (q215 _),
     "q214_pack_provenance" -> (q214 _),
     "q213_dup_factor" -> (q213 _),
@@ -814,6 +839,16 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q216_pii_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('tn_rpt', 'bal2', false, ''),
+        |  ('tn_rpt', 'cust_key', false, ''),
+        |  ('tn_rpt', 'display_name', true, 'main.customer.c_name'),
+        |  ('tn_stg_c', 'bal', false, ''),
+        |  ('tn_stg_c', 'cname', true, 'main.customer.c_name'),
+        |  ('tn_stg_c', 'cust_key', false, ''))
+        |AS t(model, column_name, tainted, pii_sources)
+        |ORDER BY model, column_name""".stripMargin,
     "q215_state_rebuild" ->
       """SELECT * FROM (VALUES
         |  ('int_joined', 'downstream', true),

@@ -148,4 +148,26 @@ object Lineage {
     import spark.implicits._
     edges.toDF("model", "column", "src_table", "src_column")
   }
+
+  /** PII taint propagation — governance over the lineage graph:
+    * declare which SOURCE columns hold PII, and every model column
+    * whose (already-transitive) source set touches one is tainted —
+    * the "which report columns secretly carry names" audit that
+    * makes q55/q146/q208 actionable downstream of the raw tables.
+    * Projection-lineage caveat applies: a column DERIVED only
+    * through a predicate is not flagged (documented in the class
+    * header — dbt-docs semantics).
+    *
+    * @return (model, column, tainted, pii_sources) for every model
+    *   column, pii_sources the sorted comma-joined offenders.
+    */
+  def taint(edges: Seq[Edge],
+      pii: Set[(String, String)]): Seq[(String, String, Boolean, String)] =
+    edges.groupBy(e => (e.model, e.column)).toSeq.map { case ((m, c), es) =>
+      val hits = es.collect {
+        case e if pii((e.srcTable, e.srcColumn)) =>
+          s"${e.srcTable}.${e.srcColumn}"
+      }.distinct.sorted
+      (m, c, hits.nonEmpty, hits.mkString(","))
+    }.sortBy(t => (t._1, t._2))
 }
