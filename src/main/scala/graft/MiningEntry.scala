@@ -799,7 +799,31 @@ object MiningEntry {
       .orderBy("model", "column_name")
   }
 
+  // ---------------------------------------------------------------
+  // q217 — SCD type 3 apply (ops/Snapshot.scd3): one inline step of
+  // history (value, prev_value) — every 5th order's status flips so
+  // the old value shifts into prev_value, every 13th key is absent
+  // from the batch and is retained. One full-outer join; census by
+  // (status, prev_value).
+  // ---------------------------------------------------------------
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val cur = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"))
+      .withColumn("prev_value", lit(null).cast("string"))
+    val batch = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("status"))
+    graft.ops.Snapshot.scd3(cur, batch, Seq("k"), "status")
+      .groupBy("status", "prev_value")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("status", "prev_value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_scd3" -> (q217 _),
     "q216_pii_lineage" -> (q216 _),
     "q215_state_rebuild" -> (q215 _),
     "q214_pack_provenance" -> (q214 _),
@@ -839,6 +863,25 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q217_scd3" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+        |), b AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+        |      ELSE o_orderstatus END AS status
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |), j AS (
+        |  SELECT COALESCE(b.k, cur.k) AS k,
+        |    CASE WHEN b.k IS NOT NULL THEN b.status
+        |      ELSE cur.status END AS status,
+        |    CASE WHEN cur.k IS NOT NULL AND b.k IS NOT NULL
+        |        AND cur.status IS DISTINCT FROM b.status
+        |      THEN cur.status END AS prev_value
+        |  FROM cur FULL OUTER JOIN b ON cur.k = b.k
+        |)
+        |SELECT status, prev_value, count(*) AS n_rows
+        |FROM j GROUP BY 1, 2 ORDER BY status, prev_value""".stripMargin,
     "q216_pii_lineage" ->
       """SELECT * FROM (VALUES
         |  ('tn_rpt', 'bal2', false, ''),

@@ -118,6 +118,44 @@ object Snapshot {
     * on a partitioned/sorted history (e.g. Z-ordered on valid_from)
     * it prunes to the files overlapping `at`.
     */
+  /** SCD TYPE 3 apply — the previous-value column pattern between
+    * type 1 (overwrite, q05) and type 2 (full history, [[timestamp]]/
+    * [[check]]): the dimension keeps ONE step of history inline
+    * (value, prev_value), the shape BI tools want for
+    * "current vs previous segment" columns without a history join.
+    *
+    * Semantics per key: new key → (batch value, null prev); value
+    * unchanged (null-safe) → row unchanged; value changed → batch
+    * value with the old value shifted into prev_value; key absent
+    * from the batch → retained as-is (dimensions outlive one load).
+    * One full-outer hash join on the key; output ∝ dimension.
+    *
+    * @param current (key..., valueCol, prev_value) — pass prev_value
+    *   null on first load.
+    * @param batch   (key..., valueCol) — at most one row per key
+    *   (caller dedups, q05's contract).
+    */
+  def scd3(current: DataFrame, batch: DataFrame, key: Seq[String],
+      valueCol: String): DataFrame = {
+    require(key.nonEmpty, "key must be non-empty")
+    val c = current.select((key :+ valueCol :+ "prev_value").map(col): _*)
+      .withColumn("_c", lit(1))
+    val b = batch.select((key :+ valueCol).map(col): _*)
+      .withColumn("_b", lit(1))
+    val joined = c.as("c").join(b.as("b"),
+      key.map(k => col(s"c.$k") <=> col(s"b.$k")).reduce(_ && _),
+      "full_outer")
+    val changed = col("_c").isNotNull && col("_b").isNotNull &&
+      !(col(s"c.$valueCol") <=> col(s"b.$valueCol"))
+    joined.select(
+      key.map(k => coalesce(col(s"b.$k"), col(s"c.$k")).as(k)) ++ Seq(
+        when(col("_b").isNotNull, col(s"b.$valueCol"))
+          .otherwise(col(s"c.$valueCol")).as(valueCol),
+        when(changed, col(s"c.$valueCol"))
+          .when(col("_c").isNotNull, col("c.prev_value"))
+          .otherwise(lit(null)).as("prev_value")): _*)
+  }
+
   def asOf(history: DataFrame, at: Column): DataFrame =
     history.filter(col(ValidFrom) <= at &&
       (col(ValidTo).isNull || col(ValidTo) > at))
