@@ -822,7 +822,25 @@ object MiningEntry {
       .orderBy("status", "prev_value")
   }
 
+  // ---------------------------------------------------------------
+  // q218 — embedding drift monitor (ann/Scaler.drift): even vs odd
+  // vector ids, with a planted +0.2 shift on dims 0–4 of the odd
+  // half — exactly those five dims must flag at τ=0.05. Two
+  // decimal-exact moment passes + a dims-sized join.
+  // ---------------------------------------------------------------
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    val a = base.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b = base.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i < 5, x.cast("double") + lit(0.2))
+          .otherwise(x.cast("double"))))
+    graft.ann.Scaler.drift(a, b, "embedding", tau = 0.05)
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_embedding_drift" -> (q218 _),
     "q217_scd3" -> (q217 _),
     "q216_pii_lineage" -> (q216 _),
     "q215_state_rebuild" -> (q215 _),
@@ -863,6 +881,36 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q218_embedding_drift" ->
+      """WITH ea AS (
+        |  SELECT unnest(range(len(embedding))) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |), eb AS (
+        |  SELECT unnest(range(len(embedding))) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v0
+        |  FROM embeddings WHERE vec_id % 2 = 1
+        |), eb2 AS (
+        |  SELECT pos,
+        |    CASE WHEN pos < 5 THEN v0 + 0.2 ELSE v0 END AS v
+        |  FROM eb
+        |), fa AS (
+        |  SELECT pos, count(*) AS n_a,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
+        |      count(*) AS ma
+        |  FROM ea GROUP BY pos
+        |), fb AS (
+        |  SELECT pos, count(*) AS n_b,
+        |    CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) /
+        |      count(*) AS mb
+        |  FROM eb2 GROUP BY pos
+        |)
+        |SELECT CAST(fa.pos AS INT) AS pos, n_a, n_b,
+        |  round(ma, 9) AS mean_a, round(mb, 9) AS mean_b,
+        |  round(abs(ma - mb), 9) AS abs_delta,
+        |  round(abs(ma - mb), 9) > 0.05 AS drifted
+        |FROM fa JOIN fb ON fa.pos = fb.pos
+        |ORDER BY pos""".stripMargin,
     "q217_scd3" ->
       """WITH cur AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS status FROM orders

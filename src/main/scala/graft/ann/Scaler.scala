@@ -41,6 +41,34 @@ object Scaler {
       .withColumn("std", sqrt(col("var")))
   }
 
+  /** Per-dimension embedding DRIFT between two batches — the MLOps
+    * monitor for "did the encoder (or the traffic) move": re-embedded
+    * corpora, model upgrades, and feature-pipeline bugs all show up
+    * as mean shift on specific dimensions long before downstream
+    * metrics notice. Both sides run [[fit]]'s decimal-exact moments
+    * pass; the report compares per-dim means with a 9dp-rounded
+    * absolute delta and flags dims whose ROUNDED delta exceeds tau
+    * (the flag compares rounded values so it is engine-portable).
+    * A dimension present on one side only (a schema break, not
+    * drift) surfaces as a row with null counts on the missing side
+    * — visible, never silently dropped.
+    */
+  def drift(a: DataFrame, b: DataFrame, vecCol: String,
+      tau: Double = 0.05): DataFrame = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    val fa = fit(a, vecCol).select(col("pos"), col("n").as("n_a"),
+      col("mean").as("ma"))
+    val fb = fit(b, vecCol).select(col("pos").as("pos_b"),
+      col("n").as("n_b"), col("mean").as("mb"))
+    val j = fa.join(fb, col("pos") === col("pos_b"), "full_outer")
+    j.select(coalesce(col("pos"), col("pos_b")).as("pos"),
+        col("n_a"), col("n_b"),
+        round(col("ma"), 9).as("mean_a"),
+        round(col("mb"), 9).as("mean_b"),
+        round(abs(col("ma") - col("mb")), 9).as("abs_delta"))
+      .withColumn("drifted", col("abs_delta") > tau)
+  }
+
   /** Standardize every vector with fitted stats. The stats frame is
     * dim rows — collected to literal arrays (driver-held scalars),
     * so the corpus projection is shuffle-free.
