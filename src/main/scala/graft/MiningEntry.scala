@@ -839,7 +839,22 @@ object MiningEntry {
       .orderBy("pos")
   }
 
+  // ---------------------------------------------------------------
+  // q219 — OHLC candles (ops/Ohlc): daily open/high/low/close per
+  // event type. Open/close ride lexicographic struct min/max over
+  // (ms, id, value) — order-independent and partial-aggregatable,
+  // never a sort-based first()/last().
+  // ---------------------------------------------------------------
+  private def q219(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ohlc.candles(
+        t(s, dir, "events").select(col("event_type").as("series"),
+          expr("(ts div 1000000) div 86400000").as("bucket"),
+          expr("ts div 1000000").as("ms"), col("event_id").as("id"),
+          col("value")))
+      .orderBy("series", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_ohlc" -> (q219 _),
     "q218_embedding_drift" -> (q218 _),
     "q217_scd3" -> (q217 _),
     "q216_pii_lineage" -> (q216 _),
@@ -881,6 +896,18 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q219_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type AS series,
+        |    epoch_ms(ts) // 86400000 AS bucket,
+        |    epoch_ms(ts) AS ms, event_id AS id, value
+        |  FROM events
+        |)
+        |SELECT series, bucket, count(*) AS n_points,
+        |  min(struct_pack(ms := ms, id := id, v := value))['v'] AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(struct_pack(ms := ms, id := id, v := value))['v'] AS close
+        |FROM e GROUP BY 1, 2 ORDER BY series, bucket""".stripMargin,
     "q218_embedding_drift" ->
       """WITH ea AS (
         |  SELECT unnest(range(len(embedding))) AS pos,
