@@ -853,7 +853,36 @@ object MiningEntry {
           col("value")))
       .orderBy("series", "bucket")
 
+  // ---------------------------------------------------------------
+  // q220 — linear-interpolation resampling (ops/GapFill.linearFill —
+  // the trend-faithful fill next to q96's LOCF): daily revenue per
+  // event type with every 3rd day nulled; interior gaps interpolate
+  // proportionally, edges stay null. Four keyed-window lookups + one
+  // fixed chain.
+  // ---------------------------------------------------------------
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("(ts div 1000000) div 86400000")
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type").as("series"), day.as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("v0"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = broadcast(bounds)
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val spine = daily.select("series").distinct().crossJoin(days)
+    val gapped = spine.join(daily, Seq("series", "day"), "left")
+      .withColumn("v", when(pmod(col("day"), lit(3)) === 0,
+        lit(null).cast("double")).otherwise(col("v0")))
+      .select("series", "day", "v")
+    graft.ops.GapFill.linearFill(gapped, Seq("series"), "day", "v")
+      .select(col("series"), col("day"),
+        round(col("v_filled"), 6).as("v_filled"),
+        col("was_interpolated"))
+      .orderBy("series", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_linear_fill" -> (q220 _),
     "q219_ohlc" -> (q219 _),
     "q218_embedding_drift" -> (q218 _),
     "q217_scd3" -> (q217 _),
@@ -896,6 +925,46 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q220_linear_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS series, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v0
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(day) AS lo, max(day) AS hi FROM daily
+        |), days AS (
+        |  SELECT unnest(range(lo, hi + 1)) AS day FROM b
+        |), ser AS (
+        |  SELECT DISTINCT series FROM daily
+        |), g AS (
+        |  SELECT s.series, s.day,
+        |    CASE WHEN s.day % 3 = 0 THEN NULL ELSE d.v0 END AS v
+        |  FROM (SELECT series, day FROM ser, days) s
+        |  LEFT JOIN daily d ON s.series = d.series AND s.day = d.day
+        |), w AS (
+        |  SELECT series, day, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY series
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY series
+        |      ORDER BY day ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY series ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM g
+        |)
+        |SELECT series, day,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |    ELSE pv + (nv - pv) * (day - pt) / (nt - pt) END, 6)
+        |    AS v_filled,
+        |  (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+        |    AS was_interpolated
+        |FROM w ORDER BY series, day""".stripMargin,
     "q219_ohlc" ->
       """WITH e AS (
         |  SELECT event_type AS series,

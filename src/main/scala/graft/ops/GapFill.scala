@@ -44,6 +44,42 @@ object GapFill {
       d.withColumn(s"${c}_filled", last(col(c), ignoreNulls = true).over(w)))
   }
 
+  /** LINEAR interpolation fill — the resampling companion to
+    * [[forwardFill]]'s step function (LOCF misstates anything that
+    * trends: a sensor ramping 10→20 across a gap did not sit at 10):
+    * each null between two observations takes
+    * `prev + (next − prev) · (t − t_prev) / (t_next − t_prev)`.
+    * Nulls BEFORE the first or AFTER the last observation stay null
+    * (extrapolation is a modeling choice, not a fill — compose with
+    * forwardFill if trailing holds are wanted). Four
+    * keyed-window lookups (running last/first with ignoreNulls) and
+    * one fixed arithmetic chain; `was_interpolated` flags the
+    * synthesized rows.
+    */
+  def linearFill(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val t = col(orderCol)
+    val pv = last(v, ignoreNulls = true).over(back)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(back)
+    val nv = first(v, ignoreNulls = true).over(fwd)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(fwd)
+    df.withColumn("__pv", pv).withColumn("__pt", pt)
+      .withColumn("__nv", nv).withColumn("__nt", nt)
+      .withColumn(s"${valueCol}_filled",
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull || col("__nv").isNull,
+            lit(null).cast("double"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (t - col("__pt")) / (col("__nt") - col("__pt"))))
+      .withColumn("was_interpolated",
+        v.isNull && col("__pv").isNotNull && col("__nv").isNotNull)
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
   /** Regularize `events` to one row per (key, day) over the full
     * observed day range: count + aggregated measure per cell, gaps
     * explicit (`is_gap`), measure forward-filled per key.

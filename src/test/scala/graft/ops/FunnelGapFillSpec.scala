@@ -90,4 +90,38 @@ class FunnelGapFillSpec extends AnyFunSpec with Matchers with SparkSpec {
       GapFill.dailyFill(ev, "k", col("d"), sum("v")).count() shouldBe 0L
     }
   }
+
+  describe("linearFill") {
+    def run(rows: Seq[(String, Long, Option[Double])]) =
+      GapFill.linearFill(rows.toDF("k", "t", "v"), Seq("k"), "t", "v")
+        .orderBy("k", "t").collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getBoolean(4)))
+
+    it("interpolates proportionally to the time gap") {
+      val out = run(Seq(("k", 0L, Some(10.0)), ("k", 1L, None),
+        ("k", 3L, None), ("k", 4L, Some(50.0))))
+      out shouldBe Array((0L, Some(10.0), false),
+        (1L, Some(20.0), true), (3L, Some(40.0), true),
+        (4L, Some(50.0), false))
+    }
+
+    it("leading and trailing nulls stay null (no extrapolation)") {
+      val out = run(Seq(("k", 0L, None), ("k", 1L, Some(5.0)),
+        ("k", 2L, Some(7.0)), ("k", 3L, None)))
+      out.head._2 shouldBe None
+      out.head._3 shouldBe false
+      out.last._2 shouldBe None
+    }
+
+    it("keys interpolate independently") {
+      val out = GapFill.linearFill(
+          Seq(("a", 0L, Some(0.0)), ("a", 2L, Some(2.0)),
+            ("b", 1L, None)).toDF("k", "t", "v"),
+          Seq("k"), "t", "v")
+        .filter(col("k") === "b").collect()
+      out.head.isNullAt(3) shouldBe true
+    }
+  }
 }
