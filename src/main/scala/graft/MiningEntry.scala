@@ -881,7 +881,43 @@ object MiningEntry {
       .orderBy("series", "day")
   }
 
+  // ---------------------------------------------------------------
+  // q221 — collocation extraction via PMI (the association upgrade
+  // of q42's raw bigram counts: "strong coffee" scores, "of the"
+  // doesn't): adjacent-pair and unigram censuses from one tokenize
+  // pass each (partial-aggregated), PMI = ln(N·n_ab/(n_a·n_b)) on
+  // exact counts with the q173 round-12dp discipline, support
+  // floor n_ab ≥ 5, top-20 by (PMI desc, pair asc) via TakeOrdered.
+  // ---------------------------------------------------------------
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+      split(col("text"), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val pairs = toks
+      .select(posexplode(col("ts")).as(Seq("i", "a")), col("ts"))
+      .filter(col("i") < size(col("ts")) - 1)
+      .select(col("a"), element_at(col("ts"), col("i") + 2).as("b"))
+      .filter(length(col("a")) > 0 && length(col("b")) > 0)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val totals = uni.agg(sum(col("n")).as("n_tot"))
+    val scored = pairs
+      .join(uni.select(col("w").as("a"), col("n").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        col("n_tot").cast("double") * col("n_ab") /
+          (col("n_a").cast("double") * col("n_b"))), 12))
+    scored.orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("pmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_collocations" -> (q221 _),
     "q220_linear_fill" -> (q220 _),
     "q219_ohlc" -> (q219 _),
     "q218_embedding_drift" -> (q218 _),
@@ -925,6 +961,30 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q221_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(ts) AS w FROM toks)
+        |  WHERE len(w) > 0 GROUP BY w
+        |), pr AS (
+        |  SELECT ts[i] AS a, ts[i + 1] AS b
+        |  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+        |), pairs AS (
+        |  SELECT a, b, count(*) AS n_ab FROM pr
+        |  WHERE len(a) > 0 AND len(b) > 0
+        |  GROUP BY a, b HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM uni
+        |)
+        |SELECT p.a, p.b, n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  round(ln(CAST(n_tot AS DOUBLE) * n_ab /
+        |    (CAST(ua.n AS DOUBLE) * ub.n)), 12) AS pmi
+        |FROM pairs p
+        |JOIN uni ua ON p.a = ua.w
+        |JOIN uni ub ON p.b = ub.w, tot
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "q220_linear_fill" ->
       """WITH daily AS (
         |  SELECT event_type AS series, epoch_ms(ts) // 86400000 AS day,
