@@ -916,7 +916,29 @@ object MiningEntry {
         col("pmi"))
   }
 
+  // ---------------------------------------------------------------
+  // q222 — revenue concentration per market (quality/Concentration):
+  // per-nation Gini over per-customer order revenue in exact cents;
+  // customers WITHOUT orders enter at zero via the left join (they
+  // ARE the inequality). Keyed rank window + one rollup.
+  // ---------------------------------------------------------------
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey").as("g"), col("c_custkey").as("id"))
+      .agg(coalesce(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")), lit(0L)).as("x"))
+    graft.quality.Concentration.gini(rev)
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("g") === col("n_nationkey"))
+      .select(col("n_name"), col("n_members"), col("total"), col("gini"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_gini" -> (q222 _),
     "q221_collocations" -> (q221 _),
     "q220_linear_fill" -> (q220 _),
     "q219_ohlc" -> (q219 _),
@@ -961,6 +983,29 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q222_gini" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey AS g, c.c_custkey AS id,
+        |    COALESCE(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)) AS BIGINT), 0) AS x
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT g, x, row_number() OVER (PARTITION BY g
+        |    ORDER BY x, id) AS r
+        |  FROM rev
+        |), a AS (
+        |  SELECT g, count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(r * x) AS BIGINT) AS srx
+        |  FROM ranked GROUP BY g
+        |)
+        |SELECT n_name, n AS n_members, total,
+        |  CASE WHEN total > 0 THEN
+        |    round(2.0 * srx / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+        |      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+        |  END AS gini
+        |FROM a JOIN nation ON a.g = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q221_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
