@@ -937,7 +937,34 @@ object MiningEntry {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------------
+  // q223 — coordinated sampling (Sampling.mix30 as the shared
+  // coin): customer AND orders sample on the SAME hash of the SAME
+  // key, so the 10% sample is join-closed — every sampled order
+  // finds its sampled customer (n_orphan_orders must be 0, and the
+  // report makes the invariant visible). Independent per-table
+  // coins would orphan ~90% of sampled orders and silently wreck
+  // sample-based join analytics.
+  // ---------------------------------------------------------------
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling.mix30
+    def keep(k: org.apache.spark.sql.Column) =
+      pmod(mix30(k), lit(100L)) < 10
+    val custS = t(s, dir, "customer").filter(keep(col("c_custkey")))
+    val ordS = t(s, dir, "orders").filter(keep(col("o_custkey")))
+    val joined = custS.join(ordS, col("c_custkey") === col("o_custkey"))
+    val orphans = ordS.join(custS,
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    custS.agg(count(lit(1)).as("n_customers_sampled"))
+      .crossJoin(ordS.agg(count(lit(1)).as("n_orders_sampled")))
+      .crossJoin(joined.agg(count(lit(1)).as("n_joined"),
+        coalesce(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")), lit(0L)).as("revenue_cents")))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_orders")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_coordinated_sample" -> (q223 _),
     "q222_gini" -> (q222 _),
     "q221_collocations" -> (q221 _),
     "q220_linear_fill" -> (q220 _),
@@ -983,6 +1010,29 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q223_coordinated_sample" -> {
+      import graft.ops.Sampling.mix30Sql
+      s"""WITH cs AS (
+         |  SELECT * FROM customer
+         |  WHERE (${mix30Sql("c_custkey")}) % 100 < 10
+         |), os AS (
+         |  SELECT * FROM orders
+         |  WHERE (${mix30Sql("o_custkey")}) % 100 < 10
+         |), j AS (
+         |  SELECT o_totalprice FROM cs JOIN os ON c_custkey = o_custkey
+         |), orph AS (
+         |  SELECT count(*) AS n_orphan_orders FROM os
+         |  WHERE NOT EXISTS (SELECT 1 FROM cs WHERE c_custkey = o_custkey)
+         |)
+         |SELECT (SELECT count(*) FROM cs) AS n_customers_sampled,
+         |  (SELECT count(*) FROM os) AS n_orders_sampled,
+         |  (SELECT count(*) FROM j) AS n_joined,
+         |  (SELECT COALESCE(CAST(sum(CAST(CAST(o_totalprice
+         |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), 0)
+         |    FROM j) AS revenue_cents,
+         |  n_orphan_orders
+         |FROM orph""".stripMargin
+    },
     "q222_gini" ->
       """WITH rev AS (
         |  SELECT c.c_nationkey AS g, c.c_custkey AS id,
