@@ -963,7 +963,38 @@ object MiningEntry {
       .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_orders")))
   }
 
+  // ---------------------------------------------------------------
+  // q224 — pre-merge batch conflict audit (the hygiene gate in
+  // front of q05's merge contract, which requires one row per key):
+  // classify keys unique / redundant_dup (identical payload — safe
+  // to dedup) / conflicting (divergent payloads — needs LWW or a
+  // human). Payload signature on integer cents, never a
+  // double-rendered string. Fixture re-emits every 7th order
+  // identically and every 11th with a mutated status.
+  // ---------------------------------------------------------------
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val batch = base
+      .unionByName(base.filter(pmod(col("k"), lit(7)) === 0))
+      .unionByName(base.filter(pmod(col("k"), lit(11)) === 0)
+        .withColumn("status", lit("X")))
+    val sig = concat(col("status"), lit(":"), col("cents").cast("string"))
+    batch.withColumn("sig", sig)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), countDistinct(col("sig")).as("npay"))
+      .withColumn("class", when(col("n") === 1, "unique")
+        .when(col("npay") === 1, "redundant_dup")
+        .otherwise("conflicting"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+      .orderBy("class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_merge_conflicts" -> (q224 _),
     "q223_coordinated_sample" -> (q223 _),
     "q222_gini" -> (q222 _),
     "q221_collocations" -> (q221 _),
@@ -1010,6 +1041,30 @@ object MiningEntry {
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q224_merge_conflicts" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |), batch AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT * FROM base WHERE k % 7 = 0
+        |  UNION ALL SELECT k, 'X', cents FROM base WHERE k % 11 = 0
+        |), per AS (
+        |  SELECT k, count(*) AS n,
+        |    count(DISTINCT status || ':' || CAST(cents AS VARCHAR))
+        |      AS npay
+        |  FROM batch GROUP BY k
+        |), cls AS (
+        |  SELECT k, n,
+        |    CASE WHEN n = 1 THEN 'unique'
+        |      WHEN npay = 1 THEN 'redundant_dup'
+        |      ELSE 'conflicting' END AS class
+        |  FROM per
+        |)
+        |SELECT class, count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY class ORDER BY class""".stripMargin,
     "q223_coordinated_sample" -> {
       import graft.ops.Sampling.mix30Sql
       s"""WITH cs AS (
