@@ -5,13 +5,24 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** q183+: the round-8 session-6 tail — span-level exact-substring
-  * excision, decimal-exact time-decay scoring, categorical drift
-  * tests, content word-blocklist filtering, and the remaining
-  * mining/cleaning operators. Same conventions as the earlier entry
-  * objects: deterministic fixtures built from the driver corpus,
-  * oracles either generated from the SAME constants as the Spark
-  * plan or restating the semantics in portable SQL.
+/** q183+: the round-8 mining/analytics/governance tail — span-level
+  * excision, decay scoring, categorical drift, word blocklists, JSON
+  * shredding, lexical stats, Welch tests (q183–q189); the mergeable
+  * EXACT-state bitmap family and what it unlocks — rollup distincts,
+  * joinability discovery, rolling 7-day distincts (q190, q198,
+  * q199); pseudonymization, discretization, multivariate OLS, Zipf
+  * fits, interval union, LPA communities, weighted quantiles
+  * (q191–q197); Benford, contact canonicalization, conversion lags,
+  * imputation, partition advice, surrogate keys, CDC column
+  * attribution, Neyman allocation (q200–q207); PII
+  * inventory/lineage, schema diff, U-shaped attribution, subject
+  * access, quality sweeps, dup-factor, pack provenance, state-based
+  * rebuilds, SCD3, embedding drift (q208–q218); OHLC, linear
+  * interpolation, collocations, Gini, coordinated sampling, merge
+  * conflict audits (q219–q224). Same conventions as the earlier
+  * entry objects: deterministic fixtures built from the driver
+  * corpus, oracles either generated from the SAME constants as the
+  * Spark plan or restating the semantics in portable SQL.
   */
 object MiningEntry {
 
