@@ -45,9 +45,54 @@ object StatsEntry {
       .withColumnRenamed("stratum", "event_type")
       .orderBy("event_type")
 
+  /** Shared time-series fixture: daily revenue per event type in
+    * exact cents on a zero-filled calendar spine (a missing day IS a
+    * zero-revenue day — the honest denominator for seasonality and
+    * the equally-spaced index ACF requires). Spine = bounded
+    * (lo..hi) sequence × distinct series, both broadcast-sized.
+    */
+  private def dailyCents(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type").as("g"),
+        expr("(ts div 1000000) div 86400000").as("day"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("cents"))
+    val bounds = daily.agg(min("day").as("lo"), max("day").as("hi"))
+    val days = broadcast(bounds)
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val spine = daily.select("g").distinct().crossJoin(days)
+    spine.join(daily, Seq("g", "day"), "left")
+      .select(col("g"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+  }
+
+  // ---------------------------------------------------------------
+  // q227 — autocorrelation (ops/Acf): r_1..r_7 of daily revenue per
+  // event type; mean multiplied out so every sum is an exact
+  // integer, one keyed lag self-join. The weekly lag-7 spike (if
+  // any) is the seasonality q228 then decomposes.
+  // ---------------------------------------------------------------
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Acf.acf(dailyCents(s, dir).withColumnRenamed("day", "t"),
+        maxLag = 7)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type", "lag")
+
+  // ---------------------------------------------------------------
+  // q228 — weekday seasonal profile (ops/Seasonal): multiplicative
+  // day-of-week indices over the same spine; exact rational
+  // (S_w·n)/(n_w·S) closed as one double division.
+  // ---------------------------------------------------------------
+  private def q228(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Seasonal.weekdayProfile(dailyCents(s, dir))
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type", "dow")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_ks_test" -> (q225 _),
-    "q226_mann_whitney" -> (q226 _))
+    "q226_mann_whitney" -> (q226 _),
+    "q227_acf" -> (q227 _),
+    "q228_seasonality" -> (q228 _))
 
   // shared CTE: per-(event_type, value) arm counts + cumulative arm
   // counts — the oracle restates RankTests.cumulativeCounts with a
@@ -73,7 +118,72 @@ object StatsEntry {
       |  FROM pv GROUP BY g
       |)""".stripMargin
 
+  // shared CTE: the zero-filled daily-cents spine, restated (DuckDB
+  // HUGEINT carries the exact integer arithmetic the Spark side
+  // does in DECIMAL(38,0) — only the final doubles are compared)
+  private val DailyCte =
+    """daily0 AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 1000000 // 86400000 AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(day) AS lo, max(day) AS hi FROM daily0
+      |), days AS (
+      |  SELECT unnest(range(lo, hi + 1)) AS day FROM bounds
+      |), daily AS (
+      |  SELECT s.g, d.day, COALESCE(c.cents, 0) AS x
+      |  FROM (SELECT DISTINCT g FROM daily0) s
+      |  CROSS JOIN days d
+      |  LEFT JOIN daily0 c ON c.g = s.g AND c.day = d.day
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q227_acf" ->
+      s"""WITH $DailyCte, stats AS (
+         |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS s,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
+         |  FROM daily GROUP BY g
+         |), lags AS (
+         |  SELECT unnest(range(1, 8)) AS lag
+         |), pairs AS (
+         |  SELECT h.g, l.lag, count(*) AS n_pairs,
+         |    sum(CAST(h.x AS HUGEINT) * CAST(t2.x AS HUGEINT)) AS sxy,
+         |    sum(CAST(h.x AS HUGEINT)) AS sh,
+         |    sum(CAST(t2.x AS HUGEINT)) AS st
+         |  FROM daily h CROSS JOIN lags l
+         |  JOIN daily t2 ON t2.g = h.g AND t2.day = h.day + l.lag
+         |  GROUP BY h.g, l.lag
+         |)
+         |SELECT p.g AS event_type, CAST(lag AS BIGINT) AS lag,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CASE WHEN n * n * ss - n * s * s <> 0 THEN
+         |    round(CAST(n * n * sxy - n * s * (sh + st)
+         |        + (n - CAST(lag AS HUGEINT)) * s * s AS DOUBLE)
+         |      / CAST(n * n * ss - n * s * s AS DOUBLE), 12) END AS r
+         |FROM pairs p JOIN stats USING (g)
+         |ORDER BY event_type, lag""".stripMargin,
+    "q228_seasonality" ->
+      s"""WITH $DailyCte, wd AS (
+         |  SELECT g, (day + 3) % 7 AS dow, x FROM daily
+         |), per AS (
+         |  SELECT g, dow, CAST(count(*) AS BIGINT) AS n_days,
+         |    sum(CAST(x AS HUGEINT)) AS sd
+         |  FROM wd GROUP BY g, dow
+         |), tot AS (
+         |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS s
+         |  FROM wd GROUP BY g
+         |)
+         |SELECT p.g AS event_type, CAST(dow AS BIGINT) AS dow, n_days,
+         |  round(CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         |    AS mean_x,
+         |  CASE WHEN s <> 0 THEN round(CAST(sd * n AS DOUBLE)
+         |    / CAST(CAST(n_days AS HUGEINT) * s AS DOUBLE), 9) END
+         |    AS seasonal_index
+         |FROM per p JOIN tot USING (g)
+         |ORDER BY event_type, dow""".stripMargin,
     "q225_ks_test" ->
       s"""WITH $CumCte, d AS (
          |  SELECT c.g, abs(cuma * n_b - cumb * n_a) AS num, v, n_a, n_b
