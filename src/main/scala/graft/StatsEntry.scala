@@ -88,11 +88,25 @@ object StatsEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy("event_type", "dow")
 
+  // ---------------------------------------------------------------
+  // q229 — EWMA baseline (ops/Ewma): α = 1/4 fixed-point smoothing
+  // of the daily series; the integer recursion is bit-exact, so the
+  // oracle replays it with a recursive CTE and matches to the digit.
+  // ---------------------------------------------------------------
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ewma.smooth(
+        dailyCents(s, dir).withColumnRenamed("day", "t"),
+        alphaNum = 1, alphaDen = 4)
+      .withColumnRenamed("g", "event_type")
+      .withColumnRenamed("t", "day")
+      .orderBy("event_type", "day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_ks_test" -> (q225 _),
     "q226_mann_whitney" -> (q226 _),
     "q227_acf" -> (q227 _),
-    "q228_seasonality" -> (q228 _))
+    "q228_seasonality" -> (q228 _),
+    "q229_ewma" -> (q229 _))
 
   // shared CTE: per-(event_type, value) arm counts + cumulative arm
   // counts — the oracle restates RankTests.cumulativeCounts with a
@@ -139,6 +153,21 @@ object StatsEntry {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q229_ewma" ->
+      s"""WITH RECURSIVE $DailyCte, idx AS (
+         |  SELECT g, day, x,
+         |    row_number() OVER (PARTITION BY g ORDER BY day) AS i
+         |  FROM daily
+         |), rec AS (
+         |  SELECT g, day, x, i, x * 1000000 AS lvl FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.g, n.day, n.x, n.i,
+         |    (r.lvl * 3 + n.x * 1000000 * 1) // 4
+         |  FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1
+         |)
+         |SELECT g AS event_type, day, CAST(lvl AS BIGINT) AS level_fp,
+         |  round(CAST(lvl AS DOUBLE) / 1000000.0, 6) AS level
+         |FROM rec ORDER BY event_type, day""".stripMargin,
     "q227_acf" ->
       s"""WITH $DailyCte, stats AS (
          |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
