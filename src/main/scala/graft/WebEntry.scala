@@ -153,6 +153,26 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q230 — k-core peel over the same domain graph (ops/KCore): the
+  // dense mutually-linked neighborhood that survives iterated
+  // degree-< k removal — the graph-hygiene complement of q131's
+  // authority ranks (spam farms and real hubs both sit in deep
+  // cores; pendant hosts peel). k = 6 peels the one weakly-linked
+  // host and keeps an 11-node core on this fixture. Spark iterates
+  // to the fixpoint; the oracle unrolls KcRounds rounds (extra
+  // rounds past the fixpoint are no-ops — the peel is monotone).
+  // ---------------------------------------------------------------
+  private val KcK = 6
+  private val KcRounds = 6
+
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    graft.ops.KCore.run(edges, "src", "dst", KcK, maxRounds = KcRounds)
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------
   // q132 — zone-map data skipping (ops/ZoneMap): orders written
   // range-sorted on o_orderdate into 12 files + a per-file (lo, hi,
   // rows) manifest; a one-year range read consults the MANIFEST and
@@ -1102,6 +1122,7 @@ object WebEntry {
     "q140_crawl_frontier" -> (q140 _),
     "q130_link_graph" -> (q130 _),
     "q131_pagerank" -> (q131 _),
+    "q230_kcore" -> (q230 _),
     "q132_zone_map" -> (q132 _),
     "q133_mojibake_repair" -> (q133 _),
     "q134_column_lineage" -> (q134 _),
@@ -1812,6 +1833,13 @@ object WebEntry {
       s"""SELECT node, rank_u FROM (
          |${graft.ops.PageRank.sql(edgesCte, PrIters)}
          |) pr ORDER BY rank_u DESC, node""".stripMargin
+    },
+    "q230_kcore" -> {
+      val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
+        s"FROM ($linkRowsSql) lr"
+      s"""SELECT node, core_degree FROM (
+         |${graft.ops.KCore.sql(edgesCte, KcK, KcRounds)}
+         |) kc ORDER BY node""".stripMargin
     },
     "q132_zone_map" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
