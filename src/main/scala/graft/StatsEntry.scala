@@ -101,12 +101,35 @@ object StatsEntry {
       .withColumnRenamed("t", "day")
       .orderBy("event_type", "day")
 
+  // ---------------------------------------------------------------
+  // q231 — Flesch readability (text/Readability): reading ease +
+  // Kincaid grade from regex-only word/sentence/vowel-group counts
+  // — a pure codegen'd projection; the oracle runs the IDENTICAL
+  // RE2-portable patterns and double chains.
+  // ---------------------------------------------------------------
+  private def q231(s: SparkSession, dir: String): DataFrame =
+    graft.text.Readability.score(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // q232 — column entropy profile (quality/Entropy): Shannon
+  // entropy + cardinality classification over four orders columns
+  // (id_like / categorical split falls out of the census); ln terms
+  // µ-quantized before the decimal total (q185's discipline).
+  // ---------------------------------------------------------------
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Entropy.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("column")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_ks_test" -> (q225 _),
     "q226_mann_whitney" -> (q226 _),
     "q227_acf" -> (q227 _),
     "q228_seasonality" -> (q228 _),
-    "q229_ewma" -> (q229 _))
+    "q229_ewma" -> (q229 _),
+    "q231_readability" -> (q231 _),
+    "q232_entropy_profile" -> (q232 _))
 
   // shared CTE: per-(event_type, value) arm counts + cumulative arm
   // counts — the oracle restates RankTests.cumulativeCounts with a
@@ -153,6 +176,66 @@ object StatsEntry {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q231_readability" -> {
+      import graft.text.Readability._
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(${wordsSql("text")} AS BIGINT) AS w,
+         |    CAST(${sentencesSql("text")} AS BIGINT) AS s,
+         |    CAST(${syllablesSql("text")} AS BIGINT) AS sy
+         |  FROM documents
+         |)
+         |SELECT doc_id, w AS n_words, s AS n_sentences,
+         |  sy AS n_syllables,
+         |  CASE WHEN w > 0 THEN round(206.835
+         |    - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         |    - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)), 6) END
+         |    AS reading_ease,
+         |  CASE WHEN w > 0 THEN round(
+         |    0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         |    + 11.8 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))
+         |    - 15.59, 6) END AS fk_grade
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    "q232_entropy_profile" ->
+      """WITH base AS (
+        |  SELECT 'o_orderkey' AS cn, CAST(o_orderkey AS VARCHAR) AS v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |), census AS (
+        |  SELECT cn, v, count(*) AS c FROM base
+        |  WHERE v IS NOT NULL GROUP BY cn, v
+        |), nulls AS (
+        |  SELECT cn, CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT)
+        |    AS n_nulls
+        |  FROM base GROUP BY cn
+        |), per AS (
+        |  SELECT cn, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    sum(CAST(round(ln(CAST(c AS DOUBLE)) * c, 6)
+        |      AS DECIMAL(28,6))) AS sl,
+        |    CAST(max(c) AS BIGINT) AS mx
+        |  FROM census GROUP BY cn
+        |)
+        |SELECT n0.cn AS "column", COALESCE(n, 0) AS n, n_nulls,
+        |  COALESCE(nd, 0) AS n_distinct,
+        |  CASE WHEN n > 0 THEN greatest(round(ln(CAST(n AS DOUBLE))
+        |    - CAST(sl AS DOUBLE) / CAST(n AS DOUBLE), 9),
+        |    CAST(0 AS DOUBLE)) END AS entropy_nats,
+        |  CASE WHEN n > 0 THEN
+        |    round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 9) END
+        |    AS top_share,
+        |  CASE WHEN COALESCE(nd, 0) <= 1 THEN 'constant'
+        |    WHEN nd * 100 >= n * 95 THEN 'id_like'
+        |    WHEN nd <= 64 THEN 'categorical'
+        |    ELSE 'text_like' END AS class
+        |FROM nulls n0 LEFT JOIN per USING (cn)
+        |ORDER BY "column"""".stripMargin,
     "q229_ewma" ->
       s"""WITH RECURSIVE $DailyCte, idx AS (
          |  SELECT g, day, x,
