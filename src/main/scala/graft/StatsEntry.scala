@@ -122,7 +122,28 @@ object StatsEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy("column")
 
+  // ---------------------------------------------------------------
+  // q233 — containment dedup (dedup/Dedup.containment): quote /
+  // subset detection. Probes are synthesized quotes — every 10th
+  // doc's first half plus unique padding, so containment in the
+  // source is high while Jaccard is low (exactly the pair a
+  // symmetric threshold misses). Broadcast inverted-index probe;
+  // integer threshold compare; unrounded exact division.
+  // ---------------------------------------------------------------
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("concat(concat_ws(' ', slice(split(text, ' '), 1, " +
+          "greatest(size(split(text, ' ')) div 2, 1))), ' qx qy qz')")
+          .as("text"))
+    graft.dedup.Dedup.containment(docs, probes, "doc_id", "text",
+        n = 3, tauPct = 70, minShared = 3)
+      .orderBy("corpus_id", "probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_containment" -> (q233 _),
     "q225_ks_test" -> (q225 _),
     "q226_mann_whitney" -> (q226 _),
     "q227_acf" -> (q227 _),
@@ -175,7 +196,42 @@ object StatsEntry {
       |  LEFT JOIN daily0 c ON c.g = s.g AND c.day = d.day
       |)""".stripMargin
 
+  // trigram-set CTE body over a (doc_id, text) relation — the q23/q25
+  // oracle shape: whitespace tokens → distinct word 3-grams
+  private def trigramSets(rel: String): String =
+    s"""SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |    END AS g
+       |  FROM (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '\\s+'),
+       |        x -> x <> '') AS t
+       |    FROM $rel)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q233_containment" ->
+      s"""WITH probes0 AS (
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(list_slice(string_split(text, ' '), 1,
+         |      greatest(len(string_split(text, ' ')) // 2, 1)), ' ')
+         |      || ' qx qy qz' AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |), psets AS (
+         |  ${trigramSets("probes0")}
+         |), csets AS (
+         |  ${trigramSets("documents")}
+         |), j AS (
+         |  SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+         |    CAST(len(list_intersect(c.g, p.g)) AS BIGINT) AS n_shared,
+         |    CAST(len(p.g) AS BIGINT) AS n_probe
+         |  FROM csets c JOIN psets p
+         |    ON len(list_intersect(c.g, p.g)) >= 3
+         |)
+         |SELECT corpus_id, probe_id, n_shared, n_probe,
+         |  CAST(n_shared AS DOUBLE) / n_probe AS containment
+         |FROM j WHERE n_shared * 100 >= n_probe * 70
+         |ORDER BY corpus_id, probe_id""".stripMargin,
     "q231_readability" -> {
       import graft.text.Readability._
       s"""WITH c AS (

@@ -498,6 +498,57 @@ object Dedup {
     * groupBy on the doc id. Fraction is rounded to 9dp so the ratio
     * is engine-stable.
     */
+  /** Asymmetric set containment — quote/subset detection, the
+    * directional sibling of [[ngramJaccard]] (a short doc quoted
+    * verbatim inside a long one scores high containment but LOW
+    * Jaccard, so a symmetric threshold never finds it; RefinedWeb /
+    * exact-substring pipelines hunt exactly this shape). Finds
+    * (corpus doc, probe doc) pairs where the probe's distinct word
+    * n-gram set is ≥ tauPct% contained in the corpus doc's:
+    *
+    *   C(P, D) = |grams(P) ∩ grams(D)| / |grams(P)|
+    *
+    * Exactness: intersection sizes are integer join-row counts
+    * (wordShingleHashes emits distinct grams per doc); the threshold
+    * compares 100·|∩| ≥ tauPct·|P| in integers — no float knife
+    * edges — and the reported containment is one exact int/int
+    * division (the q25 unrounded discipline).
+    *
+    * Scale shape: the probe side (quote set / eval suite) is the
+    * SMALL side and broadcasts as an inverted gram index (the
+    * [[contamination]] shape); the corpus streams through one
+    * broadcast-hash join keyed on gram hash + one pair groupBy.
+    * Never |corpus| × |probes|.
+    */
+  def containment(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      tauPct: Int = 70,
+      minShared: Int = 3): DataFrame = {
+    require(tauPct >= 1 && tauPct <= 100, s"tauPct in 1..100: $tauPct")
+    def grams(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.TextHashes.wordShingleHashes(col(textCol), n))
+          .as("gram"))
+    val probeSizes = probes.select(col(idCol).as("probe_id"),
+      size(graft.functions.TextHashes.wordShingleHashes(col(textCol), n))
+        .cast("long").as("n_probe"))
+    grams(corpus, "corpus_id")
+      .join(broadcast(grams(probes, "probe_id")), "gram")
+      .groupBy("corpus_id", "probe_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(probeSizes), "probe_id")
+      .filter(col("n_shared") * 100 >= col("n_probe") * tauPct)
+      .select(col("corpus_id"), col("probe_id"), col("n_shared"),
+        col("n_probe"),
+        (col("n_shared").cast("double") / col("n_probe"))
+          .as("containment"))
+  }
+
   def contaminationReport(
       train: DataFrame,
       eval: DataFrame,
