@@ -142,7 +142,65 @@ object StatsEntry {
       .orderBy("corpus_id", "probe_id")
   }
 
+  // ---------------------------------------------------------------
+  // q234 — bigram-LM scoring (text/LmFilter.bigramLogprob): add-one
+  // smoothed LM trained on the even-id half of the corpus, odd-id
+  // half scored per bigram occurrence — the CCNet/KenLM perplexity-
+  // filter join shape with engine-exact arithmetic (µ-quantized ln
+  // terms, decimal totals, one closing division).
+  // ---------------------------------------------------------------
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    graft.text.LmFilter.bigramLogprob(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q235 — smoothed mean-target encoding (ops/Encoders.meanTarget):
+  // order priority → expected order value in cents, shrunk toward
+  // the global mean by pseudo-count 10; exact decimal products, one
+  // double division.
+  // ---------------------------------------------------------------
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Encoders.meanTarget(
+        t(s, dir, "orders").select(col("o_orderpriority").as("cat"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("y")), m = 10)
+      .orderBy("category")
+
+  // ---------------------------------------------------------------
+  // q236 — hashing-trick census (text/FeatureHash): vocabulary
+  // folded into 64 buckets by the portable polynomial hash;
+  // occupancy + collision pressure per bucket.
+  // ---------------------------------------------------------------
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    graft.text.FeatureHash.census(t(s, dir, "documents"), "text", 64)
+      .orderBy("bucket")
+
+  // ---------------------------------------------------------------
+  // q237 — class-rebalance cap (Sampling.capPerClass): ≤ 500 events
+  // per type, kept set pinned by the portable (mix30(id), id) rank;
+  // the sum of kept ids in the report pins the EXACT selection, not
+  // just its size.
+  // ---------------------------------------------------------------
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_type", "event_id")
+    val kept = graft.ops.Sampling.capPerClass(ev, "event_type",
+      "event_id", 500)
+    ev.groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy("event_type")
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("event_id")).as("sum_kept_ids")), "event_type")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_lm_score" -> (q234 _),
+    "q235_target_encoding" -> (q235 _),
+    "q236_feature_hash" -> (q236 _),
+    "q237_class_cap" -> (q237 _),
     "q233_containment" -> (q233 _),
     "q225_ks_test" -> (q225 _),
     "q226_mann_whitney" -> (q226 _),
@@ -210,6 +268,96 @@ object StatsEntry {
        |    FROM $rel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q234_lm_score" ->
+      s"""WITH toksall AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> '') AS t
+         |  FROM documents
+         |), ref AS (SELECT * FROM toksall WHERE doc_id % 2 = 0),
+         |tgt AS (SELECT * FROM toksall WHERE doc_id % 2 = 1),
+         |uni AS (
+         |  SELECT w, count(*) AS c_a FROM
+         |    (SELECT unnest(t) AS w FROM ref) GROUP BY w
+         |), vv AS (SELECT count(*) AS v FROM uni),
+         |refbi AS (
+         |  SELECT ab, count(*) AS c_ab FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i+1])) AS ab
+         |    FROM ref WHERE len(t) >= 2) GROUP BY ab
+         |), db AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i+1])) AS ab
+         |  FROM tgt WHERE len(t) >= 2
+         |), j AS (
+         |  SELECT d.doc_id, string_split(d.ab, ' ')[1] AS a, r.c_ab
+         |  FROM db d LEFT JOIN refbi r USING (ab)
+         |), terms AS (
+         |  SELECT j.doc_id, j.c_ab,
+         |    CAST(round(ln(CAST(COALESCE(j.c_ab, 0) + 1 AS DOUBLE)
+         |      / CAST(COALESCE(u.c_a, 0) + v AS DOUBLE)), 6)
+         |      AS DECIMAL(28,6)) AS term
+         |  FROM j LEFT JOIN uni u ON j.a = u.w CROSS JOIN vv
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(count(*) FILTER (WHERE c_ab IS NULL) AS BIGINT)
+         |    AS n_unseen,
+         |  round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS avg_logprob
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q235_target_encoding" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM orders
+        |), per AS (
+        |  SELECT cat, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sum_y
+        |  FROM base GROUP BY cat
+        |), g AS (
+        |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+        |    CAST(sum(sum_y) AS HUGEINT) AS ss
+        |  FROM per
+        |)
+        |SELECT cat AS category, n, sum_y,
+        |  round(CAST(CAST(sum_y AS HUGEINT) * nn + 10 * ss AS DOUBLE)
+        |    / CAST(nn * CAST(n + 10 AS HUGEINT) AS DOUBLE), 6)
+        |    AS encoding
+        |FROM per CROSS JOIN g ORDER BY category""".stripMargin,
+    "q236_feature_hash" ->
+      """WITH w0 AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), h AS (
+        |  SELECT w, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket
+        |  FROM w0
+        |)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q237_class_cap" -> {
+      import graft.ops.Sampling.mix30Sql
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id FROM events
+         |), ranked AS (
+         |  SELECT event_type, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY (${mix30Sql("event_id")}), event_id) AS rn
+         |  FROM ev
+         |), kept AS (SELECT * FROM ranked WHERE rn <= 500)
+         |SELECT b.event_type, b.n_before, k.n_after, k.sum_kept_ids
+         |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_before
+         |      FROM ev GROUP BY 1) b
+         |JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_after,
+         |      CAST(sum(event_id) AS BIGINT) AS sum_kept_ids
+         |      FROM kept GROUP BY 1) k USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
     "q233_containment" ->
       s"""WITH probes0 AS (
          |  SELECT doc_id + 2000000 AS doc_id,

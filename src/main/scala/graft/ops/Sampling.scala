@@ -290,6 +290,28 @@ object Sampling {
     }
   }
 
+  /** Deterministic per-class cap — class-rebalance downsampling
+    * ("no class contributes more than k rows"): within each class,
+    * keep the k rows ranked first by (mix30(id), id). The hash rank
+    * is a portable pseudo-random order, so the kept set is a
+    * uniform-ish draw that is REPRODUCIBLE across engines and runs
+    * (the coordinated-sampling coin, promoted to a rank).
+    *
+    * Scale note: the rank window is CLASS-keyed (the q222 per-group
+    * reducer contract — fine while a single class fits a reducer);
+    * at petabyte class sizes swap the window for a two-phase
+    * hash-threshold select (count per class → per-class rank
+    * threshold via the bucketed prefix machinery).
+    */
+  def capPerClass(df: DataFrame, classCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol).orderBy(mix30(col(idCol)), col(idCol))
+    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
   /** Column form of the stratified predicate (for reuse in SQL-side
     * mirrors/tests).
     */
