@@ -196,7 +196,40 @@ object StatsEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q239 — quantile transform mapping (quality/RankTransform): the
+  // distinct-value → mid-rank CDF table for l_quantity; two-level
+  // bucketed prefix, no global sort; cdf is one exact int/int
+  // division, unrounded.
+  // ---------------------------------------------------------------
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    graft.quality.RankTransform.cdf(t(s, dir, "lineitem"), "l_quantity")
+      .orderBy("v")
+
+  // ---------------------------------------------------------------
+  // q240 — schema inference census (quality/TypeInfer): string
+  // columns synthesized from orders with engine-identical rendering
+  // (int text, decimal text, strftime dates, booleans, 10% junk in
+  // the mixed column) classified by the strict promotion ladder on
+  // integer counts.
+  // ---------------------------------------------------------------
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("int_col"),
+      concat(col("o_orderkey").cast("string"), lit(".5")).as("float_col"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_col"),
+      when(col("o_orderkey") % 2 === 0, "true").otherwise("false")
+        .as("bool_col"),
+      when(col("o_orderkey") % 10 === 0, lit("n/a"))
+        .otherwise(col("o_orderkey").cast("string")).as("mixed_col"))
+    graft.quality.TypeInfer.infer(base,
+        Seq("int_col", "float_col", "date_col", "bool_col", "mixed_col"))
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_rank_transform" -> (q239 _),
+    "q240_type_infer" -> (q240 _),
     "q234_lm_score" -> (q234 _),
     "q235_target_encoding" -> (q235 _),
     "q236_feature_hash" -> (q236 _),
@@ -268,6 +301,71 @@ object StatsEntry {
        |    FROM $rel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q239_rank_transform" ->
+      """WITH pv AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT v, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+        |  FROM pv
+        |), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv)
+        |SELECT v, cnt, cum,
+        |  CAST(2 * cum - cnt AS DOUBLE) / CAST(2 * n AS DOUBLE)
+        |    AS cdf_mid
+        |FROM c CROSS JOIN t ORDER BY v""".stripMargin,
+    "q240_type_infer" ->
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS int_col,
+        |    CAST(o_orderkey AS VARCHAR) || '.5' AS float_col,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS date_col,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END
+        |      AS bool_col,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'n/a'
+        |      ELSE CAST(o_orderkey AS VARCHAR) END AS mixed_col
+        |  FROM orders
+        |), base AS (
+        |  SELECT 'int_col' AS cn, int_col AS v FROM src
+        |  UNION ALL SELECT 'float_col', float_col FROM src
+        |  UNION ALL SELECT 'date_col', date_col FROM src
+        |  UNION ALL SELECT 'bool_col', bool_col FROM src
+        |  UNION ALL SELECT 'mixed_col', mixed_col FROM src
+        |), agg AS (
+        |  SELECT cn,
+        |    CAST(count(*) FILTER (WHERE v IS NOT NULL AND v <> '')
+        |      AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE v IS NULL OR v = '')
+        |      AS BIGINT) AS n_blank,
+        |    CAST(count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+        |      AND regexp_full_match(v, '[+-]?[0-9]+')) AS BIGINT)
+        |      AS n_int,
+        |    CAST(count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+        |      AND regexp_full_match(v, '[+-]?[0-9]+\.[0-9]+'))
+        |      AS BIGINT) AS n_float,
+        |    CAST(count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+        |      AND regexp_full_match(v,
+        |        '[0-9]{4}-[0-9]{2}-[0-9]{2}')) AS BIGINT) AS n_date,
+        |    CAST(count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+        |      AND regexp_full_match(lower(v), '(true|false)'))
+        |      AS BIGINT) AS n_bool
+        |  FROM base GROUP BY cn
+        |)
+        |SELECT cn AS "column", n, n_blank,
+        |  round(CAST(n_int AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS int_ratio,
+        |  round(CAST(n_int + n_float AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS numeric_ratio,
+        |  round(CAST(n_date AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS date_ratio,
+        |  round(CAST(n_bool AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS bool_ratio,
+        |  CASE WHEN n = 0 THEN 'unknown'
+        |    WHEN n_int = n THEN 'bigint'
+        |    WHEN n_int + n_float = n THEN 'double'
+        |    WHEN n_date = n THEN 'date'
+        |    WHEN n_bool = n THEN 'boolean'
+        |    ELSE 'varchar' END AS inferred
+        |FROM agg ORDER BY "column"""".stripMargin,
     "q234_lm_score" ->
       s"""WITH toksall AS (
          |  SELECT doc_id,

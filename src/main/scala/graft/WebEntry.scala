@@ -173,6 +173,22 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q238 — neighborhood-Jaccard link prediction over the same graph
+  // (ops/LinkPredict): non-adjacent domain pairs ranked by common-
+  // neighbor overlap — crawl-frontier candidates next to q131's
+  // ranks and q230's cores. Wedge-join candidates (hub pivots
+  // capped), true degrees in the denominator, unrounded exact
+  // division.
+  // ---------------------------------------------------------------
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    graft.ops.LinkPredict.jaccardCandidates(edges, "src", "dst",
+        minCommon = 1, maxPivotDegree = 1000)
+      .orderBy("u", "v")
+  }
+
+  // ---------------------------------------------------------------
   // q132 — zone-map data skipping (ops/ZoneMap): orders written
   // range-sorted on o_orderdate into 12 files + a per-file (lo, hi,
   // rows) manifest; a one-year range read consults the MANIFEST and
@@ -1123,6 +1139,7 @@ object WebEntry {
     "q130_link_graph" -> (q130 _),
     "q131_pagerank" -> (q131 _),
     "q230_kcore" -> (q230 _),
+    "q238_link_predict" -> (q238 _),
     "q132_zone_map" -> (q132 _),
     "q133_mojibake_repair" -> (q133 _),
     "q134_column_lineage" -> (q134 _),
@@ -1841,6 +1858,29 @@ object WebEntry {
          |${graft.ops.KCore.sql(edgesCte, KcK, KcRounds)}
          |) kc ORDER BY node""".stripMargin
     },
+    "q238_link_predict" ->
+      s"""WITH raw_e AS (SELECT src_domain AS src, dst_domain AS dst
+         |  FROM ($linkRowsSql) lr),
+         |dir AS (SELECT src AS a, dst AS b FROM raw_e
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |sym AS (SELECT DISTINCT a, b FROM
+         |  (SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir)),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY a),
+         |n AS (SELECT s.a AS w, s.b AS u FROM sym s
+         |  JOIN deg ON deg.a = s.a AND deg.d <= 1000),
+         |wed AS (SELECT x.u AS u, y.u AS v,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM n x JOIN n y ON x.w = y.w AND x.u < y.u
+         |  GROUP BY x.u, y.u),
+         |cand AS (SELECT wed.u, wed.v, n_common, du.d AS du, dv.d AS dv
+         |  FROM wed JOIN deg du ON du.a = wed.u
+         |  JOIN deg dv ON dv.a = wed.v
+         |  WHERE n_common >= 1 AND NOT EXISTS
+         |    (SELECT 1 FROM sym s WHERE s.a = wed.u AND s.b = wed.v))
+         |SELECT u, v, n_common,
+         |  CAST(n_common AS DOUBLE) / (du + dv - n_common) AS jaccard
+         |FROM cand ORDER BY u, v""".stripMargin,
     "q132_zone_map" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
         |    AS ym,
