@@ -89,8 +89,11 @@ object LmFilter {
         .otherwise(transform(sequence(lit(1), size(t) - 1),
           i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
     }
-    val uni = reference.select(explode(toks(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c_a"))
+    // barrier: `uni` feeds BOTH the vocabulary scalar and the c_a
+    // join — without the cut the reference tokenize+count runs twice
+    val uni = graft.plans.Plans.barrier(
+      reference.select(explode(toks(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_a")))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val bi = reference.select(explode(bigrams(col(textCol))).as("ab"))
       .groupBy("ab").agg(count(lit(1)).as("c_ab"))
