@@ -227,7 +227,93 @@ object StatsEntry {
       .orderBy("column")
   }
 
+  // ---------------------------------------------------------------
+  // q241 — t-closeness (quality/Anonymity.tCloseness): per-nation
+  // order-priority distributions vs the global one, 1-D ordinal EMD
+  // with cross-multiplied integer CDF gaps (the q225 discipline),
+  // one closing division; t = 0.2.
+  // ---------------------------------------------------------------
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Anonymity.tCloseness(
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey").as("g"),
+            col("o_orderpriority").as("sv")), t = 0.2)
+      .orderBy("g")
+
+  // ---------------------------------------------------------------
+  // q242 — dup-cluster purity (governance over the q38 chain: who
+  // is duplicating whom?): near-dup components labeled with their
+  // doc source (synthetic clones label 'clone'), per-cluster source
+  // diversity + dominant share. Cross-source clusters are the
+  // licensing/provenance review queue.
+  // ---------------------------------------------------------------
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val pairs = Dedup.ngramJaccard(PipelineEntry.nearCorpus(s, dir),
+      "doc_id", "text", n = 4, tau = 0.8)
+    val cl = Dedup.clusters(pairs)
+    val srcs = t(s, dir, "documents")
+      .select(col("doc_id").as("orig_id"), col("source"))
+    val labeled = cl
+      .withColumn("orig_id", when(col("doc_id") >= 1000000L,
+        col("doc_id") - 1000000L).otherwise(col("doc_id")))
+      .join(srcs, "orig_id")
+      .withColumn("src", when(col("doc_id") >= 1000000L, lit("clone"))
+        .otherwise(col("source")))
+    labeled.groupBy("cluster_id", "src").agg(count(lit(1)).as("c"))
+      .groupBy("cluster_id")
+      .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
+        max("c").as("top_c"))
+      .select(col("cluster_id"), col("n_docs"), col("n_sources"),
+        (col("top_c").cast("double") / col("n_docs").cast("double"))
+          .as("top_share"),
+        (col("n_sources") > 1).as("cross_source"))
+      .orderBy("cluster_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q243 — split-leakage audit (the governance proof of WHY q113's
+  // by-cluster split exists): exact-dup clusters (the q22 fixture —
+  // every 50th doc cloned) under two split policies. Splitting on
+  // the doc id strands copies across train/test (leakage > 0);
+  // splitting on the cluster id provably cannot (the report pins
+  // the 0). Spark keys clusters by (xxhash64, len) — the scale
+  // shape; the oracle groups by text (collision-free equivalence,
+  // the q22 contract).
+  // ---------------------------------------------------------------
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Sampling.mix30
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    val wk = Window.partitionBy("h", "len")
+    val multi = corpus
+      .withColumn("h", xxhash64(col("text")))
+      .withColumn("len", length(col("text")))
+      .withColumn("cluster_id", min(col("doc_id")).over(wk))
+      .withColumn("sz", count(lit(1)).over(wk))
+      .filter(col("sz") > 1)
+      .select("doc_id", "cluster_id")
+    def report(method: String, splitKey: org.apache.spark.sql.Column) =
+      multi.withColumn("tr", pmod(mix30(splitKey), lit(10L)) < 8)
+        .groupBy("cluster_id")
+        .agg(count_distinct(col("tr")).as("nsplits"))
+        .agg(count(lit(1)).as("n_clusters"),
+          count(when(col("nsplits") > 1, 1)).as("n_crossing"))
+        .select(lit(method).as("method"), col("n_clusters"),
+          col("n_crossing"))
+    report("naive_by_doc", col("doc_id"))
+      .unionByName(report("by_cluster", col("cluster_id")))
+      .orderBy("method")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_tcloseness" -> (q241 _),
+    "q242_cluster_purity" -> (q242 _),
+    "q243_split_leakage" -> (q243 _),
     "q239_rank_transform" -> (q239 _),
     "q240_type_infer" -> (q240 _),
     "q234_lm_score" -> (q234 _),
@@ -301,6 +387,106 @@ object StatsEntry {
        |    FROM $rel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q241_tcloseness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey AS g, o_orderpriority AS sv
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |), cats AS (SELECT DISTINCT sv FROM base),
+        |cls AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY g),
+        |pc AS (SELECT g, sv, count(*) AS c FROM base GROUP BY g, sv),
+        |grid AS (
+        |  SELECT cls.g, cls.n, cats.sv, COALESCE(pc.c, 0) AS c
+        |  FROM cls CROSS JOIN cats
+        |  LEFT JOIN pc ON pc.g = cls.g AND pc.sv = cats.sv
+        |), gdist AS (SELECT sv, count(*) AS cq FROM base GROUP BY sv),
+        |gtot AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+        |  CAST(count(DISTINCT sv) AS BIGINT) AS m FROM base),
+        |gridc AS (
+        |  SELECT g, n, sv,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY sv) AS BIGINT)
+        |      AS cump
+        |  FROM grid
+        |), globc AS (
+        |  SELECT sv, CAST(sum(cq) OVER (ORDER BY sv) AS BIGINT) AS cumq
+        |  FROM gdist
+        |), terms AS (
+        |  SELECT g, n, m, nn,
+        |    abs(CAST(cump AS HUGEINT) * nn - CAST(cumq AS HUGEINT) * n)
+        |      AS d
+        |  FROM gridc JOIN globc USING (sv) CROSS JOIN gtot
+        |), agg AS (
+        |  SELECT g, n, m, nn, sum(d) AS sd
+        |  FROM terms GROUP BY g, n, m, nn
+        |)
+        |SELECT g, n,
+        |  CASE WHEN m > 1 THEN CAST(sd AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * nn * (m - 1) AS DOUBLE) END
+        |    AS emd,
+        |  CASE WHEN m > 1 THEN (CAST(sd AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * nn * (m - 1) AS DOUBLE)) > 0.2
+        |    END AS t_violation
+        |FROM agg ORDER BY g""".stripMargin,
+    "q242_cluster_purity" ->
+      s"""WITH RECURSIVE ${PipelineEntry.NgramPairsCte},
+         |edges AS (
+         |  SELECT a AS x, b AS y FROM pairs WHERE jaccard >= 0.8
+         |  UNION
+         |  SELECT b, a FROM pairs WHERE jaccard >= 0.8
+         |), nodes AS (SELECT DISTINCT x AS id FROM edges),
+         |r(id, m) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.x, r.m FROM edges e JOIN r ON e.y = r.id
+         |), comp AS (SELECT id, min(m) AS cl FROM r GROUP BY id),
+         |lab AS (
+         |  SELECT c.id, c.cl,
+         |    CASE WHEN c.id >= 1000000 THEN 'clone' ELSE s.source END
+         |      AS src
+         |  FROM comp c JOIN documents s ON s.doc_id =
+         |    CASE WHEN c.id >= 1000000 THEN c.id - 1000000 ELSE c.id END
+         |), ps AS (SELECT cl, src, count(*) AS c FROM lab GROUP BY cl, src)
+         |SELECT cl AS cluster_id, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_sources,
+         |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share,
+         |  count(*) > 1 AS cross_source
+         |FROM ps GROUP BY cl ORDER BY cluster_id""".stripMargin,
+    "q243_split_leakage" -> {
+      import graft.ops.Sampling.mix30Sql
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 50 = 0
+         |), cl AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+         |    count(*) OVER (PARTITION BY text) AS sz
+         |  FROM corpus
+         |), multi AS (SELECT doc_id, cluster_id FROM cl WHERE sz > 1),
+         |naive AS (
+         |  SELECT cluster_id, count(DISTINCT
+         |    CASE WHEN (${mix30Sql("doc_id")}) % 10 < 8
+         |      THEN 1 ELSE 0 END) AS ns
+         |  FROM multi GROUP BY cluster_id
+         |), byc AS (
+         |  SELECT cluster_id, count(DISTINCT
+         |    CASE WHEN (${mix30Sql("cluster_id")}) % 10 < 8
+         |      THEN 1 ELSE 0 END) AS ns
+         |  FROM multi GROUP BY cluster_id
+         |)
+         |SELECT method, n_clusters, n_crossing FROM (
+         |  SELECT 'naive_by_doc' AS method,
+         |    CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT) AS n_crossing
+         |  FROM naive
+         |  UNION ALL
+         |  SELECT 'by_cluster',
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(count(*) FILTER (WHERE ns > 1) AS BIGINT)
+         |  FROM byc
+         |) ORDER BY method""".stripMargin
+    },
     "q239_rank_transform" ->
       """WITH pv AS (
         |  SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS cnt
