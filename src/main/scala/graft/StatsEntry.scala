@@ -310,7 +310,33 @@ object StatsEntry {
       .orderBy("method")
   }
 
+  // ---------------------------------------------------------------
+  // q245 — activity burstiness (quality/Burstiness.fano): per-user
+  // Fano factor of daily event counts over the shared calendar —
+  // metronome bots near 0, organic near 1, scrapers/bursts ≫ 1;
+  // one exact int/int division, unrounded.
+  // ---------------------------------------------------------------
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Burstiness.fano(
+        t(s, dir, "events").select(col("user_id").as("id"),
+          expr("(ts div 1000000) div 86400000").as("day")),
+        minEvents = 5, tau = 2.0)
+      .orderBy("id")
+
+  // ---------------------------------------------------------------
+  // q246 — seasonality-adjusted anomaly days
+  // (ops/SeasonalAnomaly): each day scored against its own
+  // (series, weekday) population — "low for a Tuesday" — on the
+  // q227/q228 spine; flagged days only.
+  // ---------------------------------------------------------------
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SeasonalAnomaly.flag(dailyCents(s, dir), k = 1.5)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type", "day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_burstiness" -> (q245 _),
+    "q246_seasonal_anomaly" -> (q246 _),
     "q241_tcloseness" -> (q241 _),
     "q242_cluster_purity" -> (q242 _),
     "q243_split_leakage" -> (q243 _),
@@ -387,6 +413,53 @@ object StatsEntry {
        |    FROM $rel)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q245_burstiness" ->
+      """WITH daily AS (
+        |  SELECT user_id AS id, epoch_ns(ts) // 1000000 // 86400000
+        |    AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT CAST(max(day) - min(day) + 1 AS HUGEINT) AS n
+        |  FROM daily
+        |), per AS (
+        |  SELECT id, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_active_days,
+        |    sum(CAST(c AS HUGEINT) * c) AS scc
+        |  FROM daily GROUP BY id
+        |)
+        |SELECT id, s AS n_events, n_active_days,
+        |  CAST(n * scc - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / CAST(n * CAST(s AS HUGEINT) AS DOUBLE) AS fano,
+        |  (CAST(n * scc - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / CAST(n * CAST(s AS HUGEINT) AS DOUBLE)) > 2.0 AS bursty
+        |FROM per CROSS JOIN spine WHERE s >= 5 ORDER BY id""".stripMargin,
+    "q246_seasonal_anomaly" ->
+      s"""WITH $DailyCte, wd AS (
+         |  SELECT g, day, (day + 3) % 7 AS dow, x FROM daily
+         |), mom AS (
+         |  SELECT g, dow, CAST(count(*) AS BIGINT) AS nw,
+         |    CAST(sum(x) AS BIGINT) AS sw,
+         |    sum(CAST(x AS HUGEINT) * x) AS qw
+         |  FROM wd GROUP BY g, dow
+         |), scored AS (
+         |  SELECT wd.g, wd.day, wd.dow, wd.x,
+         |    round(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), 6)
+         |      AS mean_w,
+         |    CASE WHEN nw > 1
+         |      AND CAST(CAST(nw AS HUGEINT) * qw
+         |        - CAST(sw AS HUGEINT) * sw AS DOUBLE)
+         |        / (CAST(nw AS DOUBLE) * CAST(nw AS DOUBLE)) > 0
+         |    THEN round((CAST(wd.x AS DOUBLE)
+         |      - CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE))
+         |      / sqrt(CAST(CAST(nw AS HUGEINT) * qw
+         |        - CAST(sw AS HUGEINT) * sw AS DOUBLE)
+         |        / (CAST(nw AS DOUBLE) * CAST(nw AS DOUBLE))), 6) END
+         |      AS z
+         |  FROM wd JOIN mom ON mom.g = wd.g AND mom.dow = wd.dow
+         |)
+         |SELECT g AS event_type, day, dow, x, mean_w, z
+         |FROM scored WHERE abs(z) > 1.5
+         |ORDER BY event_type, day""".stripMargin,
     "q241_tcloseness" ->
       """WITH base AS (
         |  SELECT c_nationkey AS g, o_orderpriority AS sv

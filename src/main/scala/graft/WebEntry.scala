@@ -189,6 +189,18 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q244 — degree assortativity of the domain graph
+  // (ops/Assortativity): one-number structural fingerprint (hubs
+  // wiring to hubs vs to leaves) from five exact decimal moments
+  // over symmetrized edge slots + one fixed double close.
+  // ---------------------------------------------------------------
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    graft.ops.Assortativity.degreeCorrelation(edges, "src", "dst")
+  }
+
+  // ---------------------------------------------------------------
   // q132 — zone-map data skipping (ops/ZoneMap): orders written
   // range-sorted on o_orderdate into 12 files + a per-file (lo, hi,
   // rows) manifest; a one-year range read consults the MANIFEST and
@@ -1140,6 +1152,7 @@ object WebEntry {
     "q131_pagerank" -> (q131 _),
     "q230_kcore" -> (q230 _),
     "q238_link_predict" -> (q238 _),
+    "q244_assortativity" -> (q244 _),
     "q132_zone_map" -> (q132 _),
     "q133_mojibake_repair" -> (q133 _),
     "q134_column_lineage" -> (q134 _),
@@ -1858,6 +1871,32 @@ object WebEntry {
          |${graft.ops.KCore.sql(edgesCte, KcK, KcRounds)}
          |) kc ORDER BY node""".stripMargin
     },
+    "q244_assortativity" ->
+      s"""WITH raw_e AS (SELECT src_domain AS src, dst_domain AS dst
+         |  FROM ($linkRowsSql) lr),
+         |dir AS (SELECT src AS a, dst AS b FROM raw_e
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |sym AS (SELECT DISTINCT a, b FROM
+         |  (SELECT a, b FROM dir UNION ALL SELECT b, a FROM dir)),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d
+         |  FROM sym GROUP BY a),
+         |slots AS (
+         |  SELECT CAST(dx.d AS HUGEINT) AS x, CAST(dy.d AS HUGEINT) AS y
+         |  FROM sym JOIN deg dx ON dx.a = sym.a
+         |  JOIN deg dy ON dy.a = sym.b
+         |), m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         |    sum(x * y) AS sxy
+         |  FROM slots
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_slots,
+         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+         |    AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         |    round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * syy - sy * sy AS DOUBLE)), 9) END AS r
+         |FROM m""".stripMargin,
     "q238_link_predict" ->
       s"""WITH raw_e AS (SELECT src_domain AS src, dst_domain AS dst
          |  FROM ($linkRowsSql) lr),
