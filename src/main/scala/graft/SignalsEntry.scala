@@ -119,10 +119,73 @@ object SignalsEntry {
       .orderBy("cell_y", "cell_x")
   }
 
+  // ---------------------------------------------------------------
+  // q250 — Holt double-exponential smoothing (ops/Ewma.holt): the
+  // level+trend upgrade of q229's EWMA over the same zero-filled
+  // daily-cents series (α = 1/4, β = 1/10). Signed fixed-point
+  // recursion with truncating integral division — Spark `div` and
+  // DuckDB `//` agree on negatives, so the trajectory (and the
+  // one-step-ahead forecast column) is bit-exact cross-engine; the
+  // oracle REPLAYS it with a recursive CTE.
+  // ---------------------------------------------------------------
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Ewma.holt(
+        StatsEntry.dailyCents(s, dir).withColumnRenamed("day", "t"),
+        alphaNum = 1, alphaDen = 4, betaNum = 1, betaDen = 10)
+      .withColumnRenamed("g", "event_type")
+      .withColumnRenamed("t", "day")
+      .orderBy("event_type", "day")
+
+  // ---------------------------------------------------------------
+  // q251 — Kaplan–Meier survival (ops/Survival.kaplanMeier):
+  // subjects are DAILY SESSIONS (user, day), duration = minutes
+  // between the session's first and last event; sessions on the
+  // corpus's FINAL day are CENSORED (observation ends mid-session)
+  // — the estimator that uses their partial length instead of
+  // dropping them. Arms by user-id parity (the q225/q226 fixture
+  // convention). Exact integer risk sets; µ-quantized per-step log
+  // factors summed as decimals; one closing exp rounded to 6dp.
+  // ---------------------------------------------------------------
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    val ms = expr("ts div 1000000")
+    val sessions = t(s, dir, "events")
+      .select(col("user_id"), ms.as("ms"),
+        expr("(ts div 1000000) div 86400000").as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+    val cutoff = sessions.agg(max(col("day")).as("cut_day"))
+    val subjects = sessions.crossJoin(broadcast(cutoff))
+      .select(pmod(col("user_id"), lit(2)).as("g"),
+        expr("(last_ms - first_ms) div 60000").as("dur"),
+        when(col("day") < col("cut_day"), 1L).otherwise(0L).as("ev"))
+    graft.ops.Survival.kaplanMeier(subjects)
+      .withColumnRenamed("g", "arm")
+      .orderBy("arm", "t")
+  }
+
+  // ---------------------------------------------------------------
+  // q252 — RFM customer segmentation (ops/Rfm.segment): recency /
+  // frequency / monetary quintiles from the RankTransform mid-rank
+  // CDF (no global ntile sort), standard segment names from the
+  // integer scores. Exact integer metrics; the only doubles are
+  // the CDF divisions, bit-identical cross-engine.
+  // ---------------------------------------------------------------
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").select(
+      col("o_custkey").as("cust"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    graft.ops.Rfm.segment(orders).orderBy("cust")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
-    "q249_grid_density" -> (q249 _))
+    "q249_grid_density" -> (q249 _),
+    "q250_holt" -> (q250 _),
+    "q251_kaplan_meier" -> (q251 _),
+    "q252_rfm" -> (q252 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -174,5 +237,115 @@ object SignalsEntry {
          |)
          |SELECT c.cell_y, c.cell_x, c.n_own, s.density
          |FROM counts c JOIN spread s USING (cell_y, cell_x)
-         |ORDER BY c.cell_y, c.cell_x""".stripMargin)
+         |ORDER BY c.cell_y, c.cell_x""".stripMargin,
+    "q250_holt" ->
+      s"""WITH RECURSIVE ${StatsEntry.DailyCte}, idx AS (
+         |  SELECT g, day, x,
+         |    row_number() OVER (PARTITION BY g ORDER BY day) AS i
+         |  FROM daily
+         |), rec AS (
+         |  SELECT g, day, x, i, x * 1000000 AS lvl,
+         |    CAST(0 AS BIGINT) AS trd, x * 1000000 AS fc
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT g, day, x, i, lvl2 AS lvl,
+         |    ((lvl2 - plvl) * 1 + ptrd * 9) // 10 AS trd,
+         |    plvl + ptrd AS fc
+         |  FROM (
+         |    SELECT n.g, n.day, n.x, n.i, r.lvl AS plvl, r.trd AS ptrd,
+         |      (n.x * 1000000 * 1 + (r.lvl + r.trd) * 3) // 4 AS lvl2
+         |    FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1) s
+         |)
+         |SELECT g AS event_type, day, CAST(lvl AS BIGINT) AS level_fp,
+         |  CAST(trd AS BIGINT) AS trend_fp, CAST(fc AS BIGINT) AS forecast_fp,
+         |  round(CAST(lvl AS DOUBLE) / 1000000.0, 6) AS level,
+         |  round(CAST(trd AS DOUBLE) / 1000000.0, 6) AS trend
+         |FROM rec ORDER BY event_type, day""".stripMargin,
+    "q251_kaplan_meier" ->
+      s"""WITH per AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000000 // 86400000 AS day,
+         |    min(epoch_ns(ts) // 1000000) AS first_ms,
+         |    max(epoch_ns(ts) // 1000000) AS last_ms
+         |  FROM events GROUP BY 1, 2
+         |), anc AS (SELECT max(day) AS cut_day FROM per
+         |), subj AS (
+         |  SELECT user_id % 2 AS arm,
+         |    (last_ms - first_ms) // 60000 AS t,
+         |    CASE WHEN day < cut_day THEN 1 ELSE 0 END AS ev
+         |  FROM per CROSS JOIN anc
+         |), cnt AS (
+         |  SELECT arm, t, CAST(sum(ev) AS BIGINT) AS d,
+         |    CAST(sum(1 - ev) AS BIGINT) AS c, count(*) AS m
+         |  FROM subj GROUP BY arm, t
+         |), risked AS (
+         |  SELECT arm, t, d, c,
+         |    sum(m) OVER (PARTITION BY arm)
+         |      - coalesce(sum(m) OVER (PARTITION BY arm ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS n_risk
+         |  FROM cnt
+         |), stepped AS (
+         |  SELECT arm, t, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+         |    CASE WHEN d > 0 AND n_risk = d
+         |      THEN CAST(NULL AS DECIMAL(38,12))
+         |      ELSE sum(CASE
+         |        WHEN d > 0 AND n_risk > d THEN
+         |          CAST(round(ln(CAST(n_risk - d AS DOUBLE))
+         |            - ln(CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(28,12))
+         |        ELSE CAST(0 AS DECIMAL(28,12)) END)
+         |        OVER (PARTITION BY arm ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      END AS log_survival
+         |  FROM risked
+         |)
+         |SELECT arm, t, n_risk, d AS d_events, c AS c_censored,
+         |  round(CAST(log_survival AS DOUBLE), 9) AS log_survival,
+         |  CASE WHEN log_survival IS NOT NULL
+         |    THEN round(exp(CAST(log_survival AS DOUBLE)), 6)
+         |    ELSE 0.0 END AS survival
+         |FROM stepped WHERE d > 0 ORDER BY arm, t""".stripMargin,
+    "q252_rfm" -> {
+      // one quintile mapping CTE per metric, each replaying the
+      // RankTransform mid-rank CDF with plain windows (oracle scale)
+      def mapCte(src: String, metric: String): String =
+        s"""(SELECT v,
+           |  least(CAST(floor((CAST(2 * cum - cnt AS DOUBLE)
+           |    / CAST(2 * n AS DOUBLE)) * 5) AS BIGINT) + 1, 5) AS q
+           |FROM (
+           |  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum,
+           |    sum(cnt) OVER () AS n
+           |  FROM (SELECT $metric AS v, count(*) AS cnt FROM $src
+           |        GROUP BY 1) c) w)""".stripMargin
+      s"""WITH per AS (
+         |  SELECT o_custkey AS cust,
+         |    max(epoch_ms(o_orderdate)) AS last_ms,
+         |    count(*) AS frequency,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS monetary_cents
+         |  FROM orders GROUP BY 1
+         |), anc AS (SELECT max(last_ms) AS now_ms FROM per
+         |), met AS (
+         |  SELECT cust, (now_ms - last_ms) // 86400000 AS recency_days,
+         |    frequency, monetary_cents
+         |  FROM per CROSS JOIN anc
+         |), rq AS ${mapCte("met", "recency_days")},
+         |fq AS ${mapCte("met", "frequency")},
+         |mq AS ${mapCte("met", "monetary_cents")},
+         |scored AS (
+         |  SELECT m.cust, m.recency_days, m.frequency, m.monetary_cents,
+         |    6 - rq.q AS r, fq.q AS f, mq.q AS m
+         |  FROM met m
+         |  JOIN rq ON m.recency_days = rq.v
+         |  JOIN fq ON m.frequency = fq.v
+         |  JOIN mq ON m.monetary_cents = mq.v
+         |)
+         |SELECT cust, recency_days, frequency, monetary_cents, r, f, m,
+         |  CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+         |       WHEN r >= 4 AND f <= 2 THEN 'new'
+         |       WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+         |       WHEN r <= 2 THEN 'hibernating'
+         |       WHEN f >= 4 THEN 'loyal'
+         |       ELSE 'regular' END AS segment
+         |FROM scored ORDER BY cust""".stripMargin
+    })
 }

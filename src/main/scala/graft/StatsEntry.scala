@@ -51,7 +51,7 @@ object StatsEntry {
     * the equally-spaced index ACF requires). Spine = bounded
     * (lo..hi) sequence × distinct series, both broadcast-sized.
     */
-  private def dailyCents(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dailyCents(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(col("event_type").as("g"),
         expr("(ts div 1000000) div 86400000").as("day"))
@@ -382,7 +382,7 @@ object StatsEntry {
   // shared CTE: the zero-filled daily-cents spine, restated (DuckDB
   // HUGEINT carries the exact integer arithmetic the Spark side
   // does in DECIMAL(38,0) — only the final doubles are compared)
-  private val DailyCte =
+  private[graft] val DailyCte =
     """daily0 AS (
       |  SELECT event_type AS g, epoch_ns(ts) // 1000000 // 86400000 AS day,
       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -173,6 +173,26 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q253 — multi-source BFS reach over the same domain graph
+  // (ops/Bfs.hops): hop distance from a trusted seed set — the
+  // TrustRank-style "how far from the whitelist" triage next to
+  // q230's core peel and q131's ranks. Level-synchronous expansion
+  // labels every node with its true minimum hop count; the oracle
+  // unrolls the same rounds (no-ops once the frontier empties).
+  // ---------------------------------------------------------------
+  private val BfsSeed = "cdn0.assets.net"
+  private val BfsRounds = 6
+
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    graft.ops.Bfs.hops(edges, "src", "dst",
+        Seq(BfsSeed).toDF("node"), maxHops = BfsRounds)
+      .orderBy("hops", "node")
+  }
+
+  // ---------------------------------------------------------------
   // q238 — neighborhood-Jaccard link prediction over the same graph
   // (ops/LinkPredict): non-adjacent domain pairs ranked by common-
   // neighbor overlap — crawl-frontier candidates next to q131's
@@ -1151,6 +1171,7 @@ object WebEntry {
     "q130_link_graph" -> (q130 _),
     "q131_pagerank" -> (q131 _),
     "q230_kcore" -> (q230 _),
+    "q253_bfs_reach" -> (q253 _),
     "q238_link_predict" -> (q238 _),
     "q244_assortativity" -> (q244 _),
     "q132_zone_map" -> (q132 _),
@@ -1870,6 +1891,14 @@ object WebEntry {
       s"""SELECT node, core_degree FROM (
          |${graft.ops.KCore.sql(edgesCte, KcK, KcRounds)}
          |) kc ORDER BY node""".stripMargin
+    },
+    "q253_bfs_reach" -> {
+      val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
+        s"FROM ($linkRowsSql) lr"
+      val seedsCte = s"SELECT '$BfsSeed' AS node"
+      s"""SELECT node, hops FROM (
+         |${graft.ops.Bfs.sql(edgesCte, seedsCte, BfsRounds)}
+         |) b ORDER BY hops, node""".stripMargin
     },
     "q244_assortativity" ->
       s"""WITH raw_e AS (SELECT src_domain AS src, dst_domain AS dst

@@ -58,18 +58,33 @@ object Survival {
       .withColumn("n_risk",
         sum(col("m")).over(wAll) -
           coalesce(sum(col("m")).over(wCum), lit(0L)))
-    // µ-quantized per-step log factor, decimal-exact running sum
-    val step = when(col("d") > 0,
-      round(log(col("n_risk") - col("d")) - log(col("n_risk")), 12)
-        .cast("decimal(28,12)")).otherwise(lit(0).cast("decimal(28,12)"))
+    // µ-quantized per-step log factor, decimal-exact running sum.
+    // n_risk = d (everyone remaining dies here) has log factor −∞;
+    // that row is necessarily the GROUP'S LAST (no subject outlives
+    // t), so it needs no propagation: the row itself reports NULL
+    // log_survival and survival 0 by contract, and its step
+    // contributes 0 to a cumulative nothing reads past it.
+    val dec = "decimal(28,12)"
+    val total = col("d") > 0 && col("n_risk") === col("d")
+    val step = when(col("d") > 0 && col("n_risk") > col("d"),
+        round(log(col("n_risk") - col("d")) - log(col("n_risk")), 12)
+          .cast(dec))
+      .otherwise(lit(0).cast(dec))
     val wLog = Window.partitionBy("g").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     risked
-      .withColumn("log_survival", sum(step).over(wLog))
+      .withColumn("log_survival",
+        when(total, lit(null).cast("decimal(38,12)"))
+          .otherwise(sum(step).over(wLog)))
       .filter(col("d") > 0) // curve steps only at event times
       .select(col("g"), col("t"), col("n_risk"),
         col("d").as("d_events"), col("c").as("c_censored"),
-        col("log_survival"),
-        round(exp(col("log_survival").cast("double")), 6).as("survival"))
+        // the cumulative stays decimal-exact internally; the OUTPUT
+        // renders as a rounded double (engine decimal types don't
+        // cross result boundaries identically)
+        round(col("log_survival").cast("double"), 9).as("log_survival"),
+        when(col("log_survival").isNotNull,
+          round(exp(col("log_survival").cast("double")), 6))
+          .otherwise(lit(0.0)).as("survival"))
   }
 }
