@@ -179,13 +179,57 @@ object SignalsEntry {
     graft.ops.Rfm.segment(orders).orderBy("cust")
   }
 
+  // ---------------------------------------------------------------
+  // q254 — Jaro–Winkler fuzzy dictionary match (functions/
+  // StringSimExprs.jaroWinkler, Winkler 1990): typo-perturbed part
+  // names resolved against the clean name dictionary — the
+  // "free-text field → bounded reference vocabulary" matcher
+  // (country lists, product catalogs) that complements q104's
+  // levenshtein blocking pipeline with the transposition-tolerant,
+  // prefix-boosted census scorer. Scale shape: the dictionary is
+  // metadata-sized, so scoring is probe × BROADCAST dictionary — a
+  // codegen'd projection, no pair shuffle; argmax per probe rides
+  // one keyed struct-max aggregation with scores ROUNDED to 9dp
+  // before comparison (a last-ulp libm wobble cannot flip ranks,
+  // ties break on the name). The native expression is verified
+  // equal to DuckDB's jaro_winkler_similarity, which restates the
+  // whole plan natively.
+  // ---------------------------------------------------------------
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringSimExprs.jaroWinkler
+    val parts = t(s, dir, "part")
+    val clean = parts.select(col("p_name").as("cname")).distinct()
+    val dirty = parts.select(col("p_partkey").as("id"),
+      when(pmod(col("p_partkey"), lit(4)) === 0,
+        expr("substring(p_name, 1, length(p_name) - 1)")) // truncate
+        .when(pmod(col("p_partkey"), lit(4)) === 1,
+          concat(expr("substring(p_name, 2, 1)"),
+            expr("substring(p_name, 1, 1)"),
+            expr("substring(p_name, 3, 1000)"))) // leading transposition
+        .when(pmod(col("p_partkey"), lit(4)) === 2,
+          concat(col("p_name"), lit("s"))) // pluralize
+        .otherwise(col("p_name")).as("dname"))
+    val scored = dirty.crossJoin(broadcast(clean))
+      .select(col("id"),
+        col("cname"), round(jaroWinkler(col("dname"), col("cname")), 9)
+          .as("jw"))
+    val best = scored.groupBy("id")
+      .agg(max(struct(col("jw"), col("cname"))).as("b"))
+      .select(col("b.cname").as("match_name"), col("b.jw").as("jw"))
+    best.groupBy("match_name")
+      .agg(count(lit(1)).as("n_records"), min("jw").as("min_jw"),
+        max("jw").as("max_jw"))
+      .orderBy("match_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
     "q249_grid_density" -> (q249 _),
     "q250_holt" -> (q250 _),
     "q251_kaplan_meier" -> (q251 _),
-    "q252_rfm" -> (q252 _))
+    "q252_rfm" -> (q252 _),
+    "q254_jw_dictionary" -> (q254 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -347,5 +391,30 @@ object SignalsEntry {
          |       WHEN f >= 4 THEN 'loyal'
          |       ELSE 'regular' END AS segment
          |FROM scored ORDER BY cust""".stripMargin
-    })
+    },
+    "q254_jw_dictionary" ->
+      s"""WITH clean AS (SELECT DISTINCT p_name AS cname FROM part),
+         |dirty AS (
+         |  SELECT p_partkey AS id,
+         |    CASE WHEN p_partkey % 4 = 0
+         |           THEN substring(p_name, 1, length(p_name) - 1)
+         |         WHEN p_partkey % 4 = 1
+         |           THEN substring(p_name, 2, 1) || substring(p_name, 1, 1)
+         |             || substring(p_name, 3, 1000)
+         |         WHEN p_partkey % 4 = 2 THEN p_name || 's'
+         |         ELSE p_name END AS dname
+         |  FROM part
+         |), scored AS (
+         |  SELECT id, cname,
+         |    round(jaro_winkler_similarity(dname, cname), 9) AS jw
+         |  FROM dirty CROSS JOIN clean
+         |), best AS (
+         |  SELECT id, cname, jw, row_number() OVER (PARTITION BY id
+         |    ORDER BY jw DESC, cname DESC) AS rn
+         |  FROM scored
+         |)
+         |SELECT cname AS match_name, count(*) AS n_records,
+         |  min(jw) AS min_jw, max(jw) AS max_jw
+         |FROM best WHERE rn = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
