@@ -222,6 +222,33 @@ object SignalsEntry {
       .orderBy("match_name")
   }
 
+  // ---------------------------------------------------------------
+  // q255 — MMR diversified retrieval (ann/Mmr.rerank, Carbonell &
+  // Goldstein 1998): λ·rel − (1−λ)·max-sim greedy selection of 3
+  // from each query's brute-force top-8 pool — the RAG diversity
+  // pass after ANN. The greedy recursion is unrolled into k plan
+  // stages of pool-sized keyed ops; rel/sims are the bit-exact
+  // sequential-double cosine (q27 contract), so the oracle's
+  // identically-unrolled stages reproduce the selection exactly
+  // (1−λ interpolates as the same IEEE double both sides).
+  // ---------------------------------------------------------------
+  private val MmrK = 3
+  private val MmrLambda = 0.7
+  private val MmrPool = 8
+
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{Ann, Mmr}
+    val vecs = t(s, dir, "embeddings")
+    val topn = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = MmrPool)
+    val cands = topn.join(
+        vecs.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"),
+        col("vec"))
+    Mmr.rerank(cands, MmrK, MmrLambda).orderBy("query_id", "pos")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -229,7 +256,8 @@ object SignalsEntry {
     "q250_holt" -> (q250 _),
     "q251_kaplan_meier" -> (q251 _),
     "q252_rfm" -> (q252 _),
-    "q254_jw_dictionary" -> (q254 _))
+    "q254_jw_dictionary" -> (q254 _),
+    "q255_mmr_rerank" -> (q255 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -416,5 +444,72 @@ object SignalsEntry {
          |SELECT cname AS match_name, count(*) AS n_records,
          |  min(jw) AS min_jw, max(jw) AS max_jw
          |FROM best WHERE rn = 1
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q255_mmr_rerank" -> {
+      import PipelineEntry.cosSql
+      val lam = MmrLambda.toString
+      val oneMinus = (1.0 - MmrLambda).toString // exact double round-trip
+      // one CTE pair per greedy stage s >= 2, selecting against the
+      // union of earlier picks — the same unrolled stages as
+      // Mmr.rerank's plan
+      val stages = (2 to MmrK).map { i =>
+        val prev = (1 to i - 1).map(j => s"SELECT * FROM s$j")
+          .mkString(" UNION ALL ")
+        s"""sel$i AS ($prev),
+           |sc$i AS (
+           |  SELECT r.query_id, r.neighbor_id,
+           |    $lam * r.rel - $oneMinus * m.max_sim AS score
+           |  FROM (SELECT c.* FROM cand c WHERE NOT EXISTS (
+           |      SELECT 1 FROM sel$i p WHERE p.query_id = c.query_id
+           |        AND p.neighbor_id = c.neighbor_id)) r
+           |  JOIN (SELECT s.query_id, s.a AS neighbor_id,
+           |      max(s.sim) AS max_sim
+           |    FROM sims s JOIN sel$i p ON p.query_id = s.query_id
+           |      AND p.neighbor_id = s.b
+           |    GROUP BY 1, 2) m
+           |    USING (query_id, neighbor_id)
+           |),
+           |s$i AS (
+           |  SELECT query_id, neighbor_id, $i AS pos, score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, neighbor_id) AS rn FROM sc$i)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      }
+      val all = (1 to MmrK).map(j => s"SELECT * FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 8
+         |), c AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS nv
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, ${cosSql("qv", "nv")} AS rel
+         |  FROM q JOIN c ON query_id <> neighbor_id
+         |), cand AS (
+         |  SELECT query_id, neighbor_id, rel
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) AS rk FROM scored)
+         |  WHERE rk <= $MmrPool
+         |), cv AS (
+         |  SELECT cand.query_id, cand.neighbor_id, c.nv
+         |  FROM cand JOIN c USING (neighbor_id)
+         |), sims AS (
+         |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+         |    ${cosSql("x.nv", "y.nv")} AS sim
+         |  FROM cv x JOIN cv y ON x.query_id = y.query_id
+         |    AND x.neighbor_id <> y.neighbor_id
+         |), s1 AS (
+         |  SELECT query_id, neighbor_id, 1 AS pos, $lam * rel AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) AS rn FROM cand)
+         |  WHERE rn = 1
+         |),
+         |${stages.mkString(",\n")}
+         |SELECT query_id, neighbor_id, pos, score FROM ($all) u
+         |ORDER BY query_id, pos""".stripMargin
+    })
 }
