@@ -249,6 +249,38 @@ object SignalsEntry {
     Mmr.rerank(cands, MmrK, MmrLambda).orderBy("query_id", "pos")
   }
 
+  // ---------------------------------------------------------------
+  // q256 — IVF-PQ composed ANN (ann/Pq.ivfPqTopK, FAISS's
+  // `IVFx,PQy` production shape): coarse lists bound the candidate
+  // scan, PQ codes bound its BYTES, exact rerank restores
+  // precision. Inherently lossy like q37/q77, so the output IS the
+  // accuracy contract (recall@5 vs exact ≥ 4/5 per query —
+  // deterministic: fixed init, decimal-exact training means); the
+  // raw composition is spec-tested.
+  // ---------------------------------------------------------------
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.{Ann, Pq}
+    val vecs = t(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 10)
+    val centroids = Ann.trainCentroids(vecs, "vec_id", "embedding",
+      nLists = 8, iters = 3)
+    val books = Pq.trainCodebooks(vecs, "vec_id", "embedding",
+      dim = 64, m = 16, k = 64, iters = 2)
+    val approx = Pq.ivfPqTopK(vecs, queries, "vec_id", "embedding",
+      dim = 64, k = 5, centroids, books, nProbe = 5, rerankDepth = 50)
+    val exact = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding",
+      k = 5)
+    approx
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_returned"),
+        (col("n_hit") >= lit(4)).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -257,7 +289,8 @@ object SignalsEntry {
     "q251_kaplan_meier" -> (q251 _),
     "q252_rfm" -> (q252 _),
     "q254_jw_dictionary" -> (q254 _),
-    "q255_mmr_rerank" -> (q255 _))
+    "q255_mmr_rerank" -> (q255 _),
+    "q256_ann_ivfpq" -> (q256 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -511,5 +544,12 @@ object SignalsEntry {
          |${stages.mkString(",\n")}
          |SELECT query_id, neighbor_id, pos, score FROM ($all) u
          |ORDER BY query_id, pos""".stripMargin
-    })
+    },
+    // q37/q77 contract shape: the composed index must return exactly
+    // 5 neighbors per query with recall@5 >= 4/5 against brute force
+    "q256_ann_ivfpq" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(5 AS BIGINT) AS n_returned, TRUE AS recall_ok
+        |FROM (SELECT unnest(range(0, 10)) AS query_id)
+        |ORDER BY query_id""".stripMargin)
 }

@@ -148,4 +148,73 @@ object Pq {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
   }
+
+  /** IVF-PQ with exact rerank — the composed production ANN shape
+    * (FAISS `IVFx,PQy`; Jégou et al. 2011 §V): the coarse quantizer
+    * routes each query to its `nProbe` nearest inverted lists and
+    * the PQ codes score ONLY the probed lists' members, so the
+    * candidate scan is sub-linear in the corpus AND reads m-byte
+    * codes instead of raw vectors — IVF alone still scans full
+    * vectors per probed list, PQ alone still scans every code; the
+    * composition is what a billion-vector index actually runs.
+    *
+    * 100 TB shape: the hot index is (id, list, m bytes) — one
+    * in-scan projection to build, no shuffle; queries (with their
+    * probe fan-out) broadcast; the candidate join is keyed on the
+    * list id; rerank fetches true vectors for |Q|·rerankDepth ids
+    * via broadcast, the corpus streams. Driver state = nLists×dim
+    * centroid scalars + m×k×(dim/m) codebook scalars (the
+    * [[graft.ann.Ann.trainCentroids]] rationale).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 2,
+      rerankDepth: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the index: id + coarse list + m-byte code, one projection
+    val index = barrier(corpus.select(col(idCol).as("neighbor_id"),
+      VectorColumns.nearestCentroid(col(vecCol), centroids).as("cl"),
+      encode(col(vecCol), dim, books).as("codes")))
+    // nProbe nearest lists per query: rank the literal centroids
+    val qDists = array(centroids.zipWithIndex.map { case (cent, i) =>
+      struct(
+        aggregate(zip_with(col("qv"), typedlit(cent),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (acc, x) => acc + x)
+          .as("d"),
+        lit(i).as("cl"))
+    }: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probes", slice(array_sort(qDists), 1, nProbe))
+      .select(col("query_id"), col("qv"),
+        explode(col("probes.cl")).as("cl")))
+    val approx = index.join(q, "cl")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorColumns.pqCosine(col("qv"), col("codes"), books).as("acos"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val cands = approx.withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= rerankDepth)
+      .select("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val fetched = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nv"))
+      .join(broadcast(cands), "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("cos", VectorColumns.cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    fetched.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rk"))
+  }
 }
