@@ -173,6 +173,24 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q257 — personalized (topic-sensitive) PageRank over the same
+  // domain graph (ops/PageRank.runPersonalized, Haveliwala 2002):
+  // teleport mass lands only on the CDN seed pair, so ranks
+  // measure authority AS SEEN FROM those hosts — the TrustRank
+  // shape (seeds = vetted list, spam ranks low). Same integer
+  // fixed-point recursion as q131; generated-CTE oracle.
+  // ---------------------------------------------------------------
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.PageRank
+    val edges = linkRows(s, dir)
+      .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+    PageRank.runPersonalized(edges, "src", "dst",
+        Seq("cdn0.assets.net", "cdn1.assets.net").toDF("node"), PrIters)
+      .orderBy(col("rank_u").desc, col("node"))
+  }
+
+  // ---------------------------------------------------------------
   // q253 — multi-source BFS reach over the same domain graph
   // (ops/Bfs.hops): hop distance from a trusted seed set — the
   // TrustRank-style "how far from the whitelist" triage next to
@@ -1172,6 +1190,7 @@ object WebEntry {
     "q131_pagerank" -> (q131 _),
     "q230_kcore" -> (q230 _),
     "q253_bfs_reach" -> (q253 _),
+    "q257_personalized_pagerank" -> (q257 _),
     "q238_link_predict" -> (q238 _),
     "q244_assortativity" -> (q244 _),
     "q132_zone_map" -> (q132 _),
@@ -1899,6 +1918,15 @@ object WebEntry {
       s"""SELECT node, hops FROM (
          |${graft.ops.Bfs.sql(edgesCte, seedsCte, BfsRounds)}
          |) b ORDER BY hops, node""".stripMargin
+    },
+    "q257_personalized_pagerank" -> {
+      val edgesCte = s"SELECT src_domain AS src, dst_domain AS dst " +
+        s"FROM ($linkRowsSql) lr"
+      val seedsCte = "SELECT 'cdn0.assets.net' AS node " +
+        "UNION ALL SELECT 'cdn1.assets.net' AS node"
+      s"""SELECT node, rank_u FROM (
+         |${graft.ops.PageRank.personalizedSql(edgesCte, seedsCte, PrIters)}
+         |) pr ORDER BY rank_u DESC, node""".stripMargin
     },
     "q244_assortativity" ->
       s"""WITH raw_e AS (SELECT src_domain AS src, dst_domain AS dst
