@@ -281,6 +281,44 @@ object SignalsEntry {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------
+  // q258 — XML record shredding (sources/XmlSource.shred): each
+  // document synthesizes an XML payload (repeated <item> records,
+  // an &amp; entity to prove REAL decoding, every 13th doc
+  // malformed with an unclosed tag); the shredder parses with a
+  // hardened JAXP parser (DTDs off) and the per-lang rollup is
+  // checked against the GOLDEN aggregate computed directly from
+  // the synthesis formulas (the q33 contract: the oracle never
+  // parses XML — it restates what the generator emitted, so a
+  // parser that drops records, skips entity decode, or swallows
+  // malformed docs breaks parity).
+  // ---------------------------------------------------------------
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val items = array_join(transform(
+      sequence(lit(0L), pmod(d, lit(3L))),
+      i => concat(lit("<item><name>x"), d.cast("string"),
+        lit(" &amp; n"), i.cast("string"), lit("</name><qty>"),
+        pmod(d + i, lit(7L)).cast("string"), lit("</qty></item>"))), "")
+    val xml = when(pmod(d, lit(13L)) === 0,
+        lit("<doc><item><name>broken"))
+      .otherwise(concat(lit("<doc id=\""), d.cast("string"), lit("\">"),
+        items, lit("</doc>")))
+    val docs = t(s, dir, "documents")
+    val shredded = graft.sources.XmlSource.shred(
+      docs.withColumn("xml", xml), "doc_id", "xml", "item",
+      Seq("name", "qty"))
+    shredded
+      .join(docs.select(d.as("id"), col("lang")), "id")
+      .groupBy("lang")
+      .agg(count_distinct(col("id")).as("n_docs"),
+        count(when(col("malformed"), 1)).as("n_malformed"),
+        count(when(!col("malformed"), 1)).as("n_records"),
+        sum(col("qty").cast("long")).as("sum_qty"),
+        sum(length(col("name"))).as("sum_name_chars"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -290,7 +328,8 @@ object SignalsEntry {
     "q252_rfm" -> (q252 _),
     "q254_jw_dictionary" -> (q254 _),
     "q255_mmr_rerank" -> (q255 _),
-    "q256_ann_ivfpq" -> (q256 _))
+    "q256_ann_ivfpq" -> (q256 _),
+    "q258_xml_shred" -> (q258 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -551,5 +590,31 @@ object SignalsEntry {
       """SELECT CAST(query_id AS BIGINT) AS query_id,
         |  CAST(5 AS BIGINT) AS n_returned, TRUE AS recall_ok
         |FROM (SELECT unnest(range(0, 10)) AS query_id)
-        |ORDER BY query_id""".stripMargin)
+        |ORDER BY query_id""".stripMargin,
+    // golden-from-synthesis: aggregates restated from the generator
+    // formulas (decoded name "x{D} & n{i}" has 6 + digits(D) chars)
+    "q258_xml_shred" ->
+      """WITH ok AS (
+        |  SELECT doc_id, lang, unnest(range(0, 1 + doc_id % 3)) AS i
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |), rec_agg AS (
+        |  SELECT lang, count(*) AS n_records,
+        |    CAST(sum((doc_id + i) % 7) AS BIGINT) AS sum_qty,
+        |    CAST(sum(6 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+        |      AS sum_name_chars
+        |  FROM ok GROUP BY lang
+        |), bad_agg AS (
+        |  SELECT lang, count(*) AS n_malformed
+        |  FROM documents WHERE doc_id % 13 = 0 GROUP BY lang
+        |), all_agg AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |)
+        |SELECT a.lang, a.n_docs,
+        |  coalesce(b.n_malformed, 0) AS n_malformed,
+        |  coalesce(r.n_records, 0) AS n_records,
+        |  r.sum_qty, r.sum_name_chars
+        |FROM all_agg a
+        |LEFT JOIN bad_agg b USING (lang)
+        |LEFT JOIN rec_agg r USING (lang)
+        |ORDER BY a.lang""".stripMargin)
 }
