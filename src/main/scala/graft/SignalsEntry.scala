@@ -319,6 +319,25 @@ object SignalsEntry {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------
+  // q259 — Markov removal-effect attribution (ops/MarkovAttribution,
+  // Anderl 2014): the DATA-DRIVEN model beside q148/q210's
+  // positional heuristics — journeys become a first-order chain,
+  // conversion = absorption mass, credit = what disappears when a
+  // channel redirects to NULL. Integer fixed-point power
+  // iterations (q131 discipline) on a METADATA-sized transition
+  // matrix (driver-held, the IVF rationale); the oracle unrolls
+  // the same iterations per removal variant in generated CTEs.
+  // ---------------------------------------------------------------
+  private val AttrChannels = Seq("click", "error", "signup", "view")
+  private val AttrIters = 12
+
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    graft.ops.MarkovAttribution.attribute(t(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        AttrChannels, iters = AttrIters)
+      .orderBy("channel")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -329,7 +348,8 @@ object SignalsEntry {
     "q254_jw_dictionary" -> (q254 _),
     "q255_mmr_rerank" -> (q255 _),
     "q256_ann_ivfpq" -> (q256 _),
-    "q258_xml_shred" -> (q258 _))
+    "q258_xml_shred" -> (q258 _),
+    "q259_markov_attribution" -> (q259 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -616,5 +636,10 @@ object SignalsEntry {
         |FROM all_agg a
         |LEFT JOIN bad_agg b USING (lang)
         |LEFT JOIN rec_agg r USING (lang)
-        |ORDER BY a.lang""".stripMargin)
+        |ORDER BY a.lang""".stripMargin,
+    "q259_markov_attribution" -> graft.ops.MarkovAttribution.sql(
+      "SELECT user_id AS u, CASE WHEN event_type = 'purchase' " +
+        "THEN 'CONV' ELSE event_type END AS ch, ts, event_id AS eid " +
+        "FROM events",
+      AttrChannels, AttrIters))
 }
