@@ -338,6 +338,96 @@ object SignalsEntry {
         AttrChannels, iters = AttrIters)
       .orderBy("channel")
 
+  // ---------------------------------------------------------------
+  // q260 — isotonic score calibration (quality/Isotonic.calibrate,
+  // Zadrozny & Elkan 2002): noisy per-bin outcome rates → the
+  // closest non-decreasing curve, via the MINIMAX closed form
+  // (max_{j≤i} min_{k≥i} interval-avg) instead of the sequential
+  // PAVA stack — one corpus pass to bin, then metadata-sized
+  // relational algebra; spec pins equality with hand-PAVA. Fixture:
+  // a synthetic score bin whose outcome probability ramps with the
+  // bin plus mix30 noise, so the fit genuinely pools violators.
+  // ---------------------------------------------------------------
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val bkt = pmod(Sampling.mix30(col("doc_id") + lit(7L)), lit(20L))
+    val d = t(s, dir, "documents").select(bkt.as("bucket"),
+      when(pmod(Sampling.mix30(col("doc_id")), lit(1000L)) <
+        lit(150L) + lit(35L) * bkt, 1L).otherwise(0L).as("y"))
+    graft.quality.Isotonic.calibrate(d).orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------
+  // q261 — Theil–Sen robust trend (ops/TheilSen.slope, Sen 1968):
+  // median of all pairwise slopes of the daily-cents series — the
+  // outlier-tolerant companion to q176's OLS (one backfill spike
+  // can't drag it). O(n²) pairs PER SERIES on calendar-bounded
+  // series; the median is an order statistic, well-defined under
+  // ties, averaged for even counts.
+  // ---------------------------------------------------------------
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val d = StatsEntry.dailyCents(s, dir)
+      .select(col("g"), col("day").as("t"), col("x").as("y"))
+      .withColumnRenamed("t", "x")
+    graft.ops.TheilSen.slope(d)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // q262 — Spearman rank correlation (quality/RankTests.spearman):
+  // daily event VOLUME vs daily REVENUE per event type — the
+  // monotone-association readout next to q68's Pearson, invariant
+  // to heavy tails. Doubled mid-ranks (exact at ties), decimal
+  // moments, one closing double chain.
+  // ---------------------------------------------------------------
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type").as("g"),
+        expr("(ts div 1000000) div 86400000").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("y"))
+    graft.quality.RankTests.spearman(daily, "g", "x", "y")
+      .withColumnRenamed("stratum", "event_type")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // q263 — CCNet-style perplexity bucketing (Wenzek 2020): the q234
+  // bigram-LM scores split into head/middle/tail TERCILES PER
+  // LANGUAGE — the standard web-corpus quality triage (train on
+  // head+middle, audit tail). Band boundaries come from the q239
+  // mid-rank CDF machinery per language (two-level bucketed prefix,
+  // no global sort); ties share a band by construction.
+  // ---------------------------------------------------------------
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.text.LmFilter.bigramLogprob(
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", "text")
+    val withLang = scored.join(docs.select(col("doc_id"), col("lang")),
+      "doc_id")
+    val cum = graft.quality.RankTests.cumulativeCounts(
+      withLang, "lang", lit(false), "avg_logprob")
+    val n = cum.groupBy("g").agg(sum("ca").as("nl"))
+    val cdf = (lit(2) * col("cuma") - col("ca")).cast("double") /
+      (lit(2) * col("nl")).cast("double")
+    val bands = cum.join(broadcast(n), "g")
+      .select(col("g"), col("v"),
+        least(floor(cdf * 3).cast("long"), lit(2L)).as("band"))
+    val banded = withLang.join(bands,
+      withLang("lang") === bands("g") &&
+        withLang("avg_logprob") === bands("v"))
+    banded.groupBy(col("lang"),
+        when(col("band") === 2, "head").when(col("band") === 1, "middle")
+          .otherwise("tail").as("band"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("sum_bigrams"),
+        min("avg_logprob").as("min_score"),
+        max("avg_logprob").as("max_score"))
+      .orderBy("lang", "band")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -349,7 +439,11 @@ object SignalsEntry {
     "q255_mmr_rerank" -> (q255 _),
     "q256_ann_ivfpq" -> (q256 _),
     "q258_xml_shred" -> (q258 _),
-    "q259_markov_attribution" -> (q259 _))
+    "q259_markov_attribution" -> (q259 _),
+    "q260_isotonic_calibration" -> (q260 _),
+    "q261_theil_sen" -> (q261 _),
+    "q262_spearman" -> (q262 _),
+    "q263_ccnet_buckets" -> (q263 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -641,5 +735,122 @@ object SignalsEntry {
       "SELECT user_id AS u, CASE WHEN event_type = 'purchase' " +
         "THEN 'CONV' ELSE event_type END AS ch, ts, event_id AS eid " +
         "FROM events",
-      AttrChannels, AttrIters))
+      AttrChannels, AttrIters),
+    "q260_isotonic_calibration" -> {
+      val bktSql = s"(${Sampling.mix30Sql("(doc_id + 7)")}) % 20"
+      s"""WITH pts AS (
+         |  SELECT $bktSql AS bucket,
+         |    CASE WHEN (${Sampling.mix30Sql("doc_id")}) % 1000
+         |      < 150 + 35 * ($bktSql) THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |), b AS (
+         |  SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM pts GROUP BY 1
+         |), pre AS (
+         |  SELECT bucket, n, n_pos,
+         |    sum(n) OVER (ORDER BY bucket) AS cn,
+         |    sum(n_pos) OVER (ORDER BY bucket) AS cs
+         |  FROM b
+         |), iv AS (
+         |  SELECT l.bucket AS j, h.bucket AS k,
+         |    CAST(h.cs - (l.cs - l.n_pos) AS DOUBLE)
+         |      / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS avg
+         |  FROM pre l CROSS JOIN pre h WHERE l.bucket <= h.bucket
+         |), mn AS (
+         |  SELECT b2.bucket AS i, iv.j, min(iv.avg) AS mn
+         |  FROM iv JOIN b b2 ON iv.j <= b2.bucket AND b2.bucket <= iv.k
+         |  GROUP BY 1, 2
+         |), ft AS (SELECT i, max(mn) AS fit FROM mn GROUP BY 1)
+         |SELECT b.bucket, b.n, b.n_pos,
+         |  round(CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE), 9)
+         |    AS observed,
+         |  round(ft.fit, 9) AS fit
+         |FROM b JOIN ft ON b.bucket = ft.i
+         |ORDER BY b.bucket""".stripMargin
+    },
+    "q261_theil_sen" ->
+      s"""WITH ${StatsEntry.DailyCte}, pairs AS (
+         |  SELECT a.g, CAST(b.x - a.x AS DOUBLE)
+         |    / CAST(b.day - a.day AS DOUBLE) AS s
+         |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+         |), rk AS (
+         |  SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS m
+         |  FROM pairs
+         |), mid AS (
+         |  SELECT g, s, m FROM rk
+         |  WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+         |), np AS (SELECT g, count(*) AS n_points FROM daily GROUP BY g)
+         |SELECT mid.g AS event_type, np.n_points,
+         |  CAST(max(mid.m) AS BIGINT) AS n_pairs,
+         |  round(avg(mid.s), 9) AS slope
+         |FROM mid JOIN np ON mid.g = np.g
+         |GROUP BY mid.g, np.n_points
+         |ORDER BY event_type""".stripMargin,
+    "q262_spearman" ->
+      s"""WITH d AS (
+         |  SELECT event_type AS g,
+         |    epoch_ns(ts) // 1000000 // 86400000 AS day,
+         |    CAST(count(*) AS DOUBLE) AS xv,
+         |    CAST(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS DOUBLE) AS yv
+         |  FROM events GROUP BY 1, 2
+         |), cx AS (
+         |  SELECT g, xv AS v, count(*) AS c FROM d GROUP BY 1, 2
+         |), rxx AS (
+         |  SELECT g, v,
+         |    2 * sum(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r
+         |  FROM cx
+         |), cy AS (
+         |  SELECT g, yv AS v, count(*) AS c FROM d GROUP BY 1, 2
+         |), ryy AS (
+         |  SELECT g, v,
+         |    2 * sum(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r
+         |  FROM cy
+         |), j AS (
+         |  SELECT d.g, CAST(x.r AS HUGEINT) AS a, CAST(y.r AS HUGEINT) AS b
+         |  FROM d JOIN rxx x ON d.g = x.g AND d.xv = x.v
+         |  JOIN ryy y ON d.g = y.g AND d.yv = y.v
+         |), mom AS (
+         |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(a) AS sx, sum(b) AS sy, sum(a * b) AS sxy,
+         |    sum(a * a) AS sxx, sum(b * b) AS syy
+         |  FROM j GROUP BY g
+         |)
+         |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+         |  END AS rho
+         |FROM mom ORDER BY event_type""".stripMargin,
+    "q263_ccnet_buckets" ->
+      s"""WITH ${StatsEntry.LmScoreCte}, sl AS (
+         |  SELECT s.doc_id, s.n_bigrams, s.avg_logprob, d.lang
+         |  FROM lm_scores s JOIN documents d USING (doc_id)
+         |), census AS (
+         |  SELECT lang, avg_logprob AS v, count(*) AS c
+         |  FROM sl GROUP BY 1, 2
+         |), cm AS (
+         |  SELECT lang, v, c,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS nl
+         |  FROM census
+         |), bands AS (
+         |  SELECT lang, v,
+         |    least(CAST(floor((CAST(2 * cum - c AS DOUBLE)
+         |      / CAST(2 * nl AS DOUBLE)) * 3) AS BIGINT), 2) AS band
+         |  FROM cm
+         |), bd AS (
+         |  SELECT sl.lang, sl.n_bigrams, sl.avg_logprob, b.band
+         |  FROM sl JOIN bands b ON sl.lang = b.lang
+         |    AND sl.avg_logprob = b.v
+         |)
+         |SELECT lang,
+         |  CASE WHEN band = 2 THEN 'head' WHEN band = 1 THEN 'middle'
+         |    ELSE 'tail' END AS band,
+         |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT)
+         |    AS sum_bigrams,
+         |  min(avg_logprob) AS min_score, max(avg_logprob) AS max_score
+         |FROM bd GROUP BY 1, 2 ORDER BY lang, band""".stripMargin)
 }

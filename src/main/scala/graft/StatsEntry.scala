@@ -382,6 +382,49 @@ object StatsEntry {
   // shared CTE: the zero-filled daily-cents spine, restated (DuckDB
   // HUGEINT carries the exact integer arithmetic the Spark side
   // does in DECIMAL(38,0) — only the final doubles are compared)
+  /** Shared q234/q263 oracle CTE chain ending in
+    * `lm_scores(doc_id, n_bigrams, n_unseen, avg_logprob)` — the
+    * even-half-trained add-one bigram LM scoring the odd half.
+    */
+  private[graft] val LmScoreCte: String =
+    """toksall AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS t
+      |  FROM documents
+      |), ref AS (SELECT * FROM toksall WHERE doc_id % 2 = 0),
+      |tgt AS (SELECT * FROM toksall WHERE doc_id % 2 = 1),
+      |uni AS (
+      |  SELECT w, count(*) AS c_a FROM
+      |    (SELECT unnest(t) AS w FROM ref) GROUP BY w
+      |), vv AS (SELECT count(*) AS v FROM uni),
+      |refbi AS (
+      |  SELECT ab, count(*) AS c_ab FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i+1])) AS ab
+      |    FROM ref WHERE len(t) >= 2) GROUP BY ab
+      |), db AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS ab
+      |  FROM tgt WHERE len(t) >= 2
+      |), j AS (
+      |  SELECT d.doc_id, string_split(d.ab, ' ')[1] AS a, r.c_ab
+      |  FROM db d LEFT JOIN refbi r USING (ab)
+      |), terms AS (
+      |  SELECT j.doc_id, j.c_ab,
+      |    CAST(round(ln(CAST(COALESCE(j.c_ab, 0) + 1 AS DOUBLE)
+      |      / CAST(COALESCE(u.c_a, 0) + v AS DOUBLE)), 6)
+      |      AS DECIMAL(28,6)) AS term
+      |  FROM j LEFT JOIN uni u ON j.a = u.w CROSS JOIN vv
+      |), lm_scores AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(count(*) FILTER (WHERE c_ab IS NULL) AS BIGINT)
+      |      AS n_unseen,
+      |    round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |      AS avg_logprob
+      |  FROM terms GROUP BY doc_id
+      |)""".stripMargin
+
   private[graft] val DailyCte =
     """daily0 AS (
       |  SELECT event_type AS g, epoch_ns(ts) // 1000000 // 86400000 AS day,
@@ -626,42 +669,9 @@ object StatsEntry {
         |    ELSE 'varchar' END AS inferred
         |FROM agg ORDER BY "column"""".stripMargin,
     "q234_lm_score" ->
-      s"""WITH toksall AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'),
-         |      x -> x <> '') AS t
-         |  FROM documents
-         |), ref AS (SELECT * FROM toksall WHERE doc_id % 2 = 0),
-         |tgt AS (SELECT * FROM toksall WHERE doc_id % 2 = 1),
-         |uni AS (
-         |  SELECT w, count(*) AS c_a FROM
-         |    (SELECT unnest(t) AS w FROM ref) GROUP BY w
-         |), vv AS (SELECT count(*) AS v FROM uni),
-         |refbi AS (
-         |  SELECT ab, count(*) AS c_ab FROM (
-         |    SELECT unnest(list_transform(range(1, len(t)),
-         |      i -> t[i] || ' ' || t[i+1])) AS ab
-         |    FROM ref WHERE len(t) >= 2) GROUP BY ab
-         |), db AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |    i -> t[i] || ' ' || t[i+1])) AS ab
-         |  FROM tgt WHERE len(t) >= 2
-         |), j AS (
-         |  SELECT d.doc_id, string_split(d.ab, ' ')[1] AS a, r.c_ab
-         |  FROM db d LEFT JOIN refbi r USING (ab)
-         |), terms AS (
-         |  SELECT j.doc_id, j.c_ab,
-         |    CAST(round(ln(CAST(COALESCE(j.c_ab, 0) + 1 AS DOUBLE)
-         |      / CAST(COALESCE(u.c_a, 0) + v AS DOUBLE)), 6)
-         |      AS DECIMAL(28,6)) AS term
-         |  FROM j LEFT JOIN uni u ON j.a = u.w CROSS JOIN vv
-         |)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(count(*) FILTER (WHERE c_ab IS NULL) AS BIGINT)
-         |    AS n_unseen,
-         |  round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-         |    AS avg_logprob
-         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $LmScoreCte
+         |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
+         |FROM lm_scores ORDER BY doc_id""".stripMargin,
     "q235_target_encoding" ->
       """WITH base AS (
         |  SELECT o_orderpriority AS cat,

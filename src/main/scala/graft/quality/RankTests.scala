@@ -41,7 +41,7 @@ object RankTests {
   /** Per-(stratum, distinct value) arm counts + exact cumulative arm
     * counts in value order. Columns: g, v, ca, cb, cuma, cumb.
     */
-  private def cumulativeCounts(
+  private[graft] def cumulativeCounts(
       df: DataFrame, stratumCol: String, isB: Column,
       valueCol: String): DataFrame = {
     val base = df.select(col(stratumCol).as("g"),
@@ -130,5 +130,55 @@ object RankTests {
       round(uA, 6).as("u_a"),
       when(varU > 0, round(z, 6)).as("z"),
       when(varU > 0, abs(z) > 1.96).as("significant"))
+  }
+
+  /** Spearman rank correlation per stratum — the monotone-
+    * association readout next to q68's Pearson: invariant to any
+    * monotone transform of either variable, so heavy tails and
+    * nonlinearity (the default for volumes, latencies, revenue)
+    * don't fake or hide a relationship.
+    *
+    * ρ = Pearson over MID-RANKS, carried as DOUBLED ranks
+    * (2R(v) = 2·cum(v) − cnt(v) + 1 — exact integers at ties, the
+    * [[mannWhitney]] device). All five moments accumulate in
+    * DECIMAL(38,0) (bound: n ≲ 10⁹ per stratum before n·Σxy needs
+    * more digits — swap wider there), and ρ closes with one fixed
+    * double chain, 9dp. Zero variance in either variable (all
+    * values tied) → null.
+    *
+    * Scale shape: two [[cumulativeCounts]] rank passes (the
+    * two-level bucketed prefix — no global sort), two keyed joins
+    * back to rows, one partial-aggregatable moment groupBy.
+    */
+  def spearman(df: DataFrame, stratumCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def ranks(valueCol: String, out: String): DataFrame =
+      cumulativeCounts(df, stratumCol, lit(false), valueCol)
+        .select(col("g").as(s"${out}_g"), col("v").as(s"${out}_v"),
+          (lit(2) * col("cuma") - col("ca") + 1).as(out))
+    val rx = ranks(xCol, "rx")
+    val ry = ranks(yCol, "ry")
+    val rows = df.select(col(stratumCol).as("g"),
+      col(xCol).cast("double").as("xv"), col(yCol).cast("double").as("yv"))
+    val ranked = rows
+      .join(rx, col("g") === col("rx_g") && col("xv") === col("rx_v"))
+      .join(ry, col("g") === col("ry_g") && col("yv") === col("ry_v"))
+      .select(col("g"), col("rx").cast("decimal(38,0)").as("a"),
+        col("ry").cast("decimal(38,0)").as("b"))
+    val m = ranked.groupBy("g").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("a")).as("sx"), sum(col("b")).as("sy"),
+      sum(col("a") * col("b")).as("sxy"),
+      sum(col("a") * col("a")).as("sxx"),
+      sum(col("b") * col("b")).as("syy"))
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    m.select(col("g").as("stratum"), col("n").cast("long").as("n"),
+      when(varX > 0 && varY > 0,
+        round(num / sqrt(varX * varY), 9)).as("rho"))
   }
 }
