@@ -33,11 +33,12 @@ class IsotonicSpec extends SparkSpec {
       out.head.getDouble(0) shouldBe 0.5
     }
     it("pooling respects weights, not just rates") {
-      // rates 1.0 (n=1) then 0.5 (n=9): pooled = 5.5/10 = 0.55
-      val df = fromRates(Seq((0L, 1, 0), (1L, 4, 5)))
+      // rate 1.0 (n=1) then 0.5 (n=10): pooled = 6/11, NOT the
+      // unweighted rate average 0.75
+      val df = fromRates(Seq((0L, 1, 0), (1L, 5, 5)))
       val out = Isotonic.calibrate(df).orderBy("bucket")
         .select("fit").collect().map(_.getDouble(0))
-      out.toSeq shouldBe Seq(0.55, 0.55)
+      out.toSeq shouldBe Seq(0.545454545, 0.545454545)
     }
     it("output is always non-decreasing") {
       val df = fromRates(Seq((0L, 3, 7), (1L, 9, 1), (2L, 2, 8),
