@@ -428,6 +428,84 @@ object SignalsEntry {
       .orderBy("lang", "band")
   }
 
+  // ---------------------------------------------------------------
+  // q264 — Wilson score intervals (quality/Proportions.wilson,
+  // Wilson 1927): per-event-type "big purchase" rate with the
+  // binomial CI that stays honest at p̂ near 0/1 and small n (the
+  // Wald interval's failure mode — Brown/Cai/DasGupta 2001).
+  // Algebraic (no erf), one fixed double chain on exact counts.
+  // ---------------------------------------------------------------
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events").select(col("event_type").as("g"),
+      (col("value") > 100.0).cast("int").as("hit"))
+    graft.quality.Proportions.wilson(d)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // q265 — fixed-width record layout (sources/FixedWidth): orders
+  // rendered to a COBOL-copybook-style 40-char line (zero-padded
+  // numerics, space-padded text, overflow RAISES) and parsed back
+  // by byte offsets — both directions pure codegen'd projections.
+  // The rollup aggregates PARSED fields, so a mis-sliced offset or
+  // dropped padding breaks parity.
+  // ---------------------------------------------------------------
+  private val FwFields = Seq(
+    graft.sources.FixedWidth.Field("okey", 1, 10, numeric = true),
+    graft.sources.FixedWidth.Field("status", 11, 2, numeric = false),
+    graft.sources.FixedWidth.Field("cents", 13, 12, numeric = true),
+    graft.sources.FixedWidth.Field("prio", 25, 16, numeric = false))
+
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FixedWidth
+    val in = t(s, dir, "orders").select(
+      col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"),
+      col("o_orderpriority").as("prio"))
+    val lines = FixedWidth.render(in, FwFields).select("line")
+    FixedWidth.parse(lines, "line", FwFields)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(col("line_ok").cast("long")).as("n_ok"),
+        sum(col("cents").cast("long")).as("sum_cents"),
+        min(col("okey").cast("long")).as("min_key"),
+        max(col("okey").cast("long")).as("max_key"))
+      .orderBy("status")
+  }
+
+  // ---------------------------------------------------------------
+  // q266 — matryoshka truncation audit (Kusupati 2022): how much
+  // retrieval survives keeping only the FIRST 16 of 64 embedding
+  // dims — the modern "cheap prefilter dims, full-dim rerank"
+  // design question. Exact top-5 under both representations (the
+  // q27 bit-exact cosine), per-query overlap + top-1 agreement;
+  // the oracle restates both rankings over sliced lists.
+  // ---------------------------------------------------------------
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.Ann
+    val vecs = t(s, dir, "embeddings")
+    val queries = vecs.filter(col("vec_id") < 8)
+    val full = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+    val tcorpus = vecs.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc = Ann.bruteForceTopK(tcorpus,
+      tcorpus.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    val overlap = full.select("query_id", "neighbor_id")
+      .join(trunc.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_full"),
+        sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+    val t1 = full.filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("f1"))
+      .join(trunc.filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id").as("t1")), "query_id")
+      .select(col("query_id"), (col("f1") === col("t1")).as("top1_same"))
+    overlap.join(t1, "query_id").orderBy("query_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -443,7 +521,10 @@ object SignalsEntry {
     "q260_isotonic_calibration" -> (q260 _),
     "q261_theil_sen" -> (q261 _),
     "q262_spearman" -> (q262 _),
-    "q263_ccnet_buckets" -> (q263 _))
+    "q263_ccnet_buckets" -> (q263 _),
+    "q264_wilson_ci" -> (q264 _),
+    "q265_fixed_width" -> (q265 _),
+    "q266_matryoshka" -> (q266 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -852,5 +933,93 @@ object SignalsEntry {
          |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT)
          |    AS sum_bigrams,
          |  min(avg_logprob) AS min_score, max(avg_logprob) AS max_score
-         |FROM bd GROUP BY 1, 2 ORDER BY lang, band""".stripMargin)
+         |FROM bd GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
+    "q264_wilson_ci" -> {
+      val (rate, lo, hi) = graft.quality.Proportions.wilsonSql()
+      s"""WITH a AS (
+         |  SELECT event_type AS g, count(*) AS n,
+         |    CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT g AS event_type, n, k, $rate AS rate,
+         |  $lo AS ci_lo, $hi AS ci_hi
+         |FROM a ORDER BY event_type""".stripMargin
+    },
+    "q265_fixed_width" ->
+      """WITH src AS (
+        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0')
+        |    || rpad(o_orderstatus, 2, ' ')
+        |    || lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT) AS VARCHAR), 12, '0')
+        |    || rpad(o_orderpriority, 16, ' ') AS line
+        |  FROM orders
+        |), p AS (
+        |  SELECT substring(line, 1, 10) AS okey,
+        |    rtrim(substring(line, 11, 2)) AS status,
+        |    substring(line, 13, 12) AS cents,
+        |    length(line) = 40 AS line_ok
+        |  FROM src
+        |)
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(CASE WHEN line_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ok,
+        |  CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(okey AS BIGINT)) AS min_key,
+        |  max(CAST(okey AS BIGINT)) AS max_key
+        |FROM p GROUP BY 1 ORDER BY status""".stripMargin,
+    "q266_matryoshka" -> {
+      import PipelineEntry.cosSql
+      def ranked(name: String, vec: String) =
+        s"""${name}_s AS (
+           |  SELECT q.query_id, c.neighbor_id,
+           |    ${cosSql(s"q.$vec", s"c.$vec")} AS cos
+           |  FROM ${name}_q q JOIN ${name}_c c
+           |    ON q.query_id <> c.neighbor_id
+           |), $name AS (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM ${name}_s
+           |)""".stripMargin
+      s"""WITH fl_q AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS fv
+         |  FROM embeddings WHERE vec_id < 8
+         |), fl_c AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS fv
+         |  FROM embeddings
+         |), tr_q AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(embedding[1:16], v -> CAST(v AS DOUBLE)) AS tv
+         |  FROM embeddings WHERE vec_id < 8
+         |), tr_c AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding[1:16], v -> CAST(v AS DOUBLE)) AS tv
+         |  FROM embeddings
+         |),
+         |${ranked("fl", "fv")},
+         |${ranked("tr", "tv")},
+         |f5 AS (SELECT query_id, neighbor_id FROM fl WHERE rk <= 5),
+         |t5 AS (SELECT query_id, neighbor_id FROM tr WHERE rk <= 5),
+         |ov AS (
+         |  SELECT f.query_id, count(*) AS n_full,
+         |    CAST(sum(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_overlap
+         |  FROM f5 f LEFT JOIN t5 t
+         |    ON f.query_id = t.query_id
+         |    AND f.neighbor_id = t.neighbor_id
+         |  GROUP BY f.query_id
+         |), one AS (
+         |  SELECT a.query_id,
+         |    a.neighbor_id = b.neighbor_id AS top1_same
+         |  FROM (SELECT query_id, neighbor_id FROM fl WHERE rk = 1) a
+         |  JOIN (SELECT query_id, neighbor_id FROM tr WHERE rk = 1) b
+         |    USING (query_id)
+         |)
+         |SELECT query_id, n_full, n_overlap, top1_same
+         |FROM ov JOIN one USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    })
 }
