@@ -506,6 +506,51 @@ object SignalsEntry {
     overlap.join(t1, "query_id").orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------
+  // q267 — Benjamini–Hochberg FDR (quality/Fdr, BH 1995): the
+  // multiple-comparisons correction over the q226 Mann–Whitney
+  // sweep — test every segment at α=0.05 and a twentieth of "wins"
+  // are noise; BH bounds the expected false-discovery fraction.
+  // p-values via the A&S 7.1.26 normal survival chain (no erf
+  // built-in needed; identical Horner + one exp both engines,
+  // 9dp-rounded before ranking); step-up rule on the test list
+  // (metadata-sized by construction).
+  // ---------------------------------------------------------------
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val mw = graft.quality.RankTests.mannWhitney(t(s, dir, "events"),
+      "event_type", pmod(col("user_id"), lit(2)) === 1, "value")
+    val tests = mw.filter(col("z").isNotNull)
+      .select(col("stratum").as("test_id"),
+        graft.quality.Fdr.normP(col("z")).as("p"))
+    graft.quality.Fdr.bh(tests, 0.05).orderBy("rk")
+  }
+
+  // ---------------------------------------------------------------
+  // q268 — CUPED variance reduction (quality/Cuped, Deng/Kohavi
+  // WSDM 2013): per-user pre-period revenue (first 15 days) adjusts
+  // the experiment-period metric — same sensitivity, less traffic.
+  // θ from POOLED moments (per-arm θ would absorb the treatment),
+  // exact decimal moments, adjusted MEANS as algebra over the same
+  // moments (no second pass), ρ² reported.
+  // ---------------------------------------------------------------
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type").as("g"),
+      col("user_id"),
+      expr("(ts div 1000000) div 86400000").as("day"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val lo = ev.agg(min("day").as("lo"))
+    val units = ev.crossJoin(broadcast(lo))
+      .groupBy(col("g"), col("user_id"),
+        pmod(col("user_id"), lit(2)).as("arm"))
+      .agg(sum(when(col("day") < col("lo") + 15, col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("lo") + 15, col("cents"))
+          .otherwise(0L)).as("y"))
+    graft.quality.Cuped.adjust(units)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type", "arm")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -524,7 +569,9 @@ object SignalsEntry {
     "q263_ccnet_buckets" -> (q263 _),
     "q264_wilson_ci" -> (q264 _),
     "q265_fixed_width" -> (q265 _),
-    "q266_matryoshka" -> (q266 _))
+    "q266_matryoshka" -> (q266 _),
+    "q267_bh_fdr" -> (q267 _),
+    "q268_cuped" -> (q268 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -1021,5 +1068,70 @@ object SignalsEntry {
          |SELECT query_id, n_full, n_overlap, top1_same
          |FROM ov JOIN one USING (query_id)
          |ORDER BY query_id""".stripMargin
-    })
+    },
+    "q267_bh_fdr" ->
+      s"""WITH ${StatsEntry.CumCte}, ${StatsEntry.MwuZCte}, zz AS (
+         |  SELECT g AS test_id, round(ctr / sqrt(varu), 6) AS z
+         |  FROM v WHERE varu > 0
+         |), tests AS (
+         |  SELECT test_id, ${graft.quality.Fdr.normPSql("z")} AS p
+         |  FROM zz
+         |), ranked AS (
+         |  SELECT test_id, p,
+         |    row_number() OVER (ORDER BY p, test_id) AS rk,
+         |    count(*) OVER () AS m
+         |  FROM tests
+         |), ks AS (
+         |  SELECT max(CASE WHEN p * CAST(m AS DOUBLE)
+         |    <= 0.05 * CAST(rk AS DOUBLE) THEN rk END) AS kstar
+         |  FROM ranked
+         |)
+         |SELECT test_id, p, CAST(rk AS BIGINT) AS rk,
+         |  CAST(m AS BIGINT) AS m,
+         |  (kstar IS NOT NULL AND rk <= kstar) AS rejected
+         |FROM ranked CROSS JOIN ks ORDER BY rk""".stripMargin,
+    "q268_cuped" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, user_id,
+        |    epoch_ns(ts) // 1000000 // 86400000 AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), lo AS (SELECT min(day) AS lo FROM ev),
+        |units AS (
+        |  SELECT g, user_id, user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN day < lo + 15 THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN day >= lo + 15 THEN cents ELSE 0 END)
+        |      AS HUGEINT) AS y
+        |  FROM ev CROSS JOIN lo GROUP BY 1, 2, 3
+        |), arms AS (
+        |  SELECT g, arm, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM units GROUP BY 1, 2
+        |), pooled AS (
+        |  SELECT g, sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+        |    sum(sxy) AS psxy, sum(sxx) AS psxx, sum(syy) AS psyy
+        |  FROM arms GROUP BY g
+        |), stats AS (
+        |  SELECT g,
+        |    CAST(pn * psxx - psx * psx AS DOUBLE) AS varx,
+        |    CAST(pn * psyy - psy * psy AS DOUBLE) AS vary,
+        |    CAST(pn * psxy - psx * psy AS DOUBLE) AS covxy,
+        |    CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS xbar
+        |  FROM pooled
+        |)
+        |SELECT a.g AS event_type, a.arm, CAST(a.n AS BIGINT) AS n,
+        |  round(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE), 9) AS mean_y,
+        |  round(CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    - (CASE WHEN s.varx > 0 THEN s.covxy / s.varx ELSE 0.0 END)
+        |      * (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) - s.xbar), 9)
+        |    AS mean_y_adj,
+        |  round(CASE WHEN s.varx > 0 THEN s.covxy / s.varx ELSE 0.0 END, 9)
+        |    AS theta,
+        |  CASE WHEN s.varx > 0 AND s.vary > 0
+        |    THEN round((s.covxy * s.covxy) / (s.varx * s.vary), 9)
+        |  END AS rho2
+        |FROM arms a JOIN stats s USING (g)
+        |ORDER BY event_type, arm""".stripMargin)
 }

@@ -359,7 +359,7 @@ object StatsEntry {
   // counts — the oracle restates RankTests.cumulativeCounts with a
   // plain per-stratum window (the two-level bucket prefix is a scale
   // shape, not a semantic: same cumulative counts)
-  private val CumCte =
+  private[graft] val CumCte =
     """base AS (
       |  SELECT event_type AS g, value AS v,
       |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS isb
@@ -883,32 +883,39 @@ object StatsEntry {
          |  v AS at_value
          |FROM top WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q226_mann_whitney" ->
-      s"""WITH $CumCte, agg AS (
-         |  SELECT c.g, n_a, n_b,
-         |    CAST(sum(ca * (2 * (cuma + cumb) - (ca + cb) + 1))
-         |      AS BIGINT) AS r2a,
-         |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
-         |      AS BIGINT) AS tsum
-         |  FROM cum c JOIN cnt USING (g)
-         |  GROUP BY c.g, n_a, n_b
-         |), closing AS (
-         |  SELECT g, n_a, n_b,
-         |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
-         |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
-         |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE)
-         |      * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS ua,
-         |    CAST(tsum AS DOUBLE) AS td
-         |  FROM agg
-         |), v AS (
-         |  SELECT g, n_a, n_b, ua,
-         |    na * nb / 12.0 * ((nd + 1.0) - td / (nd * (nd - 1.0)))
-         |      AS varu,
-         |    (ua - na * nb / 2.0) AS ctr
-         |  FROM closing
-         |)
+      s"""WITH $CumCte, $MwuZCte
          |SELECT g AS event_type, n_a, n_b, round(ua, 6) AS u_a,
          |  CASE WHEN varu > 0 THEN round(ctr / sqrt(varu), 6) END AS z,
          |  CASE WHEN varu > 0 THEN abs(ctr / sqrt(varu)) > 1.96 END
          |    AS significant
          |FROM v ORDER BY event_type""".stripMargin)
+
+  /** Shared q226/q267 chain: doubled rank-sums → U, variance, and
+    * the centered statistic per stratum (CTE `v`). Needs [[CumCte]]
+    * in scope.
+    */
+  private[graft] lazy val MwuZCte =
+    """agg AS (
+      |  SELECT c.g, n_a, n_b,
+      |    CAST(sum(ca * (2 * (cuma + cumb) - (ca + cb) + 1))
+      |      AS BIGINT) AS r2a,
+      |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+      |      AS BIGINT) AS tsum
+      |  FROM cum c JOIN cnt USING (g)
+      |  GROUP BY c.g, n_a, n_b
+      |), closing AS (
+      |  SELECT g, n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+      |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+      |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE)
+      |      * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS ua,
+      |    CAST(tsum AS DOUBLE) AS td
+      |  FROM agg
+      |), v AS (
+      |  SELECT g, n_a, n_b, ua,
+      |    na * nb / 12.0 * ((nd + 1.0) - td / (nd * (nd - 1.0)))
+      |      AS varu,
+      |    (ua - na * nb / 2.0) AS ctr
+      |  FROM closing
+      |)""".stripMargin
 }
