@@ -19,6 +19,30 @@ object SignalsEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared q250/q270 oracle chain: the α=1/4, β=1/10 fixed-point
+    * Holt recursion over `daily` (needs WITH RECURSIVE +
+    * [[StatsEntry.DailyCte]] in scope); ends in
+    * `rec(g, day, x, i, lvl, trd, fc)`.
+    */
+  private[graft] lazy val HoltCte: String =
+    """idx AS (
+      |  SELECT g, day, x,
+      |    row_number() OVER (PARTITION BY g ORDER BY day) AS i
+      |  FROM daily
+      |), rec AS (
+      |  SELECT g, day, x, i, x * 1000000 AS lvl,
+      |    CAST(0 AS BIGINT) AS trd, x * 1000000 AS fc
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT g, day, x, i, lvl2 AS lvl,
+      |    ((lvl2 - plvl) * 1 + ptrd * 9) // 10 AS trd,
+      |    plvl + ptrd AS fc
+      |  FROM (
+      |    SELECT n.g, n.day, n.x, n.i, r.lvl AS plvl, r.trd AS ptrd,
+      |      (n.x * 1000000 * 1 + (r.lvl + r.trd) * 3) // 4 AS lvl2
+      |    FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1) s
+      |)""".stripMargin
+
   // ---------------------------------------------------------------
   // q247 — CIDR longest-prefix match (ops/Cidr.lpm): classify
   // synthetic client IPs against a nested rule table (a /12 inside
@@ -551,6 +575,50 @@ object SignalsEntry {
       .orderBy("event_type", "arm")
   }
 
+  // ---------------------------------------------------------------
+  // q269 — streaming SCD1 upsert (streaming/Streams.upsertStream):
+  // the continuously-maintained latest-row-per-key view a CDC
+  // consumer keeps warm — mapGroupsWithState with O(1) state (the
+  // (ts, id)-winner + a count), UPDATE-mode snapshots. Ordering by
+  // the event-time total order, not arrival, is what makes the
+  // final snapshot equal the batch row_number()=1 the oracle runs.
+  // ---------------------------------------------------------------
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    val name = s"q269_upsert_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s.catalog.dropTempView(name)
+    val q = Streams.upsertStream(Streams.readEventsRaw(s, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q270 — split-conformal forecast bands (ops/Conformal, Lei 2018):
+  // the distribution-free coverage guarantee wrapped around q250's
+  // Holt one-step forecasts — calibration window = first 20 days,
+  // radius = the ⌈0.9·(n+1)⌉-th smallest |residual| (an exact
+  // integer order statistic), coverage audited on the held-out
+  // tail. The principled version of "alert at 3σ".
+  // ---------------------------------------------------------------
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val daily = StatsEntry.dailyCents(s, dir)
+    val holt = graft.ops.Ewma.holt(daily.withColumnRenamed("day", "t"),
+      alphaNum = 1, alphaDen = 4, betaNum = 1, betaDen = 10)
+    val lo = daily.agg(min("day").as("lo"))
+    val resid = holt
+      .join(daily.select(col("g"), col("day").as("t"), col("x")),
+        Seq("g", "t"))
+      .crossJoin(broadcast(lo))
+      .select(col("g"),
+        abs(col("x") * lit(1000000L) - col("forecast_fp")).as("resid"),
+        (col("t") < col("lo") + 20).as("is_cal"))
+    graft.ops.Conformal.radiusCoverage(resid)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -571,7 +639,9 @@ object SignalsEntry {
     "q265_fixed_width" -> (q265 _),
     "q266_matryoshka" -> (q266 _),
     "q267_bh_fdr" -> (q267 _),
-    "q268_cuped" -> (q268 _))
+    "q268_cuped" -> (q268 _),
+    "q269_stream_upsert" -> (q269 _),
+    "q270_conformal" -> (q270 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -625,23 +695,7 @@ object SignalsEntry {
          |FROM counts c JOIN spread s USING (cell_y, cell_x)
          |ORDER BY c.cell_y, c.cell_x""".stripMargin,
     "q250_holt" ->
-      s"""WITH RECURSIVE ${StatsEntry.DailyCte}, idx AS (
-         |  SELECT g, day, x,
-         |    row_number() OVER (PARTITION BY g ORDER BY day) AS i
-         |  FROM daily
-         |), rec AS (
-         |  SELECT g, day, x, i, x * 1000000 AS lvl,
-         |    CAST(0 AS BIGINT) AS trd, x * 1000000 AS fc
-         |  FROM idx WHERE i = 1
-         |  UNION ALL
-         |  SELECT g, day, x, i, lvl2 AS lvl,
-         |    ((lvl2 - plvl) * 1 + ptrd * 9) // 10 AS trd,
-         |    plvl + ptrd AS fc
-         |  FROM (
-         |    SELECT n.g, n.day, n.x, n.i, r.lvl AS plvl, r.trd AS ptrd,
-         |      (n.x * 1000000 * 1 + (r.lvl + r.trd) * 3) // 4 AS lvl2
-         |    FROM rec r JOIN idx n ON n.g = r.g AND n.i = r.i + 1) s
-         |)
+      s"""WITH RECURSIVE ${StatsEntry.DailyCte}, $HoltCte
          |SELECT g AS event_type, day, CAST(lvl AS BIGINT) AS level_fp,
          |  CAST(trd AS BIGINT) AS trend_fp, CAST(fc AS BIGINT) AS forecast_fp,
          |  round(CAST(lvl AS DOUBLE) / 1000000.0, 6) AS level,
@@ -1133,5 +1187,42 @@ object SignalsEntry {
         |    THEN round((s.covxy * s.covxy) / (s.varx * s.vary), 9)
         |  END AS rho2
         |FROM arms a JOIN stats s USING (g)
-        |ORDER BY event_type, arm""".stripMargin)
+        |ORDER BY event_type, arm""".stripMargin,
+    "q269_stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |)
+        |SELECT r.user_id, r.event_id AS last_event_id,
+        |  r.event_type AS last_type, c.n_events
+        |FROM r JOIN c USING (user_id) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q270_conformal" ->
+      s"""WITH RECURSIVE ${StatsEntry.DailyCte}, $HoltCte,
+         |lo AS (SELECT min(day) AS lo FROM daily),
+         |rs AS (
+         |  SELECT g, abs(x * 1000000 - fc) AS resid,
+         |    day < lo + 20 AS is_cal
+         |  FROM rec CROSS JOIN lo
+         |), cal AS (
+         |  SELECT g, resid,
+         |    row_number() OVER (PARTITION BY g ORDER BY resid) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n_cal
+         |  FROM rs WHERE is_cal
+         |), rad AS (
+         |  SELECT g, n_cal, resid AS radius FROM cal
+         |  WHERE rn = least((9 * (n_cal + 1) + 9) // 10, n_cal)
+         |)
+         |SELECT r.g AS event_type, CAST(rad.n_cal AS BIGINT) AS n_cal,
+         |  count(*) AS n_test, CAST(rad.radius AS BIGINT) AS radius,
+         |  round(CAST(sum(CASE WHEN r.resid <= rad.radius
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 9) AS coverage
+         |FROM rs r JOIN rad USING (g) WHERE NOT r.is_cal
+         |GROUP BY r.g, rad.n_cal, rad.radius
+         |ORDER BY event_type""".stripMargin)
 }

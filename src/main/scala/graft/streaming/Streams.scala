@@ -265,6 +265,51 @@ object Streams {
       }
   }
 
+  // --- streaming SCD1 upsert (incremental twin of ops.Writer merge) ---
+
+  final case class UpsertIn(user_id: Long, ts: Long, event_id: Long,
+      event_type: String)
+  final case class UpsertState(ts: Long, eid: Long, et: String, n: Long)
+  final case class UpsertOut(user_id: Long, last_event_id: Long,
+      last_type: String, n_events: Long)
+
+  /** mapGroupsWithState streaming UPSERT — the continuously-
+    * maintained "latest row per key" view (streaming SCD1, the
+    * incremental twin of `ops/Writer`'s merge disposition and the
+    * materialization a CDC consumer keeps warm): per key the state
+    * is O(1) — the current winner under the total order (ts,
+    * event_id) plus a seen-count — and each micro-batch emits the
+    * key's refreshed snapshot in UPDATE mode. Late rows are handled
+    * by the ORDER, not arrival: an out-of-order event older than
+    * the current winner updates only the count, exactly like the
+    * batch `row_number() = 1` it mirrors — which is what makes the
+    * final snapshot equal the batch answer and SQL-oracle-able.
+    */
+  def upsertStream(events: DataFrame): org.apache.spark.sql.Dataset[UpsertOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[UpsertIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UpsertState, UpsertOut](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[UpsertState]) =>
+          var st = state.getOption
+            .getOrElse(UpsertState(Long.MinValue, Long.MinValue, "", 0L))
+          for (r <- rows) {
+            val newer = r.ts > st.ts ||
+              (r.ts == st.ts && r.event_id > st.eid)
+            st =
+              if (newer) UpsertState(r.ts, r.event_id, r.event_type,
+                st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          UpsertOut(user, st.eid, st.et, st.n)
+      }
+  }
+
   def decontaminateStream(
       docs: DataFrame,
       evalGrams: DataFrame,
