@@ -619,6 +619,95 @@ object SignalsEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q271 — optimistic-concurrency commits (ops/VersionedTable
+  // .commitIf, the Delta/Iceberg CAS): a stale-base commit must
+  // fail LOUDLY, the caller rebases against the new snapshot and
+  // retries. Golden lifecycle oracle (the q39 convention) with the
+  // final row count restated from the orders predicate.
+  // ---------------------------------------------------------------
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedTable
+    import s.implicits._
+    val path = s"target/scratch/q271_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val orders = t(s, dir, "orders")
+    def slice(k: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === k)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def step(expected: Long, df: DataFrame, at: Long): (String, Long) =
+      try {
+        val v = VersionedTable.commitIf(s, path, df, at, expected)
+        ("committed", v)
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          ("conflict",
+            graft.ops.VersionedTable.versions(s, path).last.version)
+      }
+    val s1 = step(-1L, slice(0), 100L)
+    val s2 = step(0L, slice(1), 200L)
+    val s3 = step(0L, slice(2), 300L) // stale base -> conflict
+    val s4 = step(1L, slice(2), 400L) // rebase -> lands as v2
+    val nLatest = VersionedTable.readLatest(s, path).count()
+    Seq((1L, -1L, s1._1, s1._2), (2L, 0L, s2._1, s2._2),
+      (3L, 0L, s3._1, s3._2), (4L, 1L, s4._1, s4._2))
+      .toDF("step", "expected_version", "outcome", "version_after")
+      .withColumn("n_latest", lit(nLatest))
+      .orderBy("step")
+  }
+
+  // ---------------------------------------------------------------
+  // q272 — zero-copy shallow clone (ops/VersionedTable
+  // .shallowClone, Delta SHALLOW CLONE semantics): the clone's v0
+  // manifest points at the source's data dir — one manifest write,
+  // no data movement — then evolves independently (its own commits,
+  // vacuum never sweeps foreign dirs). Legs restate the same order
+  // censuses the source commits held.
+  // ---------------------------------------------------------------
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedTable
+    val base = s"target/scratch/q272_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val src = s"$base/src"; val dst = s"$base/clone"
+    val orders = t(s, dir, "orders")
+    def census(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    def cut(d: String) =
+      orders.filter(col("o_orderdate") < lit(d).cast("timestamp"))
+    VersionedTable.commit(s, src, census(cut("1996-01-01")), 100L)
+    VersionedTable.commit(s, src, census(orders), 200L)
+    VersionedTable.shallowClone(s, src, dst, srcVersion = 0L, 300L)
+    // clone evolves independently; the source must not see it
+    VersionedTable.commit(s, dst, census(cut("1997-01-01")), 400L)
+    val legs = Seq(
+      ("clone_v0", VersionedTable.read(s, dst, 0L)),
+      ("clone_v1", VersionedTable.read(s, dst, 1L)),
+      ("src_latest", VersionedTable.readLatest(s, src)))
+    legs.map { case (tag, df) => df.withColumn("leg", lit(tag)) }
+      .reduce(_ unionByName _)
+      .select("leg", "o_orderpriority", "n_orders")
+      .orderBy("leg", "o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------
+  // q273 — Kruskal–Wallis H (quality/RankTests.kruskalWallis): the
+  // k-sample nonparametric ANOVA completing the q225/q226 family —
+  // three arms by user_id mod 3; doubled mid-ranks, µ-quantized
+  // per-group terms, tie-corrected H; significance at the df=2
+  // χ² 0.05 critical value (literal — no χ² CDF needed).
+  // ---------------------------------------------------------------
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    graft.quality.RankTests.kruskalWallis(
+        t(s, dir, "events").withColumn("grp", pmod(col("user_id"), lit(3))),
+        "event_type", "grp", "value")
+      .withColumnRenamed("stratum", "event_type")
+      .withColumn("significant",
+        when(col("h").isNotNull, col("h") > 5.991464547)) // χ²(2), α=.05
+      .orderBy("event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_cidr_match" -> (q247 _),
     "q248_geo_radius_join" -> (q248 _),
@@ -641,7 +730,10 @@ object SignalsEntry {
     "q267_bh_fdr" -> (q267 _),
     "q268_cuped" -> (q268 _),
     "q269_stream_upsert" -> (q269 _),
-    "q270_conformal" -> (q270 _))
+    "q270_conformal" -> (q270 _),
+    "q271_occ_commit" -> (q271 _),
+    "q272_shallow_clone" -> (q272 _),
+    "q273_kruskal_wallis" -> (q273 _))
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -1224,5 +1316,82 @@ object SignalsEntry {
          |    / CAST(count(*) AS DOUBLE), 9) AS coverage
          |FROM rs r JOIN rad USING (g) WHERE NOT r.is_cal
          |GROUP BY r.g, rad.n_cal, rad.radius
-         |ORDER BY event_type""".stripMargin)
+         |ORDER BY event_type""".stripMargin,
+    // golden lifecycle (q39 convention): steps/conflicts are literal,
+    // the final row count restates the orders predicate
+    "q271_occ_commit" ->
+      """WITH nl AS (
+        |  SELECT count(*) AS n_latest FROM orders
+        |  WHERE o_orderkey % 4 = 2
+        |)
+        |SELECT CAST(s.step AS BIGINT) AS step,
+        |  CAST(s.expected_version AS BIGINT) AS expected_version,
+        |  s.outcome, CAST(s.version_after AS BIGINT) AS version_after,
+        |  nl.n_latest
+        |FROM (VALUES
+        |  (1, -1, 'committed', 0),
+        |  (2, 0, 'committed', 1),
+        |  (3, 0, 'conflict', 1),
+        |  (4, 1, 'committed', 2)) s(step, expected_version, outcome,
+        |    version_after)
+        |CROSS JOIN nl ORDER BY s.step""".stripMargin,
+    "q272_shallow_clone" ->
+      """WITH legs AS (
+        |  SELECT 'clone_v0' AS leg, o_orderpriority,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'clone_v1', o_orderpriority, count(*)
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'src_latest', o_orderpriority, count(*)
+        |  FROM orders GROUP BY 2
+        |)
+        |SELECT leg, o_orderpriority, n_orders FROM legs
+        |ORDER BY leg, o_orderpriority""".stripMargin,
+    "q273_kruskal_wallis" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, user_id % 3 AS grp, value AS v
+        |  FROM events
+        |), pv AS (
+        |  SELECT g, v, count(*) AS m FROM base GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT g, v, m,
+        |    2 * sum(m) OVER (PARTITION BY g ORDER BY v) - m + 1 AS r2
+        |  FROM pv
+        |), pg AS (
+        |  SELECT g, grp, v, count(*) AS c FROM base GROUP BY 1, 2, 3
+        |), gr AS (
+        |  SELECT p.g, p.grp,
+        |    sum(CAST(p.c AS HUGEINT) * r.r2) AS r2sum,
+        |    CAST(sum(p.c) AS BIGINT) AS n_i
+        |  FROM pg p JOIN rk r ON p.g = r.g AND p.v = r.v
+        |  GROUP BY 1, 2
+        |), terms AS (
+        |  SELECT g, count(*) AS k_groups,
+        |    sum(CAST(round(CAST(r2sum * r2sum AS DOUBLE)
+        |      / CAST(n_i AS DOUBLE), 6) AS DECIMAL(38,6))) AS s
+        |  FROM gr GROUP BY g
+        |), ties AS (
+        |  SELECT g, CAST(sum(m) AS BIGINT) AS n,
+        |    sum(CAST(m AS HUGEINT) * m * m - m) AS tsum
+        |  FROM pv GROUP BY g
+        |), hh AS (
+        |  SELECT t2.g, ties.n, t2.k_groups,
+        |    3.0 / (CAST(ties.n AS DOUBLE) * (CAST(ties.n AS DOUBLE) + 1.0))
+        |      * CAST(t2.s AS DOUBLE)
+        |      - 3.0 * (CAST(ties.n AS DOUBLE) + 1.0) AS h_raw,
+        |    1.0 - CAST(ties.tsum AS DOUBLE)
+        |      / (CAST(ties.n AS DOUBLE) * CAST(ties.n AS DOUBLE)
+        |        * CAST(ties.n AS DOUBLE) - CAST(ties.n AS DOUBLE)) AS corr
+        |  FROM terms t2 JOIN ties USING (g)
+        |)
+        |SELECT g AS event_type, n, k_groups,
+        |  CAST(k_groups - 1 AS BIGINT) AS df,
+        |  CASE WHEN corr > 0 THEN round(h_raw / corr, 6) END AS h,
+        |  CASE WHEN corr > 0
+        |    THEN round(h_raw / corr, 6) > 5.991464547 END AS significant
+        |FROM hh ORDER BY event_type""".stripMargin)
 }

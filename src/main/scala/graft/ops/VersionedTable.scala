@@ -103,6 +103,68 @@ object VersionedTable {
     next
   }
 
+  /** Optimistic-concurrency commit — the CAS every multi-writer
+    * lakehouse log needs (Delta/Iceberg semantics): the commit
+    * applies only if the table's latest version still equals
+    * `expectedVersion` (−1 = expect an empty table); otherwise a
+    * [[java.util.ConcurrentModificationException]] reports the
+    * actual latest and the CALLER decides — rebase (recompute
+    * against the new snapshot and retry) or abort. Two writers that
+    * both pass the check and race the final rename are still
+    * serialized by [[commit]]'s atomic manifest rename — this check
+    * adds the read-set validation in FRONT of that, turning "my
+    * write silently assumed a stale base" into a loud conflict.
+    */
+  def commitIf(spark: SparkSession, path: String, df: DataFrame,
+      committedAtMs: Long, expectedVersion: Long): Long = {
+    val latest = versions(spark, path).lastOption.map(_.version)
+      .getOrElse(-1L)
+    if (latest != expectedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"$path is at version $latest, expected $expectedVersion " +
+          "(concurrent commit landed first — rebase and retry)")
+    commit(spark, path, df, committedAtMs)
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW
+    * CLONE` semantics): the clone's version 0 manifest points at
+    * the SOURCE's data directory for `srcVersion` by absolute path
+    * — no data moves, the clone costs one manifest write. The clone
+    * then evolves independently (its own commits land local `v=N`
+    * dirs) and [[vacuum]] on the clone never sweeps foreign dirs.
+    * Caveat (as in Delta): vacuuming the SOURCE can reclaim data a
+    * shallow clone still references — deep-copy first if the source
+    * outlives its retention.
+    */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      dstPath: String, srcVersion: Long, committedAtMs: Long): Long = {
+    val f = fs(spark, dstPath)
+    require(versions(spark, dstPath).isEmpty,
+      s"clone target $dstPath is not empty")
+    val src = versions(spark, srcPath).find(_.version == srcVersion)
+      .getOrElse(throw new NoSuchElementException(
+        s"$srcPath has no version $srcVersion"))
+    val srcData = new Path(srcPath, src.dir)
+    val absolute = srcData.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .makeQualified(srcData).toString
+    val log = new Path(dstPath, LogDir)
+    f.mkdirs(log)
+    val tmp = new Path(log, ".tmp-00000000.json")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""{"version":0,"committedAtMs":$committedAtMs,"dir":"$absolute"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val manifest = new Path(log, "00000000.json")
+    if (!f.rename(tmp, manifest)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"clone lost a rename race on $manifest")
+    }
+    0L
+  }
+
   private def resolve(spark: SparkSession, path: String,
       pick: Seq[Commit] => Option[Commit], what: String): DataFrame = {
     val all = versions(spark, path)
@@ -145,7 +207,13 @@ object VersionedTable {
     val drop = all.dropRight(retainLast)
     drop.foreach { c =>
       f.delete(new Path(new Path(path, LogDir), f"${c.version}%08d.json"), false)
-      f.delete(new Path(path, c.dir), true)
+      // FOREIGN data dirs (absolute paths written by shallowClone)
+      // are never swept — they belong to the source table; only the
+      // manifest entry is retired. Vacuuming the SOURCE can still
+      // strand a clone (the Delta shallow-clone caveat, documented
+      // on shallowClone).
+      if (c.dir.startsWith("v="))
+        f.delete(new Path(path, c.dir), true)
     }
     val live = all.takeRight(retainLast).map(_.dir).toSet
     val latest = all.lastOption.map(_.version).getOrElse(-1L)

@@ -150,6 +150,60 @@ object RankTests {
     * two-level bucketed prefix — no global sort), two keyed joins
     * back to rows, one partial-aggregatable moment groupBy.
     */
+  /** Kruskal–Wallis H per stratum — the k-SAMPLE extension of
+    * [[mannWhitney]] ("do any of these k arms differ?"), the
+    * nonparametric one-way ANOVA for skewed metrics:
+    *
+    *   H = 12/(N(N+1)) · Σᵢ Rᵢ²/nᵢ − 3(N+1),  tie-corrected by
+    *   H' = H / (1 − Σ(t³−t)/(N³−N))
+    *
+    * Doubled mid-ranks keep every rank sum integer (Rᵢ² = r2ᵢ²/4
+    * folds into the 12→3 constant); each group's Rᵢ²/nᵢ term is
+    * µ-quantized to 6dp BEFORE the decimal-exact cross-group total
+    * (k summands of a float sum would otherwise expose addition
+    * order), then one fixed double chain closes H'. All-tied
+    * strata (zero tie-corrected denominator) report null.
+    *
+    * Scale shape: one pooled (stratum, value) census + one
+    * (stratum, value, group) census, pooled ranks via the same
+    * two-level prefix as the two-sample tests, one keyed join, two
+    * partial-aggregatable rollups. Output ∝ strata.
+    */
+  def kruskalWallis(df: DataFrame, stratumCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(stratumCol).as("g"), col(groupCol).as("grp"),
+      col(valueCol).cast("double").as("v"))
+    // pooled doubled mid-ranks per (stratum, value)
+    val pooled = cumulativeCounts(base, "g", lit(false), "v")
+      .select(col("g"), col("v"),
+        (lit(2) * col("cuma") - col("ca") + 1).as("r2"),
+        col("ca").as("m"))
+    val perGroup = base.groupBy("g", "grp", "v")
+      .agg(count(lit(1)).as("c"))
+    val grp = perGroup.join(pooled.select("g", "v", "r2"), Seq("g", "v"))
+      .groupBy("g", "grp")
+      .agg(sum(col("c").cast("decimal(38,0)") * col("r2")).as("r2sum"),
+        sum(col("c")).as("n_i"))
+    // µ-quantized per-group term, exact cross-group total
+    val term = round((col("r2sum") * col("r2sum")).cast("double") /
+      col("n_i").cast("double"), 6).cast("decimal(38,6)")
+    val byStratum = grp.groupBy("g")
+      .agg(count(lit(1)).as("k_groups"), sum(term).as("s"))
+    val ties = pooled.groupBy("g")
+      .agg(sum(col("m")).as("n"),
+        sum(col("m").cast("decimal(38,0)") * col("m") * col("m")
+          - col("m")).as("tsum"))
+    val nD = col("n").cast("double")
+    val h = lit(3.0) / (nD * (nD + lit(1.0))) * col("s").cast("double") -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) -
+      col("tsum").cast("double") / (nD * nD * nD - nD)
+    byStratum.join(ties, "g")
+      .select(col("g").as("stratum"), col("n").cast("long").as("n"),
+        col("k_groups"), (col("k_groups") - 1).as("df"),
+        when(corr > 0, round(h / corr, 6)).as("h"))
+  }
+
   def spearman(df: DataFrame, stratumCol: String, xCol: String,
       yCol: String): DataFrame = {
     def ranks(valueCol: String, out: String): DataFrame =
