@@ -1,0 +1,442 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Eval, LogRegGd, NaiveBayes, Stump}
+import graft.ops.{IdentityStitch, Sampling}
+import graft.quality.Did
+import graft.sources.Tables
+
+/** q274+: model-evaluation and distributed-training operators — the
+  * measurement-and-learning layer a corpus pipeline wraps around its
+  * quality gates (train a gate, measure the gate, estimate the
+  * effect of flipping it). Same conventions as the earlier entry
+  * objects: deterministic fixtures from the driver corpus, oracles
+  * generated from the SAME Scala constants as the Spark plans.
+  */
+object EvalEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val En = "en" // positive class of every doc-label fixture
+
+  // ---------------------------------------------------------------
+  // q274 — multinomial Naive Bayes classifier (ml/NaiveBayes): train
+  // an is-English token model on the %5≠0 docs, score the held-out
+  // %5=0 fifth. The fastText-gate shape: model = vocab-sized count
+  // table + scalars, scoring = one token join + per-doc rollup.
+  // ---------------------------------------------------------------
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("label01",
+        when(col("lang") === En, 1L).otherwise(0L))
+    NaiveBayes.trainScore(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", "label01")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q275 — per-source ROC AUC (ml/Eval.rocAuc): how well does raw
+  // document length rank English vs non-English per source — the
+  // tie-corrected Mann-Whitney identity, computed over DISTINCT
+  // scores (never a per-row sort).
+  // ---------------------------------------------------------------
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    Eval.rocAuc(
+        t(s, dir, "documents")
+          .withColumn("label01",
+            when(col("lang") === En, 1L).otherwise(0L)),
+        "source", "n_chars", "label01")
+      .orderBy("source")
+
+  // ---------------------------------------------------------------
+  // q276 — calibration reliability + Brier (ml/Eval.reliability):
+  // midrank-percentile "predictions" from n_chars vs the is-English
+  // outcome, 10 equal-population bins.
+  // ---------------------------------------------------------------
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    Eval.reliability(
+      t(s, dir, "documents")
+        .withColumn("label01",
+          when(col("lang") === En, 1L).otherwise(0L)),
+      "n_chars", "label01", bins = 10)
+
+  // q277 graded relevance: en=2 (on-target), es/de/fr=1 (latin
+  // near-miss), zh=0 — shared by the Spark plan and the oracle CASE
+  private val NdcgK = 10
+
+  // ---------------------------------------------------------------
+  // q277 — nDCG@10 retrieval eval (ml/Eval.ndcgAtK): each source is
+  // a "query" whose docs are ranked by length; graded gains from
+  // lang. Discount weights are Scala-computed µ-literals shared with
+  // the oracle — no engine evaluates log2.
+  // ---------------------------------------------------------------
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    Eval.ndcgAtK(
+        t(s, dir, "documents")
+          .withColumn("gain",
+            when(col("lang") === En, 2L)
+              .when(col("lang") === "zh", 0L).otherwise(1L)),
+        "source", "doc_id", "n_chars", "gain", NdcgK)
+      .orderBy("source")
+
+  private val DidCutoffMs = 1705363200000L // 2024-01-16T00:00:00Z
+
+  // ---------------------------------------------------------------
+  // q278 — difference-in-differences (quality/Did): odd users
+  // "treated", post = second half of January; per-event-type 2×2
+  // cell means and the DiD of `value`. One conditional-sum pass.
+  // ---------------------------------------------------------------
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    Did.estimate(
+        t(s, dir, "events")
+          .withColumn("treat", pmod(col("user_id"), lit(2)) === 1)
+          .withColumn("post", expr("ts div 1000000") >= DidCutoffMs),
+        "event_type", "treat", "post", "value")
+      .orderBy("event_type")
+
+  // q279 grid: every 50 chars across the n_chars support (48..553
+  // at all SFs) — shared Scala constant, embedded in the oracle
+  private val StumpGrid: Seq[Long] = (50L to 550L by 50L)
+
+  // ---------------------------------------------------------------
+  // q279 — decision-stump sweep (ml/Stump): the 1R "keep iff
+  // n_chars ≤ τ" rule quality over a fixed grid, ranked by Youden's
+  // J in cross-multiplied integers.
+  // ---------------------------------------------------------------
+  private def q279(s: SparkSession, dir: String): DataFrame =
+    Stump.sweep(
+      t(s, dir, "documents")
+        .withColumn("label01",
+          when(col("lang") === En, 1L).otherwise(0L)),
+      "n_chars", "label01", StumpGrid)
+
+  private val DeviceBuckets = 1000L
+
+  // ---------------------------------------------------------------
+  // q280 — cross-device identity stitching (ops/IdentityStitch):
+  // synthesize per-(user, session%3) device ids by hashing into 1000
+  // buckets — colliding devices stitch users into identity clusters
+  // — and report the (n_users, n_devices) cluster census. Spark side
+  // is the O(log n) alternating-star contraction; the oracle is a
+  // recursive-CTE closure.
+  // ---------------------------------------------------------------
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    IdentityStitch.census(
+      t(s, dir, "events")
+        .select(col("user_id"),
+          pmod(Sampling.mix30(col("user_id") * 3 +
+            pmod(col("event_id"), lit(3))), lit(DeviceBuckets))
+            .as("device_id")),
+      "user_id", "device_id")
+
+  // ---------------------------------------------------------------
+  // q281 — fixed-point logistic GD (ml/LogRegGd): 3 full-batch
+  // epochs of hard-sigmoid gradient descent on (hour-of-day,
+  // value-decile) → is-purchase-or-signup. Each epoch is ONE
+  // distributed aggregate; driver state is 3 µ-scaled scalars — the
+  // parameter-server loop unchanged at 100 TB.
+  // ---------------------------------------------------------------
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "events").select(
+      // hour-of-day from the shared ms clock (q44's unit discipline)
+      pmod(expr("ts div 1000000") cast "long", lit(86400000L))
+        .divide(3600000L).cast("long").as("x1"),
+      least(floor(col("value") / 10d).cast("long"), lit(50L)).as("x2"),
+      when(col("event_type").isin("purchase", "signup"), 1L)
+        .otherwise(0L).as("label01"))
+    val w = LogRegGd.fit(feats, "x1", "x2", "label01",
+      epochs = 3, lrShift = 6).last
+    LogRegGd.evaluate(feats, "x1", "x2", "label01", w)
+  }
+
+  // ---------------------------------------------------------------
+  // q282 — ROUGE-2 overlap eval (ml/Rouge): doc 2k+1 scored as a
+  // "candidate" against reference doc 2k — clipped MULTISET bigram
+  // counts (the distinct-gram shortcut under-counts repeats), F1 as
+  // the single rational 2m/(tc+tr).
+  // ---------------------------------------------------------------
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ml.Rouge.rougeN(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .withColumn("pair_id", expr("(doc_id - 1) div 2")),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("pair_id", expr("doc_id div 2")),
+        "pair_id", "text", n = 2)
+      .orderBy("pair_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q283 — inverse-propensity-weighted ATE (ml/Ipw ∘ ml/LogRegGd):
+  // the observational causal estimate — fit a hard-sigmoid
+  // propensity on (hour, day) covariates with 2 GD epochs, trim to
+  // [0.05, 0.95], weight each arm by 1/p. Composes q281's training
+  // loop; the whole estimate is epochs+1 distributed aggregates.
+  // ---------------------------------------------------------------
+  private def q283(s: SparkSession, dir: String): DataFrame =
+    ml.Ipw.ate(
+      t(s, dir, "events").select(
+        pmod(expr("(ts div 1000000)"), lit(86400000L))
+          .divide(3600000L).cast("long").as("x1"),
+        pmod(expr("(ts div 1000000) div 86400000"), lit(31L)).as("x2"),
+        pmod(col("user_id"), lit(2)).as("label01"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("y_cents")),
+      "x1", "x2", "label01", "y_cents",
+      epochs = 2, lrShift = 6, pClipMu = 50000L)
+
+  // ---------------------------------------------------------------
+  // q284 — cumulative-gains / lift table (ml/Eval.liftTable): decile
+  // targeting quality of the q275/q276 scoring fixture — capture
+  // rate and lift per descending-score decile.
+  // ---------------------------------------------------------------
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    Eval.liftTable(
+      t(s, dir, "documents")
+        .withColumn("label01",
+          when(col("lang") === En, 1L).otherwise(0L)),
+      "n_chars", "label01", bins = 10)
+
+  // ---------------------------------------------------------------
+  // q285 — STL-lite decomposition (ops/Stl): centered-7-day-sum
+  // trend, doubled-weekday-median seasonal, all components carried
+  // SCALED (×7/×14) so no division ever happens — x ≡ T+S+R exactly
+  // in scaled space. Completes the q227/q228/q246 series family.
+  // ---------------------------------------------------------------
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stl.decompose(StatsEntry.dailyCents(s, dir),
+        "g", "day", "x")
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type", "day")
+
+  // ---------------------------------------------------------------
+  // q286 — ABC / Pareto classification (ops/Abc): customers ranked
+  // by order revenue within their nation, cut at 70/90% cumulative
+  // share in cross-multiplied integers — q222's Gini made
+  // actionable as a head/torso/tail partition.
+  // ---------------------------------------------------------------
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    val totals = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("g"), col("c_custkey").as("ent"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+    graft.ops.Abc.classify(totals, "g", "ent", "cents")
+      .withColumnRenamed("g", "n_name")
+      .orderBy("n_name", "abc_class")
+  }
+
+  // the shared cell-ordinal map for q287 (Scala constant → SQL CASE)
+  private val EventTypes = Seq("click", "error", "purchase", "signup",
+    "view")
+
+  // ---------------------------------------------------------------
+  // q287 — DP histogram release (quality/DpNoise): per-(event_type,
+  // day) counts + SEEDED Laplace(b=1) noise — deterministic inverse-
+  // CDF draws keyed by the cell, so reruns and engines release the
+  // SAME noisy table. Completes the privacy family with the release
+  // mechanism itself.
+  // ---------------------------------------------------------------
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    val ord = EventTypes.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (et, i)) =>
+        when(col("event_type") === et, lit(i.toLong)).otherwise(acc)
+    }
+    graft.quality.DpNoise.countRelease(
+        t(s, dir, "events")
+          .withColumn("day", expr("(ts div 1000000) div 86400000"))
+          .withColumn("cell_key", col("day") * 8 + ord),
+        Seq("event_type", "day"), "cell_key", b = 1)
+      .select("event_type", "day", "n_true", "noise_mu", "n_noisy_mu")
+      .orderBy("event_type", "day")
+  }
+
+  // ---------------------------------------------------------------
+  // q288 — embedding isotropy audit (ann/Isotropy): mean pairwise
+  // cosine from ONE aggregate via ‖Σv̂‖² — the O(n²) pairwise scan
+  // collapsed to d partial-aggregated sums; the health check for
+  // every cosine-thresholded op (q26, q163, q218).
+  // ---------------------------------------------------------------
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    graft.ann.Isotropy.audit(t(s, dir, "embeddings"), "embedding")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_rouge_n" -> (q282 _),
+    "q283_ipw_ate" -> (q283 _),
+    "q284_lift_table" -> (q284 _),
+    "q285_stl_decompose" -> (q285 _),
+    "q286_abc_pareto" -> (q286 _),
+    "q287_dp_histogram" -> (q287 _),
+    "q288_isotropy" -> (q288 _),
+    "q274_nb_classifier" -> (q274 _),
+    "q275_roc_auc" -> (q275 _),
+    "q276_calibration" -> (q276 _),
+    "q277_ndcg" -> (q277 _),
+    "q278_did" -> (q278 _),
+    "q279_decision_stump" -> (q279 _),
+    "q280_identity_stitch" -> (q280 _),
+    "q281_logreg_gd" -> (q281 _))
+
+  private val DocLabeled =
+    s"""SELECT doc_id, source, n_chars, text,
+       |    CAST(CASE WHEN lang = '$En' THEN 1 ELSE 0 END AS BIGINT)
+       |      AS label01
+       |  FROM documents""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q274_nb_classifier" ->
+      s"""WITH lab AS ($DocLabeled),
+         |nbtrain AS (
+         |  SELECT doc_id AS id, text, label01 FROM lab
+         |  WHERE doc_id % 5 <> 0
+         |), nbtest AS (
+         |  SELECT doc_id AS id, text, label01 FROM lab
+         |  WHERE doc_id % 5 = 0
+         |), ${NaiveBayes.trainScoreSql}
+         |SELECT id AS doc_id, label, n_tokens, margin_mu, pred
+         |FROM nb_out ORDER BY doc_id""".stripMargin,
+    "q275_roc_auc" ->
+      s"""WITH lab AS ($DocLabeled),
+         |rel AS (SELECT source AS g, n_chars AS s, label01 FROM lab),
+         |${Eval.rocAucSql("rel")}
+         |SELECT g AS source, n_pos, n_neg, auc
+         |FROM auc_out ORDER BY source""".stripMargin,
+    "q276_calibration" ->
+      s"""WITH lab AS ($DocLabeled),
+         |rel AS (SELECT n_chars AS s, label01 FROM lab),
+         |${Eval.reliabilitySql("rel", 10)}
+         |SELECT bin, n, n_pos, mean_pred, frac_pos, brier
+         |FROM rel_out ORDER BY bin""".stripMargin,
+    "q277_ndcg" ->
+      s"""WITH rel AS (
+         |  SELECT source AS q, doc_id AS id, n_chars AS ord,
+         |    CASE WHEN lang = '$En' THEN 2
+         |         WHEN lang = 'zh' THEN 0 ELSE 1 END AS gain
+         |  FROM documents
+         |), ${Eval.ndcgSql("rel", NdcgK)}
+         |SELECT q AS source, n_docs, dcg_mu, idcg_mu, ndcg
+         |FROM ndcg_out ORDER BY source""".stripMargin,
+    "q278_did" ->
+      s"""WITH rel AS (
+         |  SELECT event_type AS g,
+         |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat01,
+         |    CASE WHEN epoch_ns(ts) // 1000000 >= $DidCutoffMs
+         |      THEN 1 ELSE 0 END AS post01,
+         |    value AS y
+         |  FROM events
+         |), ${Did.estimateSql("rel")}
+         |SELECT g AS event_type, n, mean_treat_pre, mean_treat_post,
+         |  mean_ctrl_pre, mean_ctrl_post, did
+         |FROM did_out ORDER BY event_type""".stripMargin,
+    "q279_decision_stump" ->
+      s"""WITH lab AS ($DocLabeled),
+         |rel AS (SELECT n_chars AS x, label01 FROM lab),
+         |${Stump.sweepSql("rel", StumpGrid)}
+         |SELECT CAST(threshold AS BIGINT) AS threshold, n_le, pos_le,
+         |  j, best
+         |FROM stump_out ORDER BY threshold""".stripMargin,
+    "q280_identity_stitch" ->
+      s"""WITH RECURSIVE sight AS (
+         |  SELECT user_id AS u,
+         |    (${Sampling.mix30Sql("(user_id * 3 + event_id % 3)")})
+         |      % $DeviceBuckets AS d
+         |  FROM events
+         |), ${IdentityStitch.censusSql}
+         |SELECT n_users, n_devices, n_clusters
+         |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q282_rouge_n" ->
+      s"""WITH cand AS (
+         |  SELECT (doc_id - 1) // 2 AS pair_id, text FROM documents
+         |  WHERE doc_id % 2 = 1
+         |), refr AS (
+         |  SELECT doc_id // 2 AS pair_id, text FROM documents
+         |  WHERE doc_id % 2 = 0
+         |), ${ml.Rouge.rougeNSql(n = 2)}
+         |SELECT pair_id, n_cand, n_ref, n_match, precision, recall, f1
+         |FROM rouge_out ORDER BY pair_id""".stripMargin,
+    "q283_ipw_ate" ->
+      s"""WITH rel AS (
+         |  SELECT ((epoch_ns(ts) // 1000000) % 86400000) // 3600000
+         |      AS x1,
+         |    ((epoch_ns(ts) // 1000000) // 86400000) % 31 AS x2,
+         |    user_id % 2 AS label01,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS y_cents
+         |  FROM events
+         |), ${ml.Ipw.ateSql("rel", epochs = 2, lrShift = 6,
+              pClipMu = 50000L)}
+         |SELECT w0_mu, w1_mu, w2_mu, n, n_treat, sum_treat_w,
+         |  sum_ctrl_w, ate
+         |FROM ipw_out""".stripMargin,
+    "q284_lift_table" ->
+      s"""WITH lab AS ($DocLabeled),
+         |rel AS (SELECT n_chars AS s, label01 FROM lab),
+         |${Eval.liftTableSql("rel", 10)}
+         |SELECT decile, n, n_pos, lift, capture
+         |FROM lift_out ORDER BY decile""".stripMargin,
+    "q285_stl_decompose" ->
+      s"""WITH ${StatsEntry.DailyCte},
+         |${graft.ops.Stl.decomposeSql}
+         |SELECT g AS event_type, day, x, trend_c7, seasonal_m14,
+         |  resid_m14
+         |FROM stl_out ORDER BY event_type, day""".stripMargin,
+    "q286_abc_pareto" ->
+      s"""WITH totals AS (
+         |  SELECT n.n_name AS g, o.o_custkey AS ent,
+         |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY n.n_name, o.o_custkey
+         |), ${graft.ops.Abc.classifySql()}
+         |SELECT g AS n_name, abc_class, n_entities, cents, share
+         |FROM abc_out ORDER BY n_name, abc_class""".stripMargin,
+    "q287_dp_histogram" -> {
+      val ordSql = "CASE " + EventTypes.zipWithIndex.map {
+        case (et, i) => s"WHEN event_type = '$et' THEN $i"
+      }.mkString(" ") + " ELSE -1 END"
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000) // 86400000 AS day,
+         |    (epoch_ns(ts) // 1000000) // 86400000 * 8
+         |      + ($ordSql) AS cell_key
+         |  FROM events
+         |), counted AS (
+         |  SELECT event_type, day, cell_key,
+         |    CAST(count(*) AS BIGINT) AS n_true
+         |  FROM cells GROUP BY event_type, day, cell_key
+         |)
+         |SELECT event_type, day, n_true,
+         |  CAST(${graft.quality.DpNoise.laplaceMuSql("cell_key", 1)}
+         |    AS BIGINT) AS noise_mu,
+         |  n_true * 1000000
+         |    + CAST(${graft.quality.DpNoise.laplaceMuSql("cell_key", 1)}
+         |      AS BIGINT) AS n_noisy_mu
+         |FROM counted ORDER BY event_type, day""".stripMargin
+    },
+    "q288_isotropy" ->
+      s"""WITH vecs AS (SELECT embedding AS vec FROM embeddings),
+         |${graft.ann.Isotropy.auditSql}
+         |SELECT n_vecs, dim, avg_cos, resultant_norm_frac
+         |FROM iso_out""".stripMargin,
+    "q281_logreg_gd" ->
+      s"""WITH rel AS (
+         |  SELECT ((epoch_ns(ts) // 1000000) % 86400000) // 3600000
+         |      AS x1,
+         |    least(CAST(floor(value / 10) AS BIGINT), 50) AS x2,
+         |    CASE WHEN event_type IN ('purchase', 'signup')
+         |      THEN 1 ELSE 0 END AS label01
+         |  FROM events
+         |), ${LogRegGd.fitSql("rel", epochs = 3, lrShift = 6)}
+         |SELECT w0_mu, w1_mu, w2_mu, n, n_correct, accuracy
+         |FROM gd_out""".stripMargin)
+}

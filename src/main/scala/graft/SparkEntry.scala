@@ -532,7 +532,8 @@ object SparkEntry {
     "q21_stream_tumbling" -> (q21 _)) ++ PipelineEntry.queries ++
     ExtendedEntry.queries ++ CorpusEntry.queries ++ AnalyticsEntry.queries ++
     PlatformEntry.queries ++ TrainEntry.queries ++ WebEntry.queries ++
-    MiningEntry.queries ++ StatsEntry.queries ++ SignalsEntry.queries
+    MiningEntry.queries ++ StatsEntry.queries ++ SignalsEntry.queries ++
+    EvalEntry.queries
 
   def oracleSql: Map[String, String] = Map(
     "q44_range_join" ->
@@ -900,5 +901,6 @@ object SparkEntry {
     PipelineEntry.oracleSql ++ ExtendedEntry.oracleSql ++
     CorpusEntry.oracleSql ++ AnalyticsEntry.oracleSql ++
     PlatformEntry.oracleSql ++ TrainEntry.oracleSql ++ WebEntry.oracleSql ++
-    MiningEntry.oracleSql ++ StatsEntry.oracleSql ++ SignalsEntry.oracleSql
+    MiningEntry.oracleSql ++ StatsEntry.oracleSql ++ SignalsEntry.oracleSql ++
+    EvalEntry.oracleSql
 }

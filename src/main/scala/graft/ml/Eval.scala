@@ -1,0 +1,370 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators for classifier- and retrieval-quality
+  * audits — the measurement half of a quality-classifier pipeline
+  * (reference counterpart: the data-quality test family of
+  * transformation_service.py:148-188 generalized from boolean column
+  * tests to scored-model evaluation; the FineWeb/CCNet practice of
+  * gating corpus rows on a learned quality score makes "how good is
+  * the gate" a first-class corpus question).
+  *
+  * Determinism discipline (the q225/q226 rank-test family): every
+  * statistic is exact integer/rank arithmetic until ONE closing
+  * division rounded to 9 dp, so Spark and DuckDB agree bit-for-bit.
+  */
+object Eval {
+
+  /** Per-stratum ROC AUC of `scoreCol` against binary `labelCol`
+    * (1 = positive), computed from tie-corrected midranks — the
+    * Mann-Whitney identity AUC = U₁/(n₁·n₀), never a sorted sweep
+    * over thresholds.
+    *
+    * Exactness: per distinct score the DOUBLED midrank
+    * 2R = 2·(#strictly-below) + (#tied) + 1 is an integer, so the
+    * doubled positive rank sum and 2U₁ = 2ΣR₁ − n₁(n₁+1) stay in
+    * BIGINT; AUC = 2U₁ / (2·n₁·n₀) is one exact-int division rounded
+    * to 9 dp.
+    *
+    * Scale shape: rows collapse to (stratum, score, label) counts
+    * FIRST (a partial-aggregable groupBy — the 100 TB input shrinks
+    * to distinct scores per stratum before any window), then one
+    * per-stratum cumulative window over distinct scores. No global
+    * sort, no per-row window.
+    */
+  def rocAuc(
+      df: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = df
+      .groupBy(col(stratumCol).as("g"), col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_eq"),
+        sum(col(labelCol).cast("long")).as("n_pos_eq"))
+    val w = Window.partitionBy("g").orderBy("s")
+    val ranked = byScore.withColumn("cum_before",
+      coalesce(sum(col("n_eq")).over(w) - col("n_eq"), lit(0L)))
+    // doubled midrank shared by every row tied at this score
+    val r2 = col("cum_before") * 2 + col("n_eq") + 1
+    ranked
+      .groupBy("g")
+      .agg(sum(col("n_eq")).as("n"),
+        sum(col("n_pos_eq")).as("n_pos"),
+        sum(col("n_pos_eq") * r2).as("r2_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      // 2·U₁ = 2·ΣR₁(pos) − n₁(n₁+1)
+      .withColumn("u2", col("r2_pos") - col("n_pos") * (col("n_pos") + 1))
+      .select(col("g").as(stratumCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double"), 9))
+          .as("auc"))
+  }
+
+  /** DuckDB restatement of [[rocAuc]] over a relation
+    * `rel(g, s, label01)`; ends in `auc_out(g, n_pos, n_neg, auc)`. */
+  def rocAucSql(rel: String): String =
+    s"""by_score AS (
+       |  SELECT g, s, CAST(count(*) AS BIGINT) AS n_eq,
+       |    CAST(sum(label01) AS BIGINT) AS n_pos_eq
+       |  FROM $rel GROUP BY g, s
+       |), ranked AS (
+       |  SELECT g, n_eq, n_pos_eq,
+       |    COALESCE(CAST(sum(n_eq) OVER
+       |      (PARTITION BY g ORDER BY s) AS BIGINT) - n_eq, 0)
+       |      AS cum_before
+       |  FROM by_score
+       |), sums AS (
+       |  SELECT g, CAST(sum(n_eq) AS BIGINT) AS n,
+       |    CAST(sum(n_pos_eq) AS BIGINT) AS n_pos,
+       |    CAST(sum(n_pos_eq * (cum_before * 2 + n_eq + 1)) AS BIGINT)
+       |      AS r2_pos
+       |  FROM ranked GROUP BY g
+       |), auc_out AS (
+       |  SELECT g, n_pos, n - n_pos AS n_neg,
+       |    CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+       |      round(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+       |        / CAST(n_pos * (n - n_pos) * 2 AS DOUBLE), 9)
+       |    END AS auc
+       |  FROM sums
+       |)""".stripMargin
+
+  /** Calibration-reliability table + Brier decomposition input: maps
+    * each score to its µ-scaled midrank percentile (the
+    * distribution-free "predicted probability" a rank-calibrated
+    * model emits), buckets into `bins` equal-population bins, and
+    * reports per-bin predicted-vs-empirical rates plus the µ²-exact
+    * Brier contribution.
+    *
+    * Exactness: pred_µ = floor(1e6·(2·cum_before + n_eq) / (2n)) is
+    * a floor of one IEEE division of exact integers (identical in
+    * both engines); each Brier term (pred_µ − 1e6·label)² is BIGINT;
+    * the two closing ratios are single divisions rounded to 9 dp.
+    * Ties share a midrank, so they share a bin — no ntile
+    * row-order sensitivity.
+    *
+    * Scale shape: same distinct-score compression as [[rocAuc]]:
+    * one groupBy + one per-stratum window over DISTINCT scores, then
+    * a bins-sized rollup.
+    */
+  def reliability(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins >= 2: $bins")
+    val byScore = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_eq"),
+        sum(col(labelCol).cast("long")).as("n_pos_eq"))
+    val w = Window.orderBy("s")
+    val n = Window.partitionBy()
+    val ranked = byScore
+      .withColumn("cum_before",
+        coalesce(sum(col("n_eq")).over(w) - col("n_eq"), lit(0L)))
+      .withColumn("n_tot", sum(col("n_eq")).over(n))
+      .withColumn("pred_mu",
+        floor(((col("cum_before") * 2 + col("n_eq")) * 1000000L)
+          .cast("double") / (col("n_tot") * 2).cast("double"))
+          .cast("long"))
+      .withColumn("bin",
+        least(floor((col("cum_before") * bins).cast("double") /
+          col("n_tot").cast("double")).cast("long"), lit(bins - 1L)))
+    ranked
+      .groupBy("bin")
+      .agg(sum(col("n_eq")).as("n"),
+        sum(col("n_pos_eq")).as("n_pos"),
+        sum(col("pred_mu") * col("n_eq")).as("sum_pred_mu"),
+        // Σ over rows: pos get (pred−1e6)², neg get pred²
+        (sum(col("n_pos_eq") *
+            (col("pred_mu") - 1000000L) * (col("pred_mu") - 1000000L)) +
+          sum((col("n_eq") - col("n_pos_eq")) *
+            col("pred_mu") * col("pred_mu"))).as("sq_mu2"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_pred_mu").cast("double") /
+          (col("n") * 1000000L).cast("double"), 9).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9)
+          .as("frac_pos"),
+        round(col("sq_mu2").cast("double") /
+          (col("n").cast("double") * 1e12), 9).as("brier"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB restatement of [[reliability]] over `rel(s, label01)`;
+    * ends in `rel_out(bin, n, n_pos, mean_pred, frac_pos, brier)`. */
+  def reliabilitySql(rel: String, bins: Int = 10): String =
+    s"""by_score AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_eq,
+       |    CAST(sum(label01) AS BIGINT) AS n_pos_eq
+       |  FROM $rel GROUP BY s
+       |), ranked AS (
+       |  SELECT s, n_eq, n_pos_eq,
+       |    COALESCE(CAST(sum(n_eq) OVER (ORDER BY s) AS BIGINT) - n_eq,
+       |      0) AS cum_before,
+       |    CAST(sum(n_eq) OVER () AS BIGINT) AS n_tot
+       |  FROM by_score
+       |), scored AS (
+       |  SELECT n_eq, n_pos_eq,
+       |    CAST(floor(CAST((cum_before * 2 + n_eq) * 1000000 AS DOUBLE)
+       |      / CAST(n_tot * 2 AS DOUBLE)) AS BIGINT) AS pred_mu,
+       |    least(CAST(floor(CAST(cum_before * $bins AS DOUBLE)
+       |      / CAST(n_tot AS DOUBLE)) AS BIGINT),
+       |      ${bins - 1}) AS bin
+       |  FROM ranked
+       |), rel_out AS (
+       |  SELECT bin, CAST(sum(n_eq) AS BIGINT) AS n,
+       |    CAST(sum(n_pos_eq) AS BIGINT) AS n_pos,
+       |    round(CAST(sum(pred_mu * n_eq) AS DOUBLE)
+       |      / CAST(sum(n_eq) * 1000000 AS DOUBLE), 9) AS mean_pred,
+       |    round(CAST(sum(n_pos_eq) AS DOUBLE)
+       |      / CAST(sum(n_eq) AS DOUBLE), 9) AS frac_pos,
+       |    round(CAST(sum(n_pos_eq * (pred_mu - 1000000)
+       |          * (pred_mu - 1000000))
+       |        + sum((n_eq - n_pos_eq) * pred_mu * pred_mu) AS DOUBLE)
+       |      / (CAST(sum(n_eq) AS DOUBLE) * 1e12), 9) AS brier
+       |  FROM scored GROUP BY bin
+       |)""".stripMargin
+
+  /** Cumulative-gains / lift table — the campaign-targeting cousin
+    * of [[reliability]]: rank rows by score DESCENDING into `bins`
+    * equal-population deciles, report each decile's positive count,
+    * cumulative capture rate (share of ALL positives found in the
+    * top d deciles), and lift vs the base rate.
+    *
+    * Exactness: decile ids come from the descending midrank cum-
+    * count (ties share a decile, like [[reliability]]'s bins); lift
+    * = (n_pos_d·n) / (n_d·P) and capture = cum_pos/P are single
+    * exact-int divisions rounded 9 dp.
+    *
+    * Scale shape: distinct-score compression first, one descending
+    * cumulative window over distinct scores, one bins-sized rollup +
+    * one bins-sized cumulative window.
+    */
+  def liftTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins >= 2: $bins")
+    val byScore = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n_eq"),
+        sum(col(labelCol).cast("long")).as("n_pos_eq"))
+    val w = Window.orderBy(col("s").desc)
+    val all = Window.partitionBy()
+    val ranked = byScore
+      .withColumn("cum_before",
+        coalesce(sum(col("n_eq")).over(w) - col("n_eq"), lit(0L)))
+      .withColumn("n_tot", sum(col("n_eq")).over(all))
+      .withColumn("p_tot", sum(col("n_pos_eq")).over(all))
+      .withColumn("decile",
+        least(floor((col("cum_before") * bins).cast("double") /
+          col("n_tot").cast("double")).cast("long"), lit(bins - 1L)))
+    val byBin = Window.orderBy("decile")
+    ranked
+      .groupBy("decile")
+      .agg(sum(col("n_eq")).as("n"),
+        sum(col("n_pos_eq")).as("n_pos"),
+        first(col("n_tot")).as("n_tot"),
+        first(col("p_tot")).as("p_tot"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(byBin))
+      .select(col("decile"), col("n"), col("n_pos"),
+        when(col("p_tot") > 0,
+          round((col("n_pos") * col("n_tot")).cast("double") /
+            (col("n") * col("p_tot")).cast("double"), 9)).as("lift"),
+        when(col("p_tot") > 0,
+          round(col("cum_pos").cast("double") /
+            col("p_tot").cast("double"), 9)).as("capture"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB restatement of [[liftTable]] over `rel(s, label01)`;
+    * ends in `lift_out(decile, n, n_pos, lift, capture)`. */
+  def liftTableSql(rel: String, bins: Int = 10): String =
+    s"""by_score AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_eq,
+       |    CAST(sum(label01) AS BIGINT) AS n_pos_eq
+       |  FROM $rel GROUP BY s
+       |), ranked AS (
+       |  SELECT n_eq, n_pos_eq,
+       |    COALESCE(CAST(sum(n_eq) OVER (ORDER BY s DESC) AS BIGINT)
+       |      - n_eq, 0) AS cum_before,
+       |    CAST(sum(n_eq) OVER () AS BIGINT) AS n_tot,
+       |    CAST(sum(n_pos_eq) OVER () AS BIGINT) AS p_tot
+       |  FROM by_score
+       |), binned AS (
+       |  SELECT least(CAST(floor(CAST(cum_before * $bins AS DOUBLE)
+       |      / CAST(n_tot AS DOUBLE)) AS BIGINT), ${bins - 1})
+       |      AS decile,
+       |    n_eq, n_pos_eq, n_tot, p_tot
+       |  FROM ranked
+       |), rolled AS (
+       |  SELECT decile, CAST(sum(n_eq) AS BIGINT) AS n,
+       |    CAST(sum(n_pos_eq) AS BIGINT) AS n_pos,
+       |    any_value(n_tot) AS n_tot, any_value(p_tot) AS p_tot
+       |  FROM binned GROUP BY decile
+       |), lift_out AS (
+       |  SELECT decile, n, n_pos,
+       |    CASE WHEN p_tot > 0 THEN
+       |      round(CAST(n_pos * n_tot AS DOUBLE)
+       |        / CAST(n * p_tot AS DOUBLE), 9) END AS lift,
+       |    CASE WHEN p_tot > 0 THEN
+       |      round(CAST(CAST(sum(n_pos) OVER (ORDER BY decile)
+       |          AS BIGINT) AS DOUBLE)
+       |        / CAST(p_tot AS DOUBLE), 9) END AS capture
+       |  FROM rolled
+       |)""".stripMargin
+
+  /** µ-scaled DCG discount weights w_r = round(1e9 / log₂(r+1)),
+    * r = 1..k — computed ONCE in Scala and embedded as literals in
+    * BOTH the Spark plan and the oracle SQL, so no engine ever
+    * evaluates log₂ (the [[graft.ops.Cidr]] shared-constant
+    * discipline for irrational constants).
+    */
+  def dcgWeightsMu(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e9 / (math.log(r + 1) / math.log(2))))
+
+  /** nDCG@k per query group: rank docs by (orderCol DESC, idCol ASC
+    * — a deterministic total order), take the top k, weight integer
+    * gains by the shared µ-scaled discount table, and normalize by
+    * the ideal ordering (gain DESC, idCol ASC).
+    *
+    * Exactness: DCG_µ and IDCG_µ are BIGINT dot products of integer
+    * gains with literal integer weights; nDCG is one division
+    * rounded to 9 dp.
+    *
+    * Scale shape: two per-query top-k windows (rank truncation keeps
+    * the weighted sums k-bounded per query; Spark's window sorts
+    * within the query partition only — no global order).
+    */
+  def ndcgAtK(
+      df: DataFrame,
+      queryCol: String,
+      idCol: String,
+      orderCol: String,
+      gainCol: String,
+      k: Int): DataFrame = {
+    val wMu = dcgWeightsMu(k)
+    def weightFor(rankCol: Column): Column =
+      wMu.zipWithIndex.foldLeft(lit(0L)) { case (acc, (w, i)) =>
+        when(rankCol === (i + 1), lit(w)).otherwise(acc)
+      }
+    val byOrder = Window.partitionBy(queryCol)
+      .orderBy(col(orderCol).desc, col(idCol).asc)
+    val byGain = Window.partitionBy(queryCol)
+      .orderBy(col(gainCol).desc, col(idCol).asc)
+    df.withColumn("r_model", row_number().over(byOrder))
+      .withColumn("r_ideal", row_number().over(byGain))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_model") <= k,
+          col(gainCol).cast("long") * weightFor(col("r_model")))
+          .otherwise(0L)).as("dcg_mu"),
+        sum(when(col("r_ideal") <= k,
+          col(gainCol).cast("long") * weightFor(col("r_ideal")))
+          .otherwise(0L)).as("idcg_mu"))
+      .select(col(queryCol), col("n_docs"), col("dcg_mu"), col("idcg_mu"),
+        when(col("idcg_mu") > 0,
+          round(col("dcg_mu").cast("double") /
+            col("idcg_mu").cast("double"), 9)).as("ndcg"))
+  }
+
+  /** DuckDB restatement of [[ndcgAtK]] over
+    * `rel(q, id, ord, gain)`; ends in
+    * `ndcg_out(q, n_docs, dcg_mu, idcg_mu, ndcg)`. */
+  def ndcgSql(rel: String, k: Int): String = {
+    val wMu = dcgWeightsMu(k)
+    def caseSql(r: String): String =
+      "CASE " + wMu.zipWithIndex.map { case (w, i) =>
+        s"WHEN $r = ${i + 1} THEN $w"
+      }.mkString(" ") + " ELSE 0 END"
+    s"""ranked AS (
+       |  SELECT q, gain,
+       |    row_number() OVER (PARTITION BY q ORDER BY ord DESC, id ASC)
+       |      AS r_model,
+       |    row_number() OVER (PARTITION BY q ORDER BY gain DESC, id ASC)
+       |      AS r_ideal
+       |  FROM $rel
+       |), ndcg_out AS (
+       |  SELECT q, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN r_model <= $k THEN
+       |      gain * (${caseSql("r_model")}) ELSE 0 END) AS BIGINT)
+       |      AS dcg_mu,
+       |    CAST(sum(CASE WHEN r_ideal <= $k THEN
+       |      gain * (${caseSql("r_ideal")}) ELSE 0 END) AS BIGINT)
+       |      AS idcg_mu,
+       |    CASE WHEN sum(CASE WHEN r_ideal <= $k THEN
+       |        gain * (${caseSql("r_ideal")}) ELSE 0 END) > 0 THEN
+       |      round(CAST(sum(CASE WHEN r_model <= $k THEN
+       |          gain * (${caseSql("r_model")}) ELSE 0 END) AS DOUBLE)
+       |        / CAST(sum(CASE WHEN r_ideal <= $k THEN
+       |          gain * (${caseSql("r_ideal")}) ELSE 0 END) AS DOUBLE),
+       |        9)
+       |    END AS ndcg
+       |  FROM ranked GROUP BY q
+       |)""".stripMargin
+  }
+}
