@@ -268,7 +268,84 @@ object EvalEntry {
   private def q288(s: SparkSession, dir: String): DataFrame =
     graft.ann.Isotropy.audit(t(s, dir, "embeddings"), "embedding")
 
+  // ---------------------------------------------------------------
+  // q289 — Fleiss' kappa (quality/Agreement.fleiss): chance-
+  // corrected agreement of a 3-heuristic quality-gate PANEL (two
+  // length cuts + a language gate) per source — the multi-rater
+  // upgrade of q179's pairwise Cohen kappa.
+  // ---------------------------------------------------------------
+  private def q289(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Agreement.fleiss(
+        t(s, dir, "documents"),
+        Seq(col("n_chars") >= 250, col("n_chars") >= 300,
+          col("lang") === En),
+        "source")
+      .withColumnRenamed("group_key", "source")
+      .orderBy("source")
+
+  // q290's shared channel taxonomy (bit order IS the shared contract)
+  private val ShapChannels = Seq("click", "view", "signup", "error")
+
+  // ---------------------------------------------------------------
+  // q290 — exact Shapley channel attribution (ops/Shapley): 2^4
+  // coalition census → literal φ chains generated once in Scala and
+  // shared with the oracle. Completes the attribution family
+  // (q148 heuristics → q210 position → q259 Markov → Shapley).
+  // ---------------------------------------------------------------
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Shapley
+    val census = Shapley.census(
+      t(s, dir, "events"), "user_id",
+      ShapChannels.map(c => col("event_type") === c),
+      col("event_type") === "purchase")
+    Shapley.attribute(census, ShapChannels).orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------
+  // q291 — rolling-origin forecast backtest (ops/ForecastEval):
+  // score q250's Holt one-step-ahead forecasts with MAE + sMAPE —
+  // every fc_t predates x_t, so the trajectory is an honest
+  // backtest; the accuracy context for q270's conformal bands.
+  // ---------------------------------------------------------------
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    val daily = StatsEntry.dailyCents(s, dir)
+    val fc = graft.ops.Ewma.holt(
+      daily.withColumnRenamed("day", "t"),
+      alphaNum = 1, alphaDen = 4, betaNum = 1, betaDen = 10)
+    graft.ops.ForecastEval.holtScorecard(fc,
+        daily.withColumnRenamed("day", "t"))
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------
+  // q292 — persisted mergeable moment states (quality/Moments): the
+  // merge-don't-rescan shape for mean/variance — batch 1's state
+  // parquet-persisted and read BACK, merged with batch 2 by integer
+  // addition, finalized; the oracle recomputes over the union
+  // directly and must match EXACTLY (decimal sums commute).
+  // ---------------------------------------------------------------
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.Moments
+    val ev = t(s, dir, "events").withColumn("cents",
+      (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val cutoff = graft.sources.Tables.epochNs("2024-01-15T00:00:00Z")
+    val keys = Seq("event_type")
+    val s1 = Moments.state(ev.filter(col("ts") < cutoff), keys, "cents")
+    val path = s"target/scratch/q292_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s1.write.mode("overwrite").parquet(path)
+    val merged = Moments.merge(
+      Seq(s.read.parquet(path),
+        Moments.state(ev.filter(col("ts") >= cutoff), keys, "cents")),
+      keys)
+    Moments.finalize(merged).orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_fleiss_kappa" -> (q289 _),
+    "q290_shapley" -> (q290 _),
+    "q291_forecast_backtest" -> (q291 _),
+    "q292_moments_incremental" -> (q292 _),
     "q282_rouge_n" -> (q282 _),
     "q283_ipw_ate" -> (q283 _),
     "q284_lift_table" -> (q284 _),
@@ -352,6 +429,50 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q289_fleiss_kappa" ->
+      s"""WITH subjects AS (
+         |  SELECT source AS group_key,
+         |    (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN lang = '$En' THEN 1 ELSE 0 END) AS a
+         |  FROM documents
+         |), ${graft.quality.Agreement.fleissSql(3)}
+         |SELECT group_key AS source, n, m, p_observed, p_expected,
+         |  kappa
+         |FROM fleiss_out ORDER BY source""".stripMargin,
+    "q290_shapley" -> {
+      val touchSql = ShapChannels.zipWithIndex.map { case (c, i) =>
+        s"max(CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH shap_user AS (
+         |  SELECT user_id,
+         |    $touchSql AS mask,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events GROUP BY user_id
+         |), shap_census AS (
+         |  SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(conv) AS BIGINT) AS n_conv
+         |  FROM shap_user GROUP BY mask
+         |), ${graft.ops.Shapley.attributeSql(ShapChannels)}
+         |SELECT channel, phi FROM shap_out
+         |ORDER BY channel""".stripMargin
+    },
+    "q291_forecast_backtest" ->
+      s"""WITH RECURSIVE ${StatsEntry.DailyCte},
+         |${SignalsEntry.HoltCte},
+         |${graft.ops.ForecastEval.holtScorecardSql}
+         |SELECT g AS event_type, n_scored, mae, smape
+         |FROM fc_out ORDER BY event_type""".stripMargin,
+    "q292_moments_incremental" ->
+      s"""WITH rel AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM events
+         |), ${graft.quality.Moments.directSql("rel")}
+         |SELECT g AS event_type, n, mean, variance
+         |FROM mom_out ORDER BY event_type""".stripMargin,
     "q282_rouge_n" ->
       s"""WITH cand AS (
          |  SELECT (doc_id - 1) // 2 AS pair_id, text FROM documents
