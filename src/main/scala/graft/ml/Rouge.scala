@@ -44,11 +44,14 @@ object Rouge {
       pairCol: String,
       textCol: String,
       n: Int = 2): DataFrame = {
+    // barrier: each count table feeds BOTH the match join and its
+    // totals rollup — without the cut the tokenize+count runs twice
     def counts(df: DataFrame, as: String): DataFrame =
-      df.select(col(pairCol).as("pair_id"),
-          explode(ngrams(col(textCol), n)).as("gram"))
-        .groupBy("pair_id", "gram")
-        .agg(count(lit(1)).as(as))
+      graft.plans.Plans.barrier(
+        df.select(col(pairCol).as("pair_id"),
+            explode(ngrams(col(textCol), n)).as("gram"))
+          .groupBy("pair_id", "gram")
+          .agg(count(lit(1)).as(as)))
     val c = counts(cand, "c_cand")
     val r = counts(ref, "c_ref")
     val totals = c.groupBy("pair_id").agg(sum(col("c_cand")).as("tc"))

@@ -46,11 +46,16 @@ object Stump {
             sum(when(col("x") <= t, col("pos_eq")).otherwise(0L))
               .as(s"p_le_$t"))
         }: _*)
-    val perThr = thresholds.map { t =>
-      cells.select(lit(t).as("threshold"),
-        col(s"n_le_$t").as("n_le"), col(s"p_le_$t").as("pos_le"),
-        col("n").as("n"), col("p").as("p"))
-    }.reduce(_ unionByName _)
+    // ONE aggregation, exploded to grid rows through a literal struct
+    // array — a union of per-threshold selects would re-execute the
+    // aggregate (and rescan the data) once per threshold
+    val perThr = cells.select(col("n"), col("p"),
+        explode(array(thresholds.map(t => struct(lit(t).as("threshold"),
+          col(s"n_le_$t").as("n_le"), col(s"p_le_$t").as("pos_le"))): _*))
+          .as("thr"))
+      .select(col("thr.threshold").as("threshold"),
+        col("thr.n_le").as("n_le"), col("thr.pos_le").as("pos_le"),
+        col("n"), col("p"))
     val jNum = abs(col("pos_le") * (col("n") - col("p")) -
       (col("n_le") - col("pos_le")) * col("p"))
     val wAll = Window.partitionBy()
