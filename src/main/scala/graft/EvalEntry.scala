@@ -341,7 +341,92 @@ object EvalEntry {
     Moments.finalize(merged).orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q293 — nearest-centroid classification (ann/Centroid): fit k·d
+  // centroid scalars from the labeled embeddings in one pass,
+  // classify by broadcast join + exact-decimal argmin, grade with a
+  // confusion census. The first op to exercise the embeddings
+  // table's LABEL column.
+  // ---------------------------------------------------------------
+  private def q293(s: SparkSession, dir: String): DataFrame =
+    graft.ann.Centroid.confusion(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy("label_true", "label_pred")
+
+  // ---------------------------------------------------------------
+  // q294 — top user journeys (the product-analytics "sankey" table):
+  // each user's first 8 events in (ts, event_id) order joined into a
+  // path string, counted, top-10 by (count DESC, path) — a total
+  // order, so the LIMIT is deterministic. One window + two rollups.
+  // ---------------------------------------------------------------
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8)
+      .groupBy("user_id")
+      .agg(concat_ws(" > ", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        e => e.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------
+  // q295 — classifier PRF1 scorecard (ml/Eval.prf1Report over
+  // ml/NaiveBayes): per-class precision/recall/F1 + macro/micro for
+  // the q274 gate — one conditional-sum pass, literal report rows.
+  // ---------------------------------------------------------------
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("label01",
+        when(col("lang") === En, 1L).otherwise(0L))
+    val scored = NaiveBayes.trainScore(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+      "doc_id", "text", "label01")
+    Eval.prf1Report(scored, "label", "pred").orderBy("clazz")
+  }
+
+  // q296's shared contract constants: τ (percent) and the recall
+  // floor the LSH configuration must clear vs exact ground truth
+  private val LshTauPct = 70
+  private val LshRecallFloorPct = 80
+
+  // ---------------------------------------------------------------
+  // q296 — MinHash-LSH recall contract (the q37/q77 measured-
+  // contract pattern pointed at DEDUP): exact 3-gram Jaccard pairs
+  // at τ=0.7 are ground truth (PPJoin is exact — no false
+  // negatives); the 16-hash/4-band LSH path verifies candidates
+  // inline, so its pair set ⊆ truth and recall = |LSH|/|exact|. The
+  // oracle recomputes the exact-pair count in SQL and asserts the
+  // contract flag — a silently-degraded sketch config fails the
+  // gate.
+  // ---------------------------------------------------------------
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val corpus = PipelineEntry.nearCorpus(s, dir)
+    val tau = LshTauPct / 100.0
+    val exact = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      n = 3, tau = tau).agg(count(lit(1)).as("n_exact"))
+    val lsh = Dedup.minhashLsh(corpus, "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 4, tau = tau)
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.crossJoin(lsh).select(
+      lit(LshTauPct.toLong).as("tau_pct"),
+      col("n_exact"),
+      (col("n_lsh") * 100 >= col("n_exact") * LshRecallFloorPct)
+        .as("recall_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_centroid_classify" -> (q293 _),
+    "q294_top_paths" -> (q294 _),
+    "q295_prf1_report" -> (q295 _),
+    "q296_lsh_recall" -> (q296 _),
     "q289_fleiss_kappa" -> (q289 _),
     "q290_shapley" -> (q290 _),
     "q291_forecast_backtest" -> (q291 _),
@@ -429,6 +514,48 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q293_centroid_classify" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS vid, label, embedding AS vec
+         |  FROM embeddings
+         |), ${graft.ann.Centroid.confusionSql}
+         |SELECT label_true, label_pred, n_vecs
+         |FROM cent_out ORDER BY label_true, label_pred""".stripMargin,
+    "q294_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id
+        |), c AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM p GROUP BY path
+        |)
+        |SELECT path, n_users FROM c
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    "q295_prf1_report" ->
+      s"""WITH lab AS ($DocLabeled),
+         |nbtrain AS (
+         |  SELECT doc_id AS id, text, label01 FROM lab
+         |  WHERE doc_id % 5 <> 0
+         |), nbtest AS (
+         |  SELECT doc_id AS id, text, label01 FROM lab
+         |  WHERE doc_id % 5 = 0
+         |), ${NaiveBayes.trainScoreSql},
+         |cls AS (SELECT label, pred FROM nb_out),
+         |${Eval.prf1ReportSql("cls")}
+         |SELECT clazz, n, precision, recall, f1
+         |FROM prf_out ORDER BY clazz""".stripMargin,
+    "q296_lsh_recall" ->
+      s"""WITH ${PipelineEntry.TrigramPairsCte}
+         |SELECT CAST($LshTauPct AS BIGINT) AS tau_pct,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  TRUE AS recall_ok
+         |FROM pairs WHERE jaccard >= ${LshTauPct / 100.0}""".stripMargin,
     "q289_fleiss_kappa" ->
       s"""WITH subjects AS (
          |  SELECT source AS group_key,

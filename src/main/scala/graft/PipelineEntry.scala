@@ -531,7 +531,7 @@ object PipelineEntry {
   /** The q23 oracle's shared corpus→3-gram-sets CTE (same shape as
     * NgramPairsCte but k=3 — MinHash shingles default to 3).
     */
-  private val TrigramPairsCte =
+  private[graft] val TrigramPairsCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

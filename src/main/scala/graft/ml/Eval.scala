@@ -278,6 +278,116 @@ object Eval {
        |  FROM rolled
        |)""".stripMargin
 
+  /** Per-class precision/recall/F1 report for a binary classifier's
+    * (label, pred) output, plus the macro and micro rollups — the
+    * scorecard a gate like [[NaiveBayes]] publishes. One conditional-
+    * sum pass collapses the data to four counts; every downstream
+    * row is a literal over them (the q279 explode-literals shape —
+    * no recomputation per report row).
+    *
+    * Exactness: P_c = tp/(tp+fp), R_c = tp/(tp+fn) and
+    * F1_c = 2tp/(2tp+fp+fn) are single exact-int divisions; macro
+    * averages the two UNROUNDED F1 rationals in one fixed chain;
+    * micro-F1 for single-label binary equals accuracy. Zero
+    * denominators report null (stated).
+    */
+  def prf1Report(df: DataFrame, labelCol: String, predCol: String)
+      : DataFrame = {
+    val y = col(labelCol).cast("long")
+    val p = col(predCol).cast("long")
+    val cells = df.agg(
+      sum(when(y === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(y === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(y === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(y === 0 && p === 0, 1L).otherwise(0L)).as("tn"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 9))
+    def f1(tp: Column, fp: Column, fn: Column): Column =
+      ratio(tp * 2, tp * 2 + fp + fn)
+    // class 1 counts as-is; class 0 swaps the roles
+    val rows = array(
+      struct(lit("class_0").as("clazz"),
+        (col("tn") + col("fp")).as("n"),
+        ratio(col("tn"), col("tn") + col("fn")).as("precision"),
+        ratio(col("tn"), col("tn") + col("fp")).as("recall"),
+        f1(col("tn"), col("fn"), col("fp")).as("f1")),
+      struct(lit("class_1").as("clazz"),
+        (col("tp") + col("fn")).as("n"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        f1(col("tp"), col("fp"), col("fn")).as("f1")),
+      struct(lit("macro").as("clazz"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        lit(null).cast("double").as("precision"),
+        lit(null).cast("double").as("recall"),
+        when((col("tn") * 2 + col("fn") + col("fp")) > 0 &&
+            (col("tp") * 2 + col("fp") + col("fn")) > 0,
+          round(((col("tn") * 2).cast("double") /
+              (col("tn") * 2 + col("fn") + col("fp")).cast("double") +
+            (col("tp") * 2).cast("double") /
+              (col("tp") * 2 + col("fp") + col("fn")).cast("double")) /
+            2, 9)).as("f1")),
+      struct(lit("micro").as("clazz"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        lit(null).cast("double").as("precision"),
+        lit(null).cast("double").as("recall"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("f1")))
+    cells.select(explode(rows).as("r")).select(
+      col("r.clazz").as("clazz"), col("r.n").as("n"),
+      col("r.precision").as("precision"), col("r.recall").as("recall"),
+      col("r.f1").as("f1"))
+  }
+
+  /** DuckDB restatement of [[prf1Report]] over `cls(label, pred)`;
+    * ends in `prf_out(clazz, n, precision, recall, f1)`. */
+  def prf1ReportSql(rel: String): String =
+    s"""prf_cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn
+       |  FROM $rel
+       |), prf_out AS (
+       |  SELECT 'class_0' AS clazz, tn + fp AS n,
+       |    CASE WHEN tn + fn > 0 THEN round(CAST(tn AS DOUBLE)
+       |      / CAST(tn + fn AS DOUBLE), 9) END AS precision,
+       |    CASE WHEN tn + fp > 0 THEN round(CAST(tn AS DOUBLE)
+       |      / CAST(tn + fp AS DOUBLE), 9) END AS recall,
+       |    CASE WHEN tn * 2 + fn + fp > 0 THEN
+       |      round(CAST(tn * 2 AS DOUBLE)
+       |        / CAST(tn * 2 + fn + fp AS DOUBLE), 9) END AS f1
+       |  FROM prf_cells
+       |  UNION ALL SELECT 'class_1', tp + fn,
+       |    CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE)
+       |      / CAST(tp + fp AS DOUBLE), 9) END,
+       |    CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE)
+       |      / CAST(tp + fn AS DOUBLE), 9) END,
+       |    CASE WHEN tp * 2 + fp + fn > 0 THEN
+       |      round(CAST(tp * 2 AS DOUBLE)
+       |        / CAST(tp * 2 + fp + fn AS DOUBLE), 9) END
+       |  FROM prf_cells
+       |  UNION ALL SELECT 'macro', tp + fp + fn + tn,
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |    CASE WHEN tn * 2 + fn + fp > 0 AND tp * 2 + fp + fn > 0
+       |      THEN round((CAST(tn * 2 AS DOUBLE)
+       |          / CAST(tn * 2 + fn + fp AS DOUBLE)
+       |        + CAST(tp * 2 AS DOUBLE)
+       |          / CAST(tp * 2 + fp + fn AS DOUBLE)) / 2, 9) END
+       |  FROM prf_cells
+       |  UNION ALL SELECT 'micro', tp + fp + fn + tn,
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |    CASE WHEN tp + fp + fn + tn > 0 THEN
+       |      round(CAST(tp + tn AS DOUBLE)
+       |        / CAST(tp + fp + fn + tn AS DOUBLE), 9) END
+       |  FROM prf_cells
+       |)""".stripMargin
+
   /** µ-scaled DCG discount weights w_r = round(1e9 / log₂(r+1)),
     * r = 1..k — computed ONCE in Scala and embedded as literals in
     * BOTH the Spark plan and the oracle SQL, so no engine ever
