@@ -422,7 +422,131 @@ object EvalEntry {
         .as("recall_ok"))
   }
 
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  // ---------------------------------------------------------------
+  // q297 — Avro container ingest (sources/AvroSource): the nation
+  // dim exported once to a real .avro Object Container (fixture,
+  // q107's pay-once pattern), then read DISTRIBUTED — binaryFile
+  // lists containers across tasks, each decodes via the public Avro
+  // reader API — and aggregated per region. Completes the row-format
+  // matrix (csv/json/parquet/orc/fixed/xml/warc/avro).
+  // ---------------------------------------------------------------
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroSource
+    import org.apache.spark.sql.types._
+    val base = s"target/scratch/q297_${sanitize(dir)}"
+    val file = s"$base/nation.avro"
+    if (!new java.io.File(file).exists()) {
+      // 25-row DIMENSION export — bounded by the nation taxonomy,
+      // never data-sized; the distributed path is the read below
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .collect().iterator
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getLong(2)))
+      AvroSource.writeLocal(file,
+        """{"type":"record","name":"nation","fields":[
+          |{"name":"n_nationkey","type":"long"},
+          |{"name":"n_name","type":"string"},
+          |{"name":"n_regionkey","type":"long"}]}""".stripMargin, rows)
+    }
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    AvroSource.read(s, base, schema)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_name"),
+        sum(col("n_nationkey")).as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  // ---------------------------------------------------------------
+  // q298 — Unicode script census (text/Scripts): per-language script
+  // shares via the length-minus-stripped identity — four codegen'd
+  // regex projections, no tokenization. Script ≠ language: the
+  // orthography gate that runs BEFORE lang-id in crawl pipelines.
+  // ---------------------------------------------------------------
+  private def q298(s: SparkSession, dir: String): DataFrame =
+    graft.text.Scripts.census(t(s, dir, "documents"), "lang", "text")
+      .orderBy("lang")
+
+  // q299's shared target mixture (per-mille, integers — the Scala
+  // constant both engines read)
+  private val MixTargetPm: Seq[(String, Long)] = Seq(
+    "en" -> 500L, "zh" -> 125L, "es" -> 125L, "de" -> 125L,
+    "fr" -> 125L)
+
+  // ---------------------------------------------------------------
+  // q299 — corpus-mixture KL audit: actual token share per language
+  // vs the declared training mixture, with each language's
+  // contribution to KL(actual ‖ target) — the governance report a
+  // data-mixing pipeline (q83/q139) publishes per snapshot. Tokens
+  // and shares are exact ints/rationals; the ln term is one fixed
+  // per-row double chain (9dp) — no cross-row float sums.
+  // ---------------------------------------------------------------
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val target = MixTargetPm.foldLeft(lit(null).cast("long")) {
+      case (acc, (l, pm)) => when(col("lang") === l, pm).otherwise(acc)
+    }
+    val toks = t(s, dir, "documents")
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_toks"))
+      .groupBy("lang").agg(sum(col("n_toks")).as("n_tokens"))
+    val tot = toks.agg(sum(col("n_tokens")).as("t_all"))
+    val share = col("n_tokens").cast("double") / col("t_all").cast("double")
+    toks.crossJoin(broadcast(tot))
+      .withColumn("target_pm", target)
+      .select(col("lang"), col("n_tokens"),
+        round(share, 9).as("share"),
+        round(col("target_pm").cast("double") / 1000d, 9).as("target"),
+        // ln 6dp-quantized BEFORE the product (the q234 discipline —
+        // a last-ulp libm difference must not reach the output)
+        round(share * round(log(share /
+          (col("target_pm").cast("double") / 1000d)), 6), 9)
+          .as("kl_term"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------
+  // q300 — exactly-once streaming append (streaming/StreamSink
+  // .appendExactlyOnce): events stream appended under a batch-id
+  // transaction ledger, then batch 0 REPLAYED against the sink — the
+  // at-least-once redelivery foreachBatch makes after a crash. The
+  // ledger skips it; a double-append would double the counts and
+  // fail the oracle, so the idempotence IS the gated semantics.
+  // ---------------------------------------------------------------
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val base = s"target/scratch/q300_${sanitize(dir)}"
+    val (target, ckpt, ledger) =
+      (s"$base/table", s"$base/ckpt", s"$base/ledger")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val q = graft.streaming.StreamSink.writeExactlyOnceAppend(
+      graft.streaming.Streams.readEvents(s, dir).drop("event_time"),
+      target, ckpt, ledger)
+    try q.processAllAvailable() finally q.stop()
+    // simulate the crash-redelivery: batch id 0 arrives again
+    val replayed = graft.streaming.StreamSink.appendExactlyOnce(
+      t(s, dir, "events"), 0L, target, ledger)
+    require(!replayed, "ledger must skip a replayed batch id")
+    s.read.parquet(target)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_avro_ingest" -> (q297 _),
+    "q298_script_census" -> (q298 _),
+    "q299_mixture_kl" -> (q299 _),
+    "q300_stream_exactly_once" -> (q300 _),
     "q293_centroid_classify" -> (q293 _),
     "q294_top_paths" -> (q294 _),
     "q295_prf1_report" -> (q295 _),
@@ -514,6 +638,47 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q297_avro_ingest" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  min(n_name) AS first_name,
+        |  CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin,
+    "q298_script_census" ->
+      s"""WITH rel AS (SELECT lang AS g, text FROM documents),
+         |${graft.text.Scripts.censusSql("rel")}
+         |SELECT g AS lang, n_docs, n_chars, share_latin, share_han,
+         |  share_cyrillic, share_digit
+         |FROM script_out ORDER BY lang""".stripMargin,
+    "q299_mixture_kl" -> {
+      val targetSql = "CASE " + MixTargetPm.map { case (l, pm) =>
+        s"WHEN lang = '$l' THEN $pm"
+      }.mkString(" ") + " END"
+      s"""WITH toks AS (
+         |  SELECT lang, CAST(sum(len(list_filter(
+         |      string_split_regex(lower(text), '\\s+'),
+         |      x -> x <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang
+         |), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all
+         |  FROM toks)
+         |SELECT lang, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) / CAST(t_all AS DOUBLE), 9)
+         |    AS share,
+         |  round(CAST(($targetSql) AS DOUBLE) / 1000, 9) AS target,
+         |  round((CAST(n_tokens AS DOUBLE) / CAST(t_all AS DOUBLE))
+         |    * round(ln((CAST(n_tokens AS DOUBLE)
+         |        / CAST(t_all AS DOUBLE))
+         |      / (CAST(($targetSql) AS DOUBLE) / 1000)), 6), 9)
+         |    AS kl_term
+         |FROM toks CROSS JOIN tot ORDER BY lang""".stripMargin
+    },
+    "q300_stream_exactly_once" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q293_centroid_classify" ->
       s"""WITH vecs AS (
          |  SELECT vec_id AS vid, label, embedding AS vec
