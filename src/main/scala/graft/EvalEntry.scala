@@ -542,7 +542,93 @@ object EvalEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q301 — manifest-log checkpoint (ops/VersionedTable.checkpoint —
+  // Delta's _last_checkpoint shape, completing the q118/q122/q271/
+  // q272 lakehouse family): 6 growing commits, checkpoint after v3,
+  // 2 more commits; the checkpointed replay must equal the full
+  // replay while opening 4 log objects instead of 6 — both counts
+  // are part of the gated output.
+  // ---------------------------------------------------------------
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.VersionedTable
+    val path = s"target/scratch/q301_${sanitize(dir)}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val orders = t(s, dir, "orders")
+    def slice(v: Int) = orders.filter(pmod(col("o_orderkey"), lit(7)) <= v)
+    (0 to 3).foreach(v => VersionedTable.commit(s, path, slice(v),
+      1700000000000L + v * 1000))
+    VersionedTable.checkpoint(s, path)
+    (4 to 5).foreach(v => VersionedTable.commit(s, path, slice(v),
+      1700000000000L + v * 1000))
+    val (fast, opened) = VersionedTable.versionsCheckpointed(s, path)
+    val full = VersionedTable.versions(s, path)
+    require(fast == full, "checkpointed replay must equal full replay")
+    val counts = full.map { c =>
+      val n = VersionedTable.read(s, path, c.version).count()
+      (c.version, n)
+    }
+    import s.implicits._
+    counts.toDF("version", "n_rows")
+      .withColumn("log_objects_full", lit(full.size.toLong))
+      .withColumn("log_objects_ckpt", lit(opened))
+      .orderBy("version")
+  }
+
+  // ---------------------------------------------------------------
+  // q302 — COEC position-bias correction (ops/Coec): synthetic
+  // impression log from events (position = event hash % 10, item =
+  // user hash % 50, click = event_type='click'); position priors
+  // broadcast, per-item clicks-over-expected-clicks. The standard
+  // ranking-log de-biasing before any CTR model trains.
+  // ---------------------------------------------------------------
+  private def q302(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Coec.score(
+        t(s, dir, "events").select(
+          pmod(Sampling.mix30(col("user_id") + 17), lit(50L)).as("item"),
+          (pmod(Sampling.mix30(col("event_id") + 23), lit(10L)) + 1)
+            .as("pos"),
+          when(col("event_type") === "click", 1L).otherwise(0L)
+            .as("click")),
+        "item", "pos", "click")
+      .orderBy("item")
+
+  private val NegTopK = 50
+
+  // ---------------------------------------------------------------
+  // q303 — unigram negative-sampling table (text/NegSampling,
+  // word2vec f^¾): smoothed draw weights via two correctly-rounded
+  // sqrts over exact cubes, decimal-quantized before the vocabulary
+  // total; top-50 on the deterministic (f DESC, token) order.
+  // ---------------------------------------------------------------
+  private def q303(s: SparkSession, dir: String): DataFrame =
+    graft.text.NegSampling.table(t(s, dir, "documents"), "text",
+        NegTopK)
+      .orderBy(col("f").desc, col("token"))
+
+  // ---------------------------------------------------------------
+  // q304 — Wasserstein-1 drift (quality/Wasserstein): earth mover's
+  // distance between first- and second-half-of-January value
+  // distributions per event type over a fixed 20-bin grid —
+  // completes the drift family (PSI is bin-blind to distance, KS
+  // sees one gap; W₁ integrates the whole CDF gap) in pure
+  // cross-multiplied integers.
+  // ---------------------------------------------------------------
+  private def q304(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Wasserstein.distance(
+        t(s, dir, "events"),
+        "event_type", "value",
+        expr("ts div 1000000") >= DidCutoffMs,
+        lo = 0d, width = 25d, nBins = 20)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q301_log_checkpoint" -> (q301 _),
+    "q302_coec" -> (q302 _),
+    "q303_negative_sampling" -> (q303 _),
+    "q304_wasserstein_drift" -> (q304 _),
     "q297_avro_ingest" -> (q297 _),
     "q298_script_census" -> (q298 _),
     "q299_mixture_kl" -> (q299 _),
@@ -638,6 +724,41 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q301_log_checkpoint" ->
+      """WITH vs AS (SELECT unnest(range(0, 6)) AS version)
+        |SELECT v.version,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 7 <= v.version) AS n_rows,
+        |  CAST(6 AS BIGINT) AS log_objects_full,
+        |  CAST(4 AS BIGINT) AS log_objects_ckpt
+        |FROM vs v ORDER BY v.version""".stripMargin,
+    "q302_coec" ->
+      s"""WITH implog AS (
+         |  SELECT (${Sampling.mix30Sql("(user_id + 17)")}) % 50
+         |      AS item,
+         |    ((${Sampling.mix30Sql("(event_id + 23)")}) % 10) + 1
+         |      AS p,
+         |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS click
+         |  FROM events
+         |), ${graft.ops.Coec.scoreSql("implog")}
+         |SELECT item, views, clicks, expected_mu, coec
+         |FROM coec_out ORDER BY item""".stripMargin,
+    "q303_negative_sampling" ->
+      s"""WITH docs_rel AS (SELECT text FROM documents),
+         |${graft.text.NegSampling.tableSql("docs_rel", NegTopK)}
+         |SELECT token, f, weight, share FROM neg_out
+         |WHERE rn <= $NegTopK
+         |ORDER BY f DESC, token""".stripMargin,
+    "q304_wasserstein_drift" ->
+      s"""WITH wrel AS (
+         |  SELECT event_type AS g, value AS v,
+         |    CASE WHEN epoch_ns(ts) // 1000000 >= $DidCutoffMs
+         |      THEN 1 ELSE 0 END AS isb
+         |  FROM events
+         |), ${graft.quality.Wasserstein.distanceSql(
+              lo = 0d, width = 25d, nBins = 20)}
+         |SELECT g AS event_type, n_a, n_b, w1
+         |FROM w1_out ORDER BY event_type""".stripMargin,
     "q297_avro_ingest" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  CAST(count(*) AS BIGINT) AS n_nations,

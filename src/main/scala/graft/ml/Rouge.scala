@@ -45,11 +45,15 @@ object Rouge {
       textCol: String,
       n: Int = 2): DataFrame = {
     // barrier: each count table feeds BOTH the match join and its
-    // totals rollup — without the cut the tokenize+count runs twice
+    // totals rollup — without the cut the tokenize+count runs twice.
+    // Grams shuffle as xxhash64 keys (the q22 discipline): 8 bytes
+    // per key instead of the gram text; a within-pair 64-bit
+    // collision (~|grams|²/2⁶⁴) is the accepted trade.
     def counts(df: DataFrame, as: String): DataFrame =
       graft.plans.Plans.barrier(
         df.select(col(pairCol).as("pair_id"),
-            explode(ngrams(col(textCol), n)).as("gram"))
+            explode(ngrams(col(textCol), n)).as("g"))
+          .select(col("pair_id"), xxhash64(col("g")).as("gram"))
           .groupBy("pair_id", "gram")
           .agg(count(lit(1)).as(as)))
     val c = counts(cand, "c_cand")

@@ -54,7 +54,10 @@ object VersionedTable {
     val DirRe = """"dir"\s*:\s*"([^"]+)"""".r
     f.listStatus(log).toSeq
       .filter(s => s.getPath.getName.endsWith(".json") &&
-        !s.getPath.getName.startsWith("."))
+        !s.getPath.getName.startsWith(".") &&
+        // checkpoint objects consolidate manifests; they are read
+        // only through versionsCheckpointed, never double-counted
+        !s.getPath.getName.startsWith("checkpoint-"))
       .map { s =>
         val in = f.open(s.getPath)
         val body = try new String(
@@ -227,5 +230,89 @@ object VersionedTable {
       }
       .foreach(s => f.delete(s.getPath, true))
     drop.map(_.version)
+  }
+
+  /** Consolidate the whole manifest log into ONE checkpoint object +
+    * a `_last_checkpoint` pointer (Delta's checkpoint shape): a
+    * reader then opens the pointer, the checkpoint, and only the
+    * manifests committed AFTER it — O(1 + tail) log objects instead
+    * of O(versions). On a long-lived 100 TB table the log is the
+    * hot metadata path; without checkpoints every read replays
+    * thousands of tiny objects.
+    *
+    * Run checkpoint BEFORE [[vacuum]] retires manifests the
+    * checkpoint should still describe; the checkpoint is additive
+    * and never blocks concurrent [[commit]]s (they land after its
+    * covered prefix). Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    val cs = versions(spark, path)
+    require(cs.nonEmpty, s"nothing to checkpoint at $path")
+    val f = fs(spark, path)
+    val log = new Path(path, LogDir)
+    val last = cs.last.version
+    val body = cs.map(c =>
+      s"""{"version":${c.version},"committedAtMs":${c.committedAtMs},""" +
+        s""""dir":"${c.dir}"}""").mkString("[", ",", "]")
+    val tmp = new Path(log, f".tmp-ckpt-$last%08d.json")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ckpt = new Path(log, f"checkpoint-$last%08d.json")
+    if (!f.rename(tmp, ckpt)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"checkpoint rename race on $ckpt")
+    }
+    // pointer LAST: readers that miss it just replay manifests
+    val ptr = f.create(new Path(log, "_last_checkpoint"), true)
+    try ptr.write(last.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally ptr.close()
+    last
+  }
+
+  /** Checkpoint-aware log replay: (commits oldest-first, number of
+    * log objects opened). Without a checkpoint this degrades to
+    * [[versions]] with opened = manifest count. */
+  def versionsCheckpointed(spark: SparkSession, path: String)
+      : (Seq[Commit], Long) = {
+    val f = fs(spark, path)
+    val log = new Path(path, LogDir)
+    val ptrPath = new Path(log, "_last_checkpoint")
+    if (!f.exists(ptrPath)) {
+      val all = versions(spark, path)
+      return (all, all.size.toLong)
+    }
+    val in = f.open(ptrPath)
+    val ckptVer = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+    val cin = f.open(new Path(log, f"checkpoint-$ckptVer%08d.json"))
+    val ckptBody = try new String(cin.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally cin.close()
+    val EntryRe = ("""\{"version":(\d+),"committedAtMs":(\d+),""" +
+      """"dir":"([^"]+)"\}""").r
+    val fromCkpt = EntryRe.findAllMatchIn(ckptBody).map(m =>
+      Commit(m.group(1).toLong, m.group(2).toLong, m.group(3))).toSeq
+    val tail = f.listStatus(log).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".json") && !n.startsWith(".") &&
+          !n.startsWith("checkpoint-") &&
+          n.stripSuffix(".json").toLongOption.exists(_ > ckptVer)
+      }
+      .map { s =>
+        val mi = f.open(s.getPath)
+        val body = try new String(mi.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally mi.close()
+        EntryRe.findFirstMatchIn(body).map(m =>
+          Commit(m.group(1).toLong, m.group(2).toLong, m.group(3)))
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt manifest ${s.getPath}: $body"))
+      }
+    // opened = pointer + checkpoint + tail manifests
+    ((fromCkpt ++ tail).sortBy(_.version), 2L + tail.size)
   }
 }
