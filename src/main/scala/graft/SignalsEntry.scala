@@ -430,8 +430,13 @@ object SignalsEntry {
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
       "doc_id", "text")
-    val withLang = scored.join(docs.select(col("doc_id"), col("lang")),
-      "doc_id")
+    // barrier: the scored table feeds BOTH the band-boundary CDF and
+    // the final banding join; the cut pins the shared computation to
+    // one materialized slice (measured neutral today — the optimizer
+    // already deduped the branches — but it keeps a future plan
+    // change from silently re-running the LM-score pipeline)
+    val withLang = graft.plans.Plans.barrier(
+      scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"))
     val cum = graft.quality.RankTests.cumulativeCounts(
       withLang, "lang", lit(false), "avg_logprob")
     val n = cum.groupBy("g").agg(sum("ca").as("nl"))
