@@ -624,7 +624,84 @@ object EvalEntry {
       .withColumnRenamed("g", "event_type")
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------
+  // q305 — item-item collaborative filtering (ops/ItemCf): cosine
+  // over user-item co-occurrence with the bot-guard degree cap,
+  // top-3 neighbors per item — the precomputed "also bought" table.
+  // ---------------------------------------------------------------
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ItemCf.topNeighbors(
+        t(s, dir, "events").select(col("user_id").as("u"),
+          pmod(Sampling.mix30(col("event_id")), lit(40L)).as("i")),
+        "u", "i", k = 3, maxDegree = 100)
+      .orderBy("item", "rk")
+
+  // ---------------------------------------------------------------
+  // q306 — community modularity (ops/Modularity over LabelProp):
+  // Newman Q terms for q196's supplier-chain communities — the
+  // no-ground-truth clustering grade completing q242's planted-truth
+  // purity. Oracle composes LabelProp's shared recurrence chain.
+  // ---------------------------------------------------------------
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_suppkey")
+    val supp = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val raw = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .withColumn("prev", lag("l_suppkey", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("l_suppkey"))
+    val edges = raw
+      .join(broadcast(supp).as("sa"), col("prev") === col("sa.s_suppkey"))
+      .join(broadcast(supp).as("sb"),
+        col("l_suppkey") === col("sb.s_suppkey"))
+      .filter(col("sa.s_nationkey") === col("sb.s_nationkey"))
+      .select(col("prev").as("src"), col("l_suppkey").as("dst"))
+    graft.ops.Modularity.census(edges, "src", "dst", iters = 3)
+      .orderBy("label")
+  }
+
+  // the advisor grid: every 16-hash banding plus the wider budgets
+  private val LshConfigs: Seq[(Int, Int)] =
+    Seq((2, 8), (4, 4), (8, 2), (16, 1), (4, 8), (8, 4))
+
+  // ---------------------------------------------------------------
+  // q307 — LSH banding advisor (dedup/LshAdvisor): expected recall
+  // of each (bands, rows) config against the corpus's MEASURED
+  // pair-Jaccard distribution (exact pairs at τ=0.5) — the
+  // data-driven version of the textbook S-curve, and the design
+  // rationale behind q296's shipped 4×4 contract.
+  // ---------------------------------------------------------------
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccard(
+      PipelineEntry.nearCorpus(s, dir), "doc_id", "text",
+      n = 3, tau = 0.5)
+    graft.dedup.LshAdvisor.expectedRecall(pairs, "jaccard", LshConfigs)
+      .orderBy("bands", "rows_per_band")
+  }
+
+  // ---------------------------------------------------------------
+  // q308 — batch-over-batch data contract (quality/SnapshotContract):
+  // second-half January gated against first-half with the four
+  // standard tolerances (row/key ratios, watched-category share
+  // delta, mean drift) — the publish gate that completes the q86/
+  // q304 drift family with a decision.
+  // ---------------------------------------------------------------
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val post = expr("ts div 1000000") >= DidCutoffMs
+    graft.quality.SnapshotContract.audit(
+        ev.filter(!post), ev.filter(post),
+        "user_id", "value", "event_type", "error")
+      .orderBy("check_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_item_cf" -> (q305 _),
+    "q306_modularity" -> (q306 _),
+    "q307_lsh_advisor" -> (q307 _),
+    "q308_batch_contract" -> (q308 _),
     "q301_log_checkpoint" -> (q301 _),
     "q302_coec" -> (q302 _),
     "q303_negative_sampling" -> (q303 _),
@@ -724,6 +801,43 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q305_item_cf" ->
+      s"""WITH cf_log AS (
+         |  SELECT user_id AS u,
+         |    (${Sampling.mix30Sql("event_id")}) % 40 AS i
+         |  FROM events
+         |), ${graft.ops.ItemCf.topNeighborsSql(k = 3, maxDegree = 100)}
+         |SELECT item, neighbor, c_pair, sim, rk
+         |FROM cf_out ORDER BY item, rk""".stripMargin,
+    "q306_modularity" -> graft.ops.Modularity.sql(
+      """SELECT prev AS src, l_suppkey AS dst FROM (
+        |    SELECT l_suppkey,
+        |      lag(l_suppkey) OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber, l_suppkey) AS prev
+        |    FROM lineitem) r
+        |  JOIN supplier sa ON r.prev = sa.s_suppkey
+        |  JOIN supplier sb ON r.l_suppkey = sb.s_suppkey
+        |  WHERE prev IS NOT NULL AND prev <> r.l_suppkey
+        |    AND sa.s_nationkey = sb.s_nationkey""".stripMargin,
+      iters = 3),
+    "q307_lsh_advisor" ->
+      s"""WITH ${PipelineEntry.TrigramPairsCte},
+         |adv_pairs AS (
+         |  SELECT jaccard AS j FROM pairs WHERE jaccard >= 0.5
+         |), ${graft.dedup.LshAdvisor.expectedRecallSql(LshConfigs)}
+         |SELECT num_hashes, bands, rows_per_band, n_pairs,
+         |  expected_recall
+         |FROM adv_out ORDER BY bands, rows_per_band""".stripMargin,
+    "q308_batch_contract" ->
+      s"""WITH snap_a AS (
+         |  SELECT user_id AS k, value AS v, event_type AS cat
+         |  FROM events WHERE epoch_ns(ts) // 1000000 < $DidCutoffMs
+         |), snap_b AS (
+         |  SELECT user_id AS k, value AS v, event_type AS cat
+         |  FROM events WHERE epoch_ns(ts) // 1000000 >= $DidCutoffMs
+         |), ${graft.quality.SnapshotContract.auditSql("error")}
+         |SELECT check_name, observed, lo, hi, ok
+         |FROM contract_out ORDER BY check_name""".stripMargin,
     "q301_log_checkpoint" ->
       """WITH vs AS (SELECT unnest(range(0, 6)) AS version)
         |SELECT v.version,

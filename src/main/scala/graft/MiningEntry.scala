@@ -301,7 +301,8 @@ object MiningEntry {
   // ---------------------------------------------------------------
   private def q196(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_suppkey")
     val supp = t(s, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey"))
     val raw = t(s, dir, "lineitem")
@@ -1719,7 +1720,7 @@ object MiningEntry {
       """SELECT prev AS src, l_suppkey AS dst FROM (
         |    SELECT l_suppkey,
         |      lag(l_suppkey) OVER (PARTITION BY l_orderkey
-        |        ORDER BY l_linenumber) AS prev
+        |        ORDER BY l_linenumber, l_suppkey) AS prev
         |    FROM lineitem) r
         |  JOIN supplier sa ON r.prev = sa.s_suppkey
         |  JOIN supplier sb ON r.l_suppkey = sb.s_suppkey

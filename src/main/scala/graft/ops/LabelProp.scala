@@ -71,10 +71,12 @@ object LabelProp {
     labels.groupBy("label")
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("exemplar"))
 
-  /** The same recurrence as DuckDB SQL (generated MATERIALIZED CTE
-    * chain, Hits.sql's pattern). `edgesCte` must produce (src, dst).
-    */
-  def sql(edgesCte: String, iters: Int): String = {
+  /** The shared WITH-chain of the recurrence (generated MATERIALIZED
+    * CTEs, Hits.sql's pattern), ending at `l<iters>(node, label)`
+    * with `ed(src, dst)` (symmetric, deduped) also in scope —
+    * composable by [[sql]] and [[Modularity.sql]]. `edgesCte` must
+    * produce (src, dst). */
+  private[ops] def chainSql(edgesCte: String, iters: Int): String = {
     require(iters >= 1)
     val base =
       s"""WITH raw_e AS MATERIALIZED ($edgesCte),
@@ -98,10 +100,15 @@ object LabelProp {
          |    FROM c$k)
          |  WHERE rn = 1)""".stripMargin
     }
-    ((base +: rounds).mkString(",\n")) +
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** The same recurrence as DuckDB SQL. `edgesCte` must produce
+    * (src, dst). */
+  def sql(edgesCte: String, iters: Int): String =
+    chainSql(edgesCte, iters) +
       s"""
          |SELECT label, count(*) AS n_members, min(node) AS exemplar
          |FROM l$iters GROUP BY label
          |ORDER BY label""".stripMargin
-  }
 }
