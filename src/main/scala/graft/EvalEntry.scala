@@ -697,7 +697,66 @@ object EvalEntry {
       .orderBy("check_name")
   }
 
+  private val VocabCutoffs = Seq(100, 500, 1000, 2000, 5000)
+
+  // ---------------------------------------------------------------
+  // q309 — vocabulary coverage curve (text/VocabCoverage): corpus
+  // occurrence coverage at top-K vocab cutoffs — the tokenizer-
+  // budget design tool behind q143's merge count; OOV rate per
+  // cutoff in exact integer cumsums.
+  // ---------------------------------------------------------------
+  private def q309(s: SparkSession, dir: String): DataFrame =
+    graft.text.VocabCoverage.curve(t(s, dir, "documents"), "text",
+        VocabCutoffs)
+      .orderBy("vocab_k")
+
+  // ---------------------------------------------------------------
+  // q310 — golden-record survivorship (ops/GoldenRecord): the MDM
+  // step after q104 linkage / q38 clustering — field-level winners
+  // per duplicate cluster (longest name, max balance, min segment),
+  // each election ONE struct min/max in a single groupBy pass.
+  // Clusters = customer-key pairs (the deterministic dupe fixture).
+  // ---------------------------------------------------------------
+  private def q310(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GoldenRecord.survive(
+        t(s, dir, "customer").select(
+          expr("c_custkey div 2").as("cluster_id"),
+          col("c_name").as("name"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("value"),
+          col("c_mktsegment").as("phone")),
+        "cluster_id", "name", "value", "phone")
+      .orderBy("cluster_id")
+
+  // ---------------------------------------------------------------
+  // q311 — sample-ratio-mismatch guardrail (quality/Srm): the
+  // assignment-integrity χ² every A/B readout (q189/q268/q278) must
+  // pass first; hash-bucketed 50/50 per event type at the strict
+  // α=.001 critical value.
+  // ---------------------------------------------------------------
+  private def q311(s: SparkSession, dir: String): DataFrame =
+    graft.quality.Srm.check(
+        t(s, dir, "events"),
+        "event_type", pmod(Sampling.mix30(col("user_id")), lit(2)) === 1)
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------
+  // q312 — rare-token scrubbing (text/RareTokenScrub): drop df<2
+  // tokens and reconstruct text in exact position order — the
+  // memorization-mitigation blanket next to q55's targeted PII
+  // redaction. Scored over the %7=0 doc slice (bounded output).
+  // ---------------------------------------------------------------
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    graft.text.RareTokenScrub.scrub(
+        t(s, dir, "documents"), "doc_id", "text", minDf = 2)
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_vocab_coverage" -> (q309 _),
+    "q310_golden_record" -> (q310 _),
+    "q311_srm_check" -> (q311 _),
+    "q312_rare_token_scrub" -> (q312 _),
     "q305_item_cf" -> (q305 _),
     "q306_modularity" -> (q306 _),
     "q307_lsh_advisor" -> (q307 _),
@@ -801,6 +860,37 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q309_vocab_coverage" ->
+      s"""WITH vc_docs AS (SELECT text FROM documents),
+         |${graft.text.VocabCoverage.curveSql(VocabCutoffs)}
+         |SELECT vocab_k, n_types, covered_occ, total_occ, coverage,
+         |  oov_rate
+         |FROM vc_out ORDER BY vocab_k""".stripMargin,
+    "q310_golden_record" ->
+      s"""WITH gr AS (
+         |  SELECT c_custkey // 2 AS cluster_id, c_name AS name,
+         |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS value,
+         |    c_mktsegment AS phone
+         |  FROM customer
+         |), ${graft.ops.GoldenRecord.surviveSql}
+         |SELECT cluster_id, n_members, golden_name, golden_value,
+         |  golden_phone
+         |FROM gr_out ORDER BY cluster_id""".stripMargin,
+    "q311_srm_check" ->
+      s"""WITH srm_rel AS (
+         |  SELECT event_type AS g,
+         |    (${Sampling.mix30Sql("user_id")}) % 2 AS isb
+         |  FROM events
+         |), ${graft.quality.Srm.checkSql}
+         |SELECT g AS event_type, n_a, n_b, chi2, srm_detected
+         |FROM srm_out ORDER BY event_type""".stripMargin,
+    "q312_rare_token_scrub" ->
+      s"""WITH sc_docs AS (SELECT doc_id AS id, text FROM documents),
+         |${graft.text.RareTokenScrub.scrubSql(minDf = 2)}
+         |SELECT id AS doc_id, n_kept, n_scrubbed, scrubbed_text
+         |FROM scrub_out WHERE id % 7 = 0
+         |ORDER BY doc_id""".stripMargin,
     "q305_item_cf" ->
       s"""WITH cf_log AS (
          |  SELECT user_id AS u,

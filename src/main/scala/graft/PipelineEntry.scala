@@ -473,12 +473,12 @@ object PipelineEntry {
 
   private val PaddedText = "(' ' || lower(text) || ' ')"
 
-  private val LangScoreSql: Map[String, String] =
+  private[graft] val LangScoreSql: Map[String, String] =
     TextAnalysis.LangMarkers.map { case (l, ms) =>
       l -> ms.map(m => substrCountSql(PaddedText, m)).mkString("(", " + ", ")")
     }.toMap
 
-  private val PredictedSql: String = {
+  private[graft] val PredictedSql: String = {
     val ls = TextAnalysis.LangMarkers.map(_._1)
     val whens = ls.zipWithIndex.map { case (l, i) =>
       val conds = ls.zipWithIndex.collect {
