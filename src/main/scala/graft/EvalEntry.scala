@@ -752,7 +752,70 @@ object EvalEntry {
       .filter(pmod(col("doc_id"), lit(7)) === 0)
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------
+  // q313 — top movers (ops/TopMovers): which hashed items gained or
+  // lost the most share between the two January halves — the triage
+  // view that turns q304's aggregate drift number into the keys
+  // causing it. Deterministic (|delta| DESC, key) top-10.
+  // ---------------------------------------------------------------
+  private def q313(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopMovers.movers(
+        t(s, dir, "events").select(
+          pmod(Sampling.mix30(col("user_id") + 17), lit(50L)).as("key"),
+          (expr("ts div 1000000") >= DidCutoffMs).as("post")),
+        "key", col("post"), k = 10)
+      .orderBy(abs(col("delta")).desc, col("key"))
+
+  // ---------------------------------------------------------------
+  // q314 — seasonality/trend strength (ops/StlStrength over q285's
+  // Stl): Hyndman's F_s/F_t per series from integer variance
+  // identities over the SCALED components — the triage features a
+  // series dashboard sorts by.
+  // ---------------------------------------------------------------
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    graft.ops.StlStrength.indices(
+        graft.ops.Stl.decompose(StatsEntry.dailyCents(s, dir),
+          "g", "day", "x"),
+        "g")
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------
+  // q315 — delta-method ratio-metric test (quality/RatioMetric,
+  // Deng 2011): value-per-event ratios randomized BY USER — the
+  // variance the row-level q189 t-test gets wrong; user-level
+  // cross-moments in DECIMAL, one fixed z chain.
+  // ---------------------------------------------------------------
+  private def q315(s: SparkSession, dir: String): DataFrame =
+    graft.quality.RatioMetric.deltaZ(
+        t(s, dir, "events").withColumn("x_cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        "event_type", "user_id",
+        pmod(Sampling.mix30(col("user_id")), lit(2)) === 1, "x_cents")
+      .orderBy("event_type")
+
+  private val CurveTaus = Seq(50, 60, 70, 80, 90)
+
+  // ---------------------------------------------------------------
+  // q316 — dedup threshold curve (dedup/LshAdvisor.thresholdCurve):
+  // pairs and documents affected per candidate τ over ONE barriered
+  // exact pair table — the volume-vs-aggressiveness curve a dedup
+  // policy decision reads next to q307's recall table.
+  // ---------------------------------------------------------------
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.ngramJaccard(
+      PipelineEntry.nearCorpus(s, dir), "doc_id", "text",
+      n = 3, tau = 0.5)
+    graft.dedup.LshAdvisor.thresholdCurve(pairs, "a", "b", "jaccard",
+        CurveTaus)
+      .orderBy("tau_pct")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_top_movers" -> (q313 _),
+    "q314_stl_strength" -> (q314 _),
+    "q315_ratio_delta_method" -> (q315 _),
+    "q316_dedup_threshold_curve" -> (q316 _),
     "q309_vocab_coverage" -> (q309 _),
     "q310_golden_record" -> (q310 _),
     "q311_srm_check" -> (q311 _),
@@ -860,6 +923,39 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q313_top_movers" ->
+      s"""WITH mv_rel AS (
+         |  SELECT (${Sampling.mix30Sql("(user_id + 17)")}) % 50
+         |      AS key,
+         |    CASE WHEN epoch_ns(ts) // 1000000 >= $DidCutoffMs
+         |      THEN 1 ELSE 0 END AS isb
+         |  FROM events
+         |), ${graft.ops.TopMovers.moversSql(10)}
+         |SELECT key, n_a, n_b, share_a, share_b, delta
+         |FROM mv_out ORDER BY abs(delta) DESC, key""".stripMargin,
+    "q314_stl_strength" ->
+      s"""WITH ${StatsEntry.DailyCte},
+         |${graft.ops.Stl.decomposeSql},
+         |${graft.ops.StlStrength.indicesSql}
+         |SELECT g AS event_type, n_days, f_seasonal, f_trend
+         |FROM strength_out ORDER BY event_type""".stripMargin,
+    "q315_ratio_delta_method" ->
+      s"""WITH rm_rel AS (
+         |  SELECT event_type AS g, user_id AS u,
+         |    (${Sampling.mix30Sql("user_id")}) % 2 AS isb,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS x_cents
+         |  FROM events
+         |), ${graft.quality.RatioMetric.deltaZSql()}
+         |SELECT g AS event_type, u_a, u_b, r_a, r_b, z, significant
+         |FROM rm_out ORDER BY event_type""".stripMargin,
+    "q316_dedup_threshold_curve" ->
+      s"""WITH ${PipelineEntry.TrigramPairsCte},
+         |adv_pairs2 AS (
+         |  SELECT a, b, jaccard AS j FROM pairs WHERE jaccard >= 0.5
+         |), ${graft.dedup.LshAdvisor.thresholdCurveSql(CurveTaus)}
+         |SELECT tau_pct, n_pairs, n_docs_affected
+         |FROM curve_out ORDER BY tau_pct""".stripMargin,
     "q309_vocab_coverage" ->
       s"""WITH vc_docs AS (SELECT text FROM documents),
          |${graft.text.VocabCoverage.curveSql(VocabCutoffs)}

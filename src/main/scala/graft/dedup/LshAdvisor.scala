@@ -73,6 +73,69 @@ object LshAdvisor {
       col("c.expected_recall").as("expected_recall"))
   }
 
+  /** Dedup threshold-sensitivity curve — the policy companion to
+    * [[expectedRecall]]: per candidate τ, how many pairs and how
+    * many DOCUMENTS a "drop at J ≥ τ" policy touches. Volume-vs-
+    * aggressiveness is the curve a dedup rollout decision reads.
+    *
+    * Exactness/scale: the pair table is computed once at the widest
+    * τ; per-doc max-J collapses it to a doc-sized table, and every
+    * cutoff is a conditional sum over pairs + docs — integers end to
+    * end, cutoffs exploded through literals (the q279 shape). The
+    * τ comparison cross-multiplies (100·J terms stay exact because
+    * J is n/d with d ≤ gram counts — compare on the unrounded
+    * double, identical in both engines).
+    */
+  def thresholdCurve(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      jaccardCol: String,
+      tausPct: Seq[Int]): DataFrame = {
+    require(tausPct.nonEmpty && tausPct == tausPct.sorted)
+    val p = graft.plans.Plans.barrier(pairs.select(
+      col(aCol).as("a"), col(bCol).as("b"),
+      col(jaccardCol).cast("double").as("j")))
+    val docMax = p.select(col("a").as("d"), col("j"))
+      .unionByName(p.select(col("b").as("d"), col("j")))
+      .groupBy("d").agg(max(col("j")).as("mj"))
+    val pairAggs = tausPct.map(t =>
+      sum(when(col("j") >= t / 100d, 1L).otherwise(0L)).as(s"np_$t"))
+    val docAggs = tausPct.map(t =>
+      sum(when(col("mj") >= t / 100d, 1L).otherwise(0L)).as(s"nd_$t"))
+    val row = p.agg(pairAggs.head, pairAggs.tail: _*)
+      .crossJoin(docMax.agg(docAggs.head, docAggs.tail: _*))
+    val out = array(tausPct.map { t =>
+      struct(lit(t.toLong).as("tau_pct"),
+        col(s"np_$t").as("n_pairs"),
+        col(s"nd_$t").as("n_docs_affected"))
+    }: _*)
+    row.select(explode(out).as("c")).select(
+      col("c.tau_pct").as("tau_pct"), col("c.n_pairs").as("n_pairs"),
+      col("c.n_docs_affected").as("n_docs_affected"))
+  }
+
+  /** DuckDB restatement over `adv_pairs2(a, b, j)`; ends in
+    * `curve_out(tau_pct, n_pairs, n_docs_affected)`. */
+  def thresholdCurveSql(tausPct: Seq[Int]): String = {
+    val selects = tausPct.map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS tau_pct,
+         |    (SELECT CAST(sum(CASE WHEN j >= ${t / 100d} THEN 1
+         |      ELSE 0 END) AS BIGINT) FROM adv_pairs2) AS n_pairs,
+         |    (SELECT CAST(sum(CASE WHEN mj >= ${t / 100d} THEN 1
+         |      ELSE 0 END) AS BIGINT) FROM curve_docmax)
+         |      AS n_docs_affected""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""curve_docmax AS (
+       |  SELECT d, max(j) AS mj FROM (
+       |    SELECT a AS d, j FROM adv_pairs2
+       |    UNION ALL SELECT b AS d, j FROM adv_pairs2)
+       |  GROUP BY d
+       |), curve_out AS (
+       |  $selects
+       |)""".stripMargin
+  }
+
   /** DuckDB restatement over `adv_pairs(j)`; ends in
     * `adv_out(num_hashes, bands, rows_per_band, n_pairs,
     * expected_recall)`. */
