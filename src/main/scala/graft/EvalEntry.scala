@@ -811,7 +811,96 @@ object EvalEntry {
       .orderBy("tau_pct")
   }
 
+  // ---------------------------------------------------------------
+  // q317 — date dimension (the warehouse calendar spine): one row
+  // per day across the event range with weekday/weekend/year/month/
+  // quarter/ISO-week attributes + event counts. Weekday comes from
+  // epoch-day arithmetic ((day+3) % 7, Monday=0 — 1970-01-01 was a
+  // Thursday), calendar fields from the proleptic-Gregorian date
+  // functions both engines implement identically.
+  // ---------------------------------------------------------------
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(expr("(ts div 1000000) div 86400000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    days
+      .withColumn("date",
+        to_date(timestamp_millis(col("day") * 86400000L)))
+      .select(col("day"),
+        date_format(col("date"), "yyyy-MM-dd").as("date"),
+        pmod(col("day") + 3, lit(7)).as("dow_iso0"),
+        (pmod(col("day") + 3, lit(7)) >= 5).as("is_weekend"),
+        year(col("date")).cast("long").as("year"),
+        month(col("date")).cast("long").as("month"),
+        quarter(col("date")).cast("long").as("quarter"),
+        weekofyear(col("date")).cast("long").as("week_iso"),
+        col("n_events"))
+      .orderBy("day")
+  }
+
+  // ---------------------------------------------------------------
+  // q318 — top principal component (ann/PcaPower): distributed
+  // covariance (ONE data pass to d² exact sums) + power iteration
+  // over the d²-row table, every iterate re-quantized so the chains
+  // are engine-identical; the PCA-whitening companion to q288's
+  // isotropy audit (remove this component to fix anisotropy).
+  // ---------------------------------------------------------------
+  private def q318(s: SparkSession, dir: String): DataFrame =
+    graft.ann.PcaPower.topComponent(s, t(s, dir, "embeddings"),
+        "embedding", iters = 5)
+      .orderBy("d")
+
+  // ---------------------------------------------------------------
+  // q319 — activity heatmap (hour × weekday density): the ops
+  // dashboard staple, shares from exact counts on the shared ms
+  // clock.
+  // ---------------------------------------------------------------
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      pmod(expr("(ts div 1000000) div 86400000") + 3, lit(7))
+        .as("dow_iso0"),
+      expr("((ts div 1000000) % 86400000) div 3600000").as("hour"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    ev.groupBy("dow_iso0", "hour")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share", round(col("n_events").cast("double") /
+        sum(col("n_events")).over(all).cast("double"), 9))
+      .orderBy("dow_iso0", "hour")
+  }
+
+  private val DebounceMs = 5000L
+
+  // ---------------------------------------------------------------
+  // q320 — event debounce (telemetry burst cleaning): within each
+  // (user, event_type) stream ordered by (ts, event_id), drop events
+  // arriving within 5s of the PREVIOUS event (the window-expressible
+  // lag-gap rule; chained true-debounce would need a sequential scan
+  // — stated choice); per-type keep/drop census.
+  // ---------------------------------------------------------------
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("ms", expr("ts div 1000000"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("kept",
+        col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > DebounceMs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      .withColumn("drop_rate", round(col("n_dropped").cast("double") /
+        col("n_events").cast("double"), 6))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_date_dimension" -> (q317 _),
+    "q318_pca_power" -> (q318 _),
+    "q319_activity_heatmap" -> (q319 _),
+    "q320_event_debounce" -> (q320 _),
     "q313_top_movers" -> (q313 _),
     "q314_stl_strength" -> (q314 _),
     "q315_ratio_delta_method" -> (q315 _),
@@ -923,6 +1012,63 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q317_date_dimension" ->
+      """WITH days AS (
+        |  SELECT (epoch_ns(ts) // 1000000) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day, strftime(DATE '1970-01-01' + CAST(day AS INT),
+        |    '%Y-%m-%d') AS date,
+        |  (day + 3) % 7 AS dow_iso0,
+        |  (day + 3) % 7 >= 5 AS is_weekend,
+        |  CAST(year(DATE '1970-01-01' + CAST(day AS INT)) AS BIGINT)
+        |    AS year,
+        |  CAST(month(DATE '1970-01-01' + CAST(day AS INT)) AS BIGINT)
+        |    AS month,
+        |  CAST(quarter(DATE '1970-01-01' + CAST(day AS INT))
+        |    AS BIGINT) AS quarter,
+        |  CAST(weekofyear(DATE '1970-01-01' + CAST(day AS INT))
+        |    AS BIGINT) AS week_iso,
+        |  n_events
+        |FROM days ORDER BY day""".stripMargin,
+    "q318_pca_power" ->
+      s"""WITH pca_vecs AS (SELECT embedding AS vec FROM embeddings),
+         |${graft.ann.PcaPower.topComponentSql(iters = 5)}
+         |SELECT d, loading, eig_share FROM pca_out
+         |ORDER BY d""".stripMargin,
+    "q319_activity_heatmap" ->
+      """WITH h AS (
+        |  SELECT ((epoch_ns(ts) // 1000000) // 86400000 + 3) % 7
+        |      AS dow_iso0,
+        |    ((epoch_ns(ts) // 1000000) % 86400000) // 3600000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT dow_iso0, hour, n_events,
+        |  round(CAST(n_events AS DOUBLE)
+        |    / CAST(sum(n_events) OVER () AS DOUBLE), 9) AS share
+        |FROM h ORDER BY dow_iso0, hour""".stripMargin,
+    "q320_event_debounce" ->
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_ns(ts) // 1000000 AS ms,
+         |    lag(epoch_ns(ts) // 1000000) OVER (
+         |      PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id) AS prev_ms
+         |  FROM events
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN prev_ms IS NULL
+         |      OR ms - prev_ms > $DebounceMs THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN prev_ms IS NULL
+         |      OR ms - prev_ms > $DebounceMs THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_dropped,
+         |  round(CAST(sum(CASE WHEN prev_ms IS NULL
+         |      OR ms - prev_ms > $DebounceMs THEN 0 ELSE 1 END)
+         |      AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS drop_rate
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q313_top_movers" ->
       s"""WITH mv_rel AS (
          |  SELECT (${Sampling.mix30Sql("(user_id + 17)")}) % 50

@@ -1,0 +1,166 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top principal component by power iteration over the distributed
+  * covariance matrix — the "all-but-the-top" / PCA-whitening
+  * companion to q288's isotropy audit (Mu & Viswanath 2018 remove
+  * exactly this component to fix anisotropic embeddings): the corpus
+  * reduces to d + d² exact sums in ONE pass (the only data-sized
+  * work); the iteration then runs over the d²-row covariance table —
+  * bounded by the embedding width, never by the corpus.
+  *
+  * Determinism (every step re-quantized so iterates cannot drift):
+  * components 6dp-decimal at the scan; Σx and Σx_i·x_j exact
+  * decimals; cov_q(i,j) = round((n·S2 − S1ᵢ·S1ⱼ)/n², 9); each
+  * matrix-vector product term rounds to 12dp BEFORE the
+  * order-independent decimal sum; each normalized component rounds
+  * to 9dp. Both engines run the SAME chain (the SQL is generated
+  * with the iteration count).
+  *
+  * Output per dimension: the unit loading after `iters` rounds plus
+  * the Rayleigh eigen-share λ/trace(C) (the % of variance the
+  * component explains).
+  */
+object PcaPower {
+
+  /** Covariance entries (i, j, c) from `vecCol`, 9dp-quantized. */
+  private def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val q = df.select(transform(col(vecCol),
+      x => round(x.cast("double"), 6).cast("decimal(12,6)")).as("v"))
+    val pairs = q
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+    val sums = graft.plans.Plans.barrier(pairs.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("s1i"), sum(col("xj")).as("s1j"),
+        sum(col("xi") * col("xj")).as("s2")))
+    sums.select(col("i"), col("j"),
+      round((col("n").cast("double") * col("s2").cast("double") -
+        col("s1i").cast("double") * col("s1j").cast("double")) /
+        (col("n").cast("double") * col("n").cast("double")), 9)
+        .cast("decimal(24,9)").as("c"))
+  }
+
+  /** Run `iters` power-iteration rounds; returns per dim:
+    * (d, loading, eig_share). */
+  def topComponent(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1)
+    val cov = graft.plans.Plans.barrier(covariance(df, vecCol))
+    val dims = cov.select(col("i").as("d")).distinct()
+    var v = dims.select(col("d"),
+      lit(0.125).cast("decimal(20,9)").as("x"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(v.select(col("d").as("j"), col("x")), Seq("j"))
+        .select(col("i"),
+          round(col("c").cast("double") * col("x").cast("double"), 12)
+            .cast("decimal(26,12)").as("t"))
+        .groupBy("i").agg(sum(col("t")).as("w"))
+      // quantize before squaring: w is DECIMAL(38,12) and a direct
+      // w*w would hit the precision cap with engine-specific scale
+      // reduction — the one place the chains could drift
+      val norm = w.agg(sum(round(col("w").cast("double") *
+          col("w").cast("double"), 12).cast("decimal(30,12)"))
+          .as("nn"))
+        .select(sqrt(col("nn").cast("double")).as("nrm"))
+      v = graft.plans.Plans.barrier(
+        w.crossJoin(broadcast(norm))
+          .select(col("i").as("d"),
+            when(col("nrm") > 0,
+              round(col("w").cast("double") / col("nrm"), 9))
+              .otherwise(0d).cast("decimal(20,9)").as("x")))
+    }
+    // Rayleigh quotient λ = vᵀCv and trace share
+    val cv = cov.join(v.select(col("d").as("j"), col("x")), Seq("j"))
+      .select(col("i"),
+        round(col("c").cast("double") * col("x").cast("double"), 12)
+          .cast("decimal(26,12)").as("t"))
+      .groupBy("i").agg(sum(col("t")).as("w"))
+      .join(v.select(col("d").as("i"), col("x")), Seq("i"))
+      .agg(sum(round(col("w").cast("double") * col("x").cast("double"),
+        12).cast("decimal(26,12)")).as("lam"))
+    val trace = cov.filter(col("i") === col("j"))
+      .agg(sum(col("c")).as("tr"))
+    v.crossJoin(broadcast(cv)).crossJoin(broadcast(trace))
+      .select(col("d").cast("long").as("d"),
+        col("x").cast("double").as("loading"),
+        when(col("tr").cast("double") > 0,
+          round(col("lam").cast("double") / col("tr").cast("double"),
+            6)).as("eig_share"))
+  }
+
+  /** DuckDB restatement over `pca_vecs(vec)`; ends in
+    * `pca_out(d, loading, eig_share)`. */
+  def topComponentSql(iters: Int = 5): String = {
+    require(iters >= 1)
+    val rounds = (1 to iters).map { k =>
+      s"""w$k AS (
+         |  SELECT c.i,
+         |    sum(CAST(round(CAST(c.c AS DOUBLE)
+         |      * CAST(v${k - 1}.x AS DOUBLE), 12) AS DECIMAL(26,12)))
+         |      AS w
+         |  FROM pca_cov c JOIN v${k - 1} ON c.j = v${k - 1}.d
+         |  GROUP BY c.i
+         |), n$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(round(CAST(w AS DOUBLE)
+         |    * CAST(w AS DOUBLE), 12) AS DECIMAL(30,12)))
+         |    AS DOUBLE)) AS nrm FROM w$k
+         |), v$k AS (
+         |  SELECT w$k.i AS d,
+         |    CAST(CASE WHEN n$k.nrm > 0 THEN
+         |      round(CAST(w$k.w AS DOUBLE) / n$k.nrm, 9)
+         |      ELSE 0 END AS DECIMAL(20,9)) AS x
+         |  FROM w$k CROSS JOIN n$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""pca_q AS (
+       |  SELECT list_transform(vec,
+       |    x -> CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(12,6)))
+       |    AS v
+       |  FROM pca_vecs
+       |), pca_pairs AS (
+       |  SELECT ui.i, ui.xi, uj.j, uj.xj
+       |  FROM (SELECT v, unnest(v) AS xi,
+       |      unnest(range(0, len(v))) AS i FROM pca_q) ui,
+       |    LATERAL (SELECT unnest(ui.v) AS xj,
+       |      unnest(range(0, len(ui.v))) AS j) uj
+       |), pca_cov AS (
+       |  SELECT i, j,
+       |    CAST(round((CAST(count(*) AS DOUBLE)
+       |        * CAST(sum(xi * xj) AS DOUBLE)
+       |      - CAST(sum(xi) AS DOUBLE) * CAST(sum(xj) AS DOUBLE))
+       |      / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)),
+       |      9) AS DECIMAL(24,9)) AS c
+       |  FROM pca_pairs GROUP BY i, j
+       |), v0 AS (
+       |  SELECT DISTINCT i AS d, CAST(0.125 AS DECIMAL(20,9)) AS x
+       |  FROM pca_cov
+       |),
+       |$rounds,
+       |pca_cv AS (
+       |  SELECT sum(CAST(round(CAST(w.w AS DOUBLE)
+       |      * CAST(vf.x AS DOUBLE), 12) AS DECIMAL(26,12))) AS lam
+       |  FROM (
+       |    SELECT c.i,
+       |      sum(CAST(round(CAST(c.c AS DOUBLE)
+       |        * CAST(vf2.x AS DOUBLE), 12) AS DECIMAL(26,12))) AS w
+       |    FROM pca_cov c JOIN v$iters vf2 ON c.j = vf2.d
+       |    GROUP BY c.i) w
+       |  JOIN v$iters vf ON w.i = vf.d
+       |), pca_tr AS (
+       |  SELECT sum(c) AS tr FROM pca_cov WHERE i = j
+       |), pca_out AS (
+       |  SELECT v.d, CAST(v.x AS DOUBLE) AS loading,
+       |    CASE WHEN CAST(t.tr AS DOUBLE) > 0 THEN
+       |      round(CAST(cv.lam AS DOUBLE) / CAST(t.tr AS DOUBLE), 6)
+       |    END AS eig_share
+       |  FROM v$iters v CROSS JOIN pca_cv cv CROSS JOIN pca_tr t
+       |)""".stripMargin
+  }
+}
