@@ -40,7 +40,7 @@ object CorpusEntry {
   // bucket scan (driver sees <=256 scalars, never rows) — NOT a
   // single-reducer Window.orderBy.
   // ---------------------------------------------------------------
-  private val BlockSize = 2048L
+  private[graft] val BlockSize = 2048L
 
   private def q82(s: SparkSession, dir: String): DataFrame =
     Packing.sequenceManifest(
@@ -327,7 +327,7 @@ object CorpusEntry {
     "q87_pit_join" -> (q87 _),
     "q88_vacuum" -> (q88 _))
 
-  private val WsTok =
+  private[graft] val WsTok =
     "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
 
   private val StratumSql =

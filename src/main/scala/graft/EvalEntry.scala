@@ -896,7 +896,81 @@ object EvalEntry {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------
+  // q321 — order-statistic median CI (quality/MedianCi): the
+  // resampling-free 95% interval for a median KPI — ranks
+  // ⌊n/2 ± z√n/2⌋ over the exact cumulative-count table; q155's
+  // bootstrap covers means, this covers the median directly.
+  // ---------------------------------------------------------------
+  private def q321(s: SparkSession, dir: String): DataFrame =
+    graft.quality.MedianCi.interval(
+        t(s, dir, "events"), "event_type", "value")
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------
+  // q322 — seasonal-naive forecast baseline (ops/ForecastEval
+  // .seasonalNaiveScorecard): fc_t = x_{t−7}, the MASE denominator
+  // every forecaster must beat; column-compatible with q291 so the
+  // Holt-vs-baseline comparison is a join away.
+  // ---------------------------------------------------------------
+  private def q322(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ForecastEval.seasonalNaiveScorecard(
+        StatsEntry.dailyCents(s, dir).withColumnRenamed("day", "t"),
+        lag = 7)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------
+  // q323 — two-proportion conversion test (quality/Proportions
+  // .twoProportionZ): per-cohort purchase-conversion A/B — the
+  // binary-outcome sibling of q189 (means) and q315 (ratios);
+  // pooled z on exact user-level counts.
+  // ---------------------------------------------------------------
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("hit"))
+      .select(pmod(col("user_id"), lit(5)).as("cohort"),
+        (pmod(Sampling.mix30(col("user_id")), lit(2)) === 1).as("b"),
+        col("hit"))
+    graft.quality.Proportions.twoProportionZ(users, "cohort",
+        col("b"), "hit")
+      .orderBy("cohort")
+  }
+
+  // ---------------------------------------------------------------
+  // q324 — packing-efficiency audit (over ops/Packing, q82's
+  // manifest): utilization vs the ceil(total/B) ideal, full-block
+  // count, tail fill — the shard-quality report a training-loader
+  // build publishes.
+  // ---------------------------------------------------------------
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Packing
+    val manifest = Packing.sequenceManifest(
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.wsTokenCount(col("text")).as("tok")),
+      "doc_id", "tok", CorpusEntry.BlockSize)
+    manifest.agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_tokens") === CorpusEntry.BlockSize, 1L)
+          .otherwise(0L)).as("n_full"))
+      .select(col("n_seqs"), col("total_tokens"), col("n_full"),
+        expr(s"(total_tokens + ${CorpusEntry.BlockSize} - 1) div " +
+          s"${CorpusEntry.BlockSize}").as("ideal_seqs"),
+        round(col("total_tokens").cast("double") /
+          (col("n_seqs") * CorpusEntry.BlockSize).cast("double"), 6)
+          .as("utilization"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_median_ci" -> (q321 _),
+    "q322_forecast_baseline" -> (q322 _),
+    "q323_conversion_ab" -> (q323 _),
+    "q324_packing_efficiency" -> (q324 _),
     "q317_date_dimension" -> (q317 _),
     "q318_pca_power" -> (q318 _),
     "q319_activity_heatmap" -> (q319 _),
@@ -1012,6 +1086,68 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    "q321_median_ci" ->
+      s"""WITH pv AS (
+         |  SELECT event_type AS g, value AS v,
+         |    CAST(count(*) AS BIGINT) AS ca
+         |  FROM events GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT g, v, ca,
+         |    CAST(sum(ca) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+         |      AS cuma
+         |  FROM pv
+         |), ${graft.quality.MedianCi.intervalSql("cum")}
+         |SELECT g AS event_type, n, median, ci_lo, ci_hi
+         |FROM mci_out ORDER BY event_type""".stripMargin,
+    "q322_forecast_baseline" ->
+      s"""WITH ${StatsEntry.DailyCte},
+         |${graft.ops.ForecastEval.seasonalNaiveSql(lag = 7)}
+         |SELECT g AS event_type, n_scored, mae, smape
+         |FROM nv_out ORDER BY event_type""".stripMargin,
+    "q323_conversion_ab" ->
+      s"""WITH pz_rel AS (
+         |  SELECT user_id % 5 AS g,
+         |    (${Sampling.mix30Sql("user_id")}) % 2 AS isb,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS hit
+         |  FROM events GROUP BY user_id
+         |), ${graft.quality.Proportions.twoProportionZSql()}
+         |SELECT g AS cohort, n_a, n_b, rate_a, rate_b, z, significant
+         |FROM pz_out ORDER BY cohort""".stripMargin,
+    "q324_packing_efficiency" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(${CorpusEntry.WsTok} AS BIGINT) AS tok
+         |  FROM documents WHERE length(trim(text)) > 0
+         |), c AS (
+         |  SELECT doc_id, tok,
+         |    CAST(COALESCE(sum(tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM d WHERE tok > 0
+         |), sp AS (
+         |  SELECT doc_id, tok, off,
+         |    unnest(range(off // ${CorpusEntry.BlockSize},
+         |      (off + tok - 1) // ${CorpusEntry.BlockSize} + 1))
+         |      AS seq_id
+         |  FROM c
+         |), m AS (
+         |  SELECT seq_id,
+         |    CAST(sum(least((seq_id + 1) * ${CorpusEntry.BlockSize},
+         |        off + tok)
+         |      - greatest(seq_id * ${CorpusEntry.BlockSize}, off))
+         |      AS BIGINT) AS n_tokens
+         |  FROM sp GROUP BY seq_id
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN n_tokens = ${CorpusEntry.BlockSize}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  (CAST(sum(n_tokens) AS BIGINT) + ${CorpusEntry.BlockSize}
+         |    - 1) // ${CorpusEntry.BlockSize} AS ideal_seqs,
+         |  round(CAST(sum(n_tokens) AS DOUBLE)
+         |    / CAST(count(*) * ${CorpusEntry.BlockSize} AS DOUBLE), 6)
+         |    AS utilization
+         |FROM m""".stripMargin,
     "q317_date_dimension" ->
       """WITH days AS (
         |  SELECT (epoch_ns(ts) // 1000000) // 86400000 AS day,

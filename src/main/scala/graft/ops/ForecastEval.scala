@@ -57,6 +57,58 @@ object ForecastEval {
           (col("n_scored").cast("double") * 1000000L), 6).as("smape"))
   }
 
+  /** Seasonal-naive baseline scorecard — fc_t = x_{t−lag} (the
+    * forecast every model must BEAT; MASE's denominator): same
+    * integer-quantized MAE/sMAPE as [[holtScorecard]], column-
+    * compatible so the two tables line up side by side. */
+  def seasonalNaiveScorecard(
+      series: DataFrame,
+      lag: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("t")
+    val scored = series
+      .withColumn("x_lag", org.apache.spark.sql.functions
+        .lag(col("x"), lag).over(w))
+      .filter(col("x_lag").isNotNull)
+      .withColumn("err", abs(col("x") - col("x_lag")))
+      .withColumn("den", abs(col("x")) + abs(col("x_lag")))
+      .withColumn("smape_term_mu",
+        when(col("den") === 0, 0L).otherwise(
+          floor((col("err") * 2000000L).cast("double") /
+            col("den").cast("double")).cast("long")))
+    scored.groupBy("g")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("err")).as("sum_err"),
+        sum(col("smape_term_mu")).as("sum_smape_mu"))
+      .select(col("g"), col("n_scored"),
+        round(col("sum_err").cast("double") /
+          col("n_scored").cast("double"), 6).as("mae"),
+        round(col("sum_smape_mu").cast("double") /
+          (col("n_scored").cast("double") * 1000000L), 6).as("smape"))
+  }
+
+  /** DuckDB restatement over `daily(g, day, x)`; ends in
+    * `nv_out(g, n_scored, mae, smape)`. */
+  def seasonalNaiveSql(lag: Int = 7): String =
+    s"""nv_l AS (
+       |  SELECT g, x, lag(x, $lag) OVER (PARTITION BY g ORDER BY day)
+       |    AS x_lag
+       |  FROM daily
+       |), nv_s AS (
+       |  SELECT g, abs(x - x_lag) AS err,
+       |    abs(x) + abs(x_lag) AS den
+       |  FROM nv_l WHERE x_lag IS NOT NULL
+       |), nv_out AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_scored,
+       |    round(CAST(sum(err) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS mae,
+       |    round(CAST(sum(CASE WHEN den = 0 THEN 0 ELSE
+       |        CAST(floor(CAST(err * 2000000 AS DOUBLE)
+       |          / CAST(den AS DOUBLE)) AS BIGINT) END) AS DOUBLE)
+       |      / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS smape
+       |  FROM nv_s GROUP BY g
+       |)""".stripMargin
+
   /** DuckDB restatement over `rec(g, day, x, i, …, fc)` (the shared
     * Holt recursion CTE, scale 1e6); ends in
     * `fc_out(g, n_scored, mae, smape)`. */

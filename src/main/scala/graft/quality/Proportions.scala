@@ -59,4 +59,72 @@ object Proportions {
       s"round(greatest($center - $half, 0.0), 9)",
       s"round(least($center + $half, 1.0), 9)")
   }
+
+  /** Pooled two-proportion z-test — the conversion-rate A/B readout
+    * (the binary-outcome sibling of q189's Welch t and q315's ratio
+    * delta method):
+    *
+    *   z = (p̂_b − p̂_a) / √( p̂(1−p̂)·(1/n_a + 1/n_b) )
+    *
+    * Exactness: counts exact; z is one fixed double chain rounded
+    * 6 dp; degenerate pools (p̂ ∈ {0,1}) or empty arms report null
+    * (stated).
+    *
+    * Input: per (g) rows with `isb` (0/1 arm) and `hit` (0/1).
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      stratumCol: String,
+      isB: org.apache.spark.sql.Column,
+      hitCol: String,
+      zCrit: Double = 1.959963985): DataFrame = {
+    val h = col(hitCol).cast("long")
+    val cells = df.groupBy(col(stratumCol).as("g"))
+      .agg(sum(when(isB, 0L).otherwise(1L)).as("n_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB, 0L).otherwise(h)).as("k_a"),
+        sum(when(isB, h).otherwise(0L)).as("k_b"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pa = d(col("k_a")) / d(col("n_a"))
+    val pb = d(col("k_b")) / d(col("n_b"))
+    val pp = d(col("k_a") + col("k_b")) / d(col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      col("k_a") + col("k_b") > 0 &&
+      col("k_a") + col("k_b") < col("n_a") + col("n_b")
+    cells.select(col("g").as(stratumCol),
+      col("n_a"), col("n_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      when(ok, round((pb - pa) / se, 6)).as("z"),
+      when(ok, abs((pb - pa) / se) > zCrit).as("significant"))
+  }
+
+  /** DuckDB restatement over `pz_rel(g, isb, hit)`; ends in
+    * `pz_out(g, n_a, n_b, rate_a, rate_b, z, significant)`. */
+  def twoProportionZSql(zCrit: Double = 1.959963985): String = {
+    val pa = "(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val pb = "(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val pp = "(CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val se = s"sqrt($pp * (1.0 - $pp)" +
+      s" * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    val ok = "n_a > 0 AND n_b > 0 AND k_a + k_b > 0" +
+      " AND k_a + k_b < n_a + n_b"
+    s"""pz_cells AS (
+       |  SELECT g, CAST(sum(1 - isb) AS BIGINT) AS n_a,
+       |    CAST(sum(isb) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN isb = 0 THEN hit ELSE 0 END) AS BIGINT)
+       |      AS k_a,
+       |    CAST(sum(CASE WHEN isb = 1 THEN hit ELSE 0 END) AS BIGINT)
+       |      AS k_b
+       |  FROM pz_rel GROUP BY g
+       |), pz_out AS (
+       |  SELECT g, n_a, n_b,
+       |    round($pa, 6) AS rate_a, round($pb, 6) AS rate_b,
+       |    CASE WHEN $ok THEN round(($pb - $pa) / $se, 6) END AS z,
+       |    CASE WHEN $ok THEN abs(($pb - $pa) / $se) > $zCrit END
+       |      AS significant
+       |  FROM pz_cells
+       |)""".stripMargin
+  }
 }
