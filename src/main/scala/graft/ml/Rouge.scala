@@ -46,14 +46,17 @@ object Rouge {
       n: Int = 2): DataFrame = {
     // barrier: each count table feeds BOTH the match join and its
     // totals rollup — without the cut the tokenize+count runs twice.
-    // Grams shuffle as xxhash64 keys (the q22 discipline): 8 bytes
-    // per key instead of the gram text; a within-pair 64-bit
-    // collision (~|grams|²/2⁶⁴) is the accepted trade.
+    // Grams join as TEXT, mirroring the oracle: an xxhash64 key would
+    // save ~half the shuffle bytes on word bigrams but makes Spark
+    // alone collision-tolerant — a within-pair 64-bit collision would
+    // inflate n_match on one engine only, an asymmetric (if
+    // astronomically rare) parity break. Word n-grams are short; the
+    // symmetric join costs ~5% here and keeps both engines on
+    // identical multiset semantics.
     def counts(df: DataFrame, as: String): DataFrame =
       graft.plans.Plans.barrier(
         df.select(col(pairCol).as("pair_id"),
-            explode(ngrams(col(textCol), n)).as("g"))
-          .select(col("pair_id"), xxhash64(col("g")).as("gram"))
+            explode(ngrams(col(textCol), n)).as("gram"))
           .groupBy("pair_id", "gram")
           .agg(count(lit(1)).as(as)))
     val c = counts(cand, "c_cand")

@@ -208,6 +208,55 @@ object VersionedTable {
     val f = fs(spark, path)
     val all = versions(spark, path)
     val drop = all.dropRight(retainLast)
+    // Reconcile the checkpoint FIRST: if a checkpoint covers versions
+    // this vacuum retires, a checkpoint-path reader would otherwise
+    // keep resolving commits whose data dirs are about to vanish
+    // (versionsCheckpointed and versions would diverge). Rewrite the
+    // checkpoint to the surviving covered prefix — or drop it (and
+    // the pointer) when nothing it covers survives; readers then fall
+    // back to plain manifest replay.
+    if (drop.nonEmpty) {
+      val log = new Path(path, LogDir)
+      val ptrPath = new Path(log, "_last_checkpoint")
+      if (f.exists(ptrPath)) {
+        val in = f.open(ptrPath)
+        val ckptVer = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+        finally in.close()
+        ckptVer.foreach { cv =>
+          if (drop.exists(_.version <= cv)) {
+            val survivors = all.takeRight(retainLast).filter(_.version <= cv)
+            val ckpt = new Path(log, f"checkpoint-$cv%08d.json")
+            if (survivors.isEmpty) {
+              // pointer first: a reader that loses the pointer just
+              // replays manifests; a reader holding a stale pointer
+              // to a deleted checkpoint falls back the same way
+              f.delete(ptrPath, false)
+              f.delete(ckpt, false)
+            } else {
+              val body = survivors.map(c =>
+                s"""{"version":${c.version},"committedAtMs":${c.committedAtMs},""" +
+                  s""""dir":"${c.dir}"}""").mkString("[", ",", "]")
+              val tmp = new Path(log, f".tmp-ckpt-rw-$cv%08d.json")
+              val out = f.create(tmp, true)
+              try out.write(
+                body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              // local/HDFS rename refuses an existing destination —
+              // delete-then-rename; a reader in the gap falls back to
+              // full replay (versionsCheckpointed tolerates a missing
+              // checkpoint object)
+              f.delete(ckpt, false)
+              if (!f.rename(tmp, ckpt)) {
+                f.delete(tmp, false)
+                throw new java.io.IOException(
+                  s"vacuum checkpoint rewrite race on $ckpt")
+              }
+            }
+          }
+        }
+      }
+    }
     drop.foreach { c =>
       f.delete(new Path(new Path(path, LogDir), f"${c.version}%08d.json"), false)
       // FOREIGN data dirs (absolute paths written by shallowClone)
@@ -240,10 +289,11 @@ object VersionedTable {
     * hot metadata path; without checkpoints every read replays
     * thousands of tiny objects.
     *
-    * Run checkpoint BEFORE [[vacuum]] retires manifests the
-    * checkpoint should still describe; the checkpoint is additive
-    * and never blocks concurrent [[commit]]s (they land after its
-    * covered prefix). Returns the checkpointed version.
+    * The checkpoint is additive and never blocks concurrent
+    * [[commit]]s (they land after its covered prefix). [[vacuum]]
+    * reconciles it when retiring covered versions (rewrite-or-drop),
+    * so checkpoint-path readers and manifest-path readers always
+    * agree. Returns the checkpointed version.
     */
   def checkpoint(spark: SparkSession, path: String): Long = {
     val cs = versions(spark, path)
@@ -263,11 +313,21 @@ object VersionedTable {
       f.delete(tmp, false)
       throw new java.io.IOException(s"checkpoint rename race on $ckpt")
     }
-    // pointer LAST: readers that miss it just replay manifests
-    val ptr = f.create(new Path(log, "_last_checkpoint"), true)
+    // pointer LAST, via the same tmp+rename as every other log write:
+    // readers that miss it just replay manifests, and a crash
+    // mid-write can never leave a torn pointer (a reader racing a
+    // direct create+write could see empty/partial bytes)
+    val ptrTmp = new Path(log, ".tmp-_last_checkpoint")
+    val ptr = f.create(ptrTmp, true)
     try ptr.write(last.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally ptr.close()
+    val ptrPath = new Path(log, "_last_checkpoint")
+    f.delete(ptrPath, false)
+    if (!f.rename(ptrTmp, ptrPath)) {
+      f.delete(ptrTmp, false)
+      throw new java.io.IOException(s"pointer rename race on $ptrPath")
+    }
     last
   }
 
@@ -283,14 +343,30 @@ object VersionedTable {
       val all = versions(spark, path)
       return (all, all.size.toLong)
     }
+    // An unparseable pointer (torn write on a filesystem without the
+    // rename guarantee) or a missing/unreadable checkpoint object (a
+    // reader racing vacuum's delete-then-rename rewrite) is treated
+    // as ABSENT — fall back to full manifest replay, exactly the
+    // "readers that miss the pointer" path. The fast path is an
+    // optimization, never a correctness dependency.
     val in = f.open(ptrPath)
-    val ckptVer = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    val ckptVerOpt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
     finally in.close()
-    val cin = f.open(new Path(log, f"checkpoint-$ckptVer%08d.json"))
-    val ckptBody = try new String(cin.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally cin.close()
+    val ckptBodyOpt = ckptVerOpt.flatMap { v =>
+      try {
+        val cin = f.open(new Path(log, f"checkpoint-$v%08d.json"))
+        try Some(new String(cin.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally cin.close()
+      } catch { case _: java.io.IOException => None }
+    }
+    if (ckptBodyOpt.isEmpty) {
+      val all = versions(spark, path)
+      return (all, all.size.toLong)
+    }
+    val ckptVer = ckptVerOpt.get
+    val ckptBody = ckptBodyOpt.get
     val EntryRe = ("""\{"version":(\d+),"committedAtMs":(\d+),""" +
       """"dir":"([^"]+)"\}""").r
     val fromCkpt = EntryRe.findAllMatchIn(ckptBody).map(m =>

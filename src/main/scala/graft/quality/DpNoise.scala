@@ -10,10 +10,18 @@ import graft.ops.Sampling
   * family (q166 k-anonymity / q241 t-closeness audit the input;
   * this releases the output): each published cell gets
   * Laplace(b = sensitivity/ε) noise derived DETERMINISTICALLY from
-  * its cell key through the engine-portable mix30 hash, so a rerun
-  * (or a second engine) releases the SAME noisy table — the
-  * reproducible-pipeline requirement that true RNG breaks, at the
-  * cost that the seed must stay as secret as the data.
+  * its cell key PLUS a caller-supplied secret salt through the
+  * engine-portable mix30 hash, so a rerun (or a second engine,
+  * given the same salt) releases the SAME noisy table — the
+  * reproducible-pipeline requirement that true RNG breaks.
+  *
+  * SECURITY CONTRACT: the DP guarantee holds only if the salt is
+  * drawn from a real entropy source and kept as secret as the data —
+  * anyone holding the salt (or a release made with the default
+  * salt=0) can recompute noise_mu from the published cell keys and
+  * subtract it. salt=0 therefore yields a REPRODUCIBLE-NOISE release
+  * (useful for cross-engine parity testing, as q287 does), not a
+  * differentially-private one.
   *
   * Inverse-CDF sampling, all knife-edges floored portably:
   *   u    = (mix30(key)+1) / 1073741790          ∈ (0, 1]
@@ -30,21 +38,33 @@ object DpNoise {
   private val Den = 1073741790d // mix30 max + 2: u ∈ (0, 1]
 
   /** µ-scaled seeded Laplace noise for integer-keyed cells. `b` is
-    * the scale (sensitivity/ε) as a positive integer. */
-  def laplaceMu(key: Column, b: Int): Column = {
-    require(b >= 1, s"b >= 1: $b")
-    val mag6 = floor(round(-log((Sampling.mix30(key) + 1) / lit(Den)), 6)
+    * the scale (sensitivity/ε) as a positive integer; `salt` is the
+    * secret seed (see the security contract above — salt=0 is a
+    * parity-testing mode, not a DP release). */
+  private val P30 = 1073741789L // mix30's modulus: largest prime < 2^30
+
+  def laplaceMu(key: Column, b: Int, salt: Long = 0L): Column = {
+    require(b >= 1 && salt >= 0, s"b >= 1, salt >= 0: $b, $salt")
+    // fold the salted key into mix30's < 2^30 input domain (and the
+    // *31+7 sign variant likewise) so no intermediate overflows ANSI
+    // long arithmetic; for unsalted keys < P30/31 both pmods are the
+    // identity, preserving the historical q287 draw exactly
+    val k = pmod(key + lit(salt), lit(P30))
+    val mag6 = floor(round(-log((Sampling.mix30(k) + 1) / lit(Den)), 6)
       * 1000000d + 0.5d).cast("long")
-    val sign = when(pmod(Sampling.mix30(key * 31 + 7), lit(2)) === 0,
+    val sign = when(
+      pmod(Sampling.mix30(pmod(k * 31 + 7, lit(P30))), lit(2)) === 0,
       1L).otherwise(-1L)
     sign * mag6 * b
   }
 
-  /** SQL text of the same draw, for oracle authorship. */
-  def laplaceMuSql(key: String, b: Int): String = {
-    val u = s"((${Sampling.mix30Sql(key)}) + 1) / $Den"
+  /** SQL text of the same draw, for oracle authorship. `key` must be
+    * non-negative (DuckDB `%` and Spark `pmod` then agree). */
+  def laplaceMuSql(key: String, b: Int, salt: Long = 0L): String = {
+    val k = s"(($key + $salt) % $P30)"
+    val u = s"((${Sampling.mix30Sql(k)}) + 1) / $Den"
     val mag6 = s"CAST(floor(round(-ln($u), 6) * 1000000 + 0.5) AS BIGINT)"
-    val sign = s"CASE WHEN (${Sampling.mix30Sql(s"($key * 31 + 7)")}) % 2 = 0" +
+    val sign = s"CASE WHEN (${Sampling.mix30Sql(s"(($k * 31 + 7) % $P30)")}) % 2 = 0" +
       " THEN 1 ELSE -1 END"
     s"($sign) * $mag6 * $b"
   }
@@ -58,9 +78,10 @@ object DpNoise {
       df: DataFrame,
       cellCols: Seq[String],
       keyCol: String,
-      b: Int): DataFrame =
+      b: Int,
+      salt: Long = 0L): DataFrame =
     df.groupBy((keyCol +: cellCols).map(col): _*)
       .agg(count(lit(1)).as("n_true"))
-      .withColumn("noise_mu", laplaceMu(col(keyCol), b))
+      .withColumn("noise_mu", laplaceMu(col(keyCol), b, salt))
       .withColumn("n_noisy_mu", col("n_true") * 1000000L + col("noise_mu"))
 }

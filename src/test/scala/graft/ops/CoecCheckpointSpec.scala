@@ -92,6 +92,59 @@ class CoecCheckpointSpec extends SparkSpec {
       VersionedTable.checkpoint(spark, path) shouldBe 5L
       VersionedTable.versionsCheckpointed(spark, path)._2 shouldBe 2L
     }
+    it("vacuum rewrites a checkpoint to its surviving covered prefix") {
+      val path = "target/scratch/ckpt_spec_vac_rw"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val df = Seq((1L, "x")).toDF("id", "v")
+      (0 until 4).foreach(i =>
+        VersionedTable.commit(spark, path, df, 1000L + i))
+      VersionedTable.checkpoint(spark, path) shouldBe 3L
+      VersionedTable.vacuum(spark, path, retainLast = 3) shouldBe Seq(0L)
+      // both readers agree and every listed version is readable
+      val (fast, _) = VersionedTable.versionsCheckpointed(spark, path)
+      fast shouldBe VersionedTable.versions(spark, path)
+      fast.map(_.version) shouldBe (1L to 3L)
+      fast.foreach(c =>
+        VersionedTable.read(spark, path, c.version).count() shouldBe 1L)
+    }
+    it("vacuum drops a fully-retired checkpoint (readers replay)") {
+      val path = "target/scratch/ckpt_spec_vac_drop"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      val df = Seq((1L, "x")).toDF("id", "v")
+      (0 until 3).foreach(i =>
+        VersionedTable.commit(spark, path, df, 1000L + i))
+      VersionedTable.checkpoint(spark, path) shouldBe 2L
+      (3 until 5).foreach(i =>
+        VersionedTable.commit(spark, path, df, 1000L + i))
+      VersionedTable.vacuum(spark, path, retainLast = 2) shouldBe
+        Seq(0L, 1L, 2L)
+      val (fast, opened) = VersionedTable.versionsCheckpointed(spark, path)
+      fast shouldBe VersionedTable.versions(spark, path)
+      fast.map(_.version) shouldBe (3L to 4L)
+      opened shouldBe 2L // plain replay: pointer+checkpoint are gone
+      fast.foreach(c =>
+        VersionedTable.read(spark, path, c.version).count() shouldBe 1L)
+    }
+    it("treats a torn/unparseable pointer as absent (full replay)") {
+      val path = "target/scratch/ckpt_spec_torn"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      (0 until 2).foreach(i =>
+        VersionedTable.commit(spark, path,
+          Seq((1L, "x")).toDF("id", "v"), 1000L + i))
+      // simulate a torn write: empty pointer bytes
+      val ptr = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, "_log"), "_last_checkpoint")
+      fs.create(ptr, true).close()
+      val (cs, opened) = VersionedTable.versionsCheckpointed(spark, path)
+      cs.map(_.version) shouldBe (0L to 1L)
+      opened shouldBe 2L
+    }
     it("degrades to a full replay when no checkpoint exists") {
       val path = "target/scratch/ckpt_spec_none"
       val p = new org.apache.hadoop.fs.Path(path)

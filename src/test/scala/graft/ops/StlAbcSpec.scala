@@ -73,6 +73,16 @@ class StlAbcSpec extends SparkSpec {
       n1 shouldBe n1b
       n3 shouldBe n1.map(_ * 3)
     }
+    it("a secret salt changes the draw; the same salt reproduces it") {
+      val df = spark.range(1, 201).toDF("k")
+      def draws(salt: Long) = df.select(
+        graft.quality.DpNoise.laplaceMu(col("k"), 1, salt).as("z"))
+        .as[Long].collect().toSeq
+      val unsalted = draws(0L)
+      val salted = draws(982451653L)
+      (salted == unsalted) shouldBe false // holder of the cells alone
+      draws(982451653L) shouldBe salted // but same salt → same release
+    }
     it("draws both signs and plausible Laplace magnitudes") {
       val df = spark.range(1, 2001).toDF("k")
       val z = df.select(graft.quality.DpNoise.laplaceMu(col("k"), 1)
