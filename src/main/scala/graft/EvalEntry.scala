@@ -966,7 +966,33 @@ object EvalEntry {
           .as("utilization"))
   }
 
+  // ---------------------------------------------------------------
+  // q325 — persisted bigram-LM index (text/LmFilter
+  // .indexedBigramLogprob): the train-once/score-many shape of
+  // CCNet-style LM filtering — the q234 model's count tables land in
+  // parquet with self-describing metadata + a reference fingerprint,
+  // and scoring batches pay O(batch + one fingerprint scan); a rerun
+  // (or q263, which shares this artifact path) reuses the index
+  // without retraining. Oracle is q234's full recompute — index
+  // transparency is exactly what's being gated.
+  // ---------------------------------------------------------------
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    graft.text.LmFilter.indexedBigramLogprob(s, lmIndexPath(dir),
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** The shared on-disk LM-index artifact: q325 gates it, q263
+    * probes it (and either builds it if absent/stale — the
+    * fingerprint check makes order irrelevant).
+    */
+  private[graft] def lmIndexPath(dir: String): String =
+    s"target/scratch/lm_index_${sanitize(dir)}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q325_lm_index" -> (q325 _),
     "q321_median_ci" -> (q321 _),
     "q322_forecast_baseline" -> (q322 _),
     "q323_conversion_ab" -> (q323 _),
@@ -1086,6 +1112,13 @@ object EvalEntry {
          |), ${IdentityStitch.censusSql}
          |SELECT n_users, n_devices, n_clusters
          |FROM stitch_out ORDER BY n_users, n_devices""".stripMargin,
+    // identical to q234's oracle: the persisted index must be
+    // TRANSPARENT — scoring through it gives bit-identical results
+    // to the fresh full recompute
+    "q325_lm_index" ->
+      s"""WITH ${StatsEntry.LmScoreCte}
+         |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
+         |FROM lm_scores ORDER BY doc_id""".stripMargin,
     "q321_median_ci" ->
       s"""WITH pv AS (
          |  SELECT event_type AS g, value AS v,
