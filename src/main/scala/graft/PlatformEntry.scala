@@ -252,7 +252,70 @@ object PlatformEntry {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ---------------------------------------------------------------
+  // q326 — MinHash-index maintenance (VERDICT r8 item 8): per-batch
+  // appends FRAGMENT q110's persisted index (every ingest leaves its
+  // own small files; at 100 TB the file count, not bytes, throttles
+  // the planner), so the index needs the same OPTIMIZE+VACUUM cycle
+  // as any other table. This query ingests the corpus index in 8
+  // fragmented appends, probes it, runs Compaction.compact (no-
+  // shuffle coalesce rewrite) + Vacuum over planted crash debris,
+  // probes AGAIN, and REQUIRES the probe results identical and the
+  // layout actually compacted — the gated output is the post-
+  // OPTIMIZE probe against the exact-Jaccard oracle, so a lost or
+  // duplicated index row after the rewrite breaks parity.
+  // ---------------------------------------------------------------
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.ops.{Compaction, Vacuum}
+    val root = s"target/scratch/q326_opt_${sanitize(dir)}"
+    val idxDir = s"$root/minhash_index"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rootPath, true)
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    // fragmented ingest: 8 batch appends × repartition(4) = 32 files
+    (0 until 8).foreach { b =>
+      Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(8)) === b),
+          "doc_id", "text")
+        .repartition(4).write.mode("append").parquet(idxDir)
+    }
+    val batch = docs.filter(col("doc_id") % 17 === 3)
+      .withColumn("doc_id", col("doc_id") + 3000000L)
+      .withColumn("text", concat(lit("qv "), col("text")))
+    def probe() = Dedup.minhashLshAgainstIndex(
+      s.read.parquet(idxDir), batch, "doc_id", "text")
+    // EAGER checkpoint: the pre-OPTIMIZE probe must materialize NOW —
+    // a lazy plan would re-read the directory after the rewrite and
+    // vacuously "agree" with itself
+    val before = probe().localCheckpoint(true)
+    // plant crash debris from a failed OPTIMIZE of a since-dropped
+    // sibling table, aged past retention, then compact + vacuum —
+    // the full maintenance cycle. (Debris under the LIVE index's own
+    // staging name needs no vacuum: compact reclaims its staging
+    // path itself on the next run.)
+    val debris = new org.apache.hadoop.fs.Path(s"$root/retired_index__compact_tmp")
+    fs.mkdirs(debris)
+    fs.create(new org.apache.hadoop.fs.Path(debris, "part-junk"), true).close()
+    fs.setTimes(debris, 1000L, -1)
+    val cstats = Compaction.compact(s, idxDir, targetBytes = 256L << 20)
+    val vstats = Vacuum.vacuum(s, root, retentionMs = 3600000L,
+      now = 1000L + 7200000L)
+    require(cstats.nFilesAfter < cstats.nFilesBefore,
+      s"OPTIMIZE did not reduce the layout: $cstats")
+    require(vstats.nDeleted == 1,
+      s"vacuum missed the planted compact debris: $vstats")
+    val after = probe()
+    // distributed equality — no driver collect: the multiset of probe
+    // pairs must survive the rewrite exactly
+    val diff = before.exceptAll(after).count() + after.exceptAll(before).count()
+    require(diff == 0,
+      s"probe results changed across OPTIMIZE ($diff rows differ)")
+    after.orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_index_optimize" -> (q326 _),
     "q107_jdbc_ingest" -> (q107 _),
     "q108_model_yaml" -> (q108 _),
     "q109_remove_models" -> (q109 _),
@@ -317,6 +380,37 @@ object PlatformEntry {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
          |  CAST(sum(${PipelineEntry.WsTokSql}) AS BIGINT) AS sum_tokens
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // q110's exact-Jaccard shape with q326's probe constants: the
+    // persisted index is maintenance-transparent — OPTIMIZE must not
+    // change what a probe returns
+    "q326_index_optimize" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |), batch AS (
+        |  SELECT doc_id + 3000000 AS doc_id, 'qv ' || text AS text
+        |  FROM documents WHERE doc_id % 17 = 3
+        |), csets AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |    FROM corpus)
+        |), bsets AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |    FROM batch)
+        |), pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    len(list_intersect(x.g, y.g)) * 1.0
+        |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+        |  FROM csets x JOIN bsets y ON TRUE
+        |)
+        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY a, b""".stripMargin,
     "q110_dedup_incremental" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
