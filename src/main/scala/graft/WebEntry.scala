@@ -339,17 +339,23 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
-  // q135 — robots.txt honoring (text/Robots): per-domain robots
-  // bodies exercising the grammar subset — a bot-specific group to
-  // skip, the `*` group with two Disallow prefixes, comments and
-  // blank lines, an EMPTY Disallow (allows everything), and a
-  // domain with no `*` group at all. Parse shuffles only the
-  // domains-sized robots table; enforcement is one broadcast anti
-  // join against the URL corpus. The oracle restates the identical
-  // group/window parse and a NOT EXISTS prefix filter.
+  // q135 — robots.txt honoring (text/Robots, RFC 9309): per-domain
+  // robots bodies exercising the grammar — a bot-specific group to
+  // skip, the `*` group with Disallow prefixes PLUS an Allow
+  // override (`Disallow: /tmp` + `Allow: /tmp/x1` — the longest-
+  // match election real crawls hit daily) and an anchored wildcard
+  // (`Disallow: /articles/*7$`), comments and blank lines, an EMPTY
+  // Disallow (allows everything), and a domain with no `*` group at
+  // all. Parse shuffles only the domains-sized robots table;
+  // enforcement is a broadcast 1:1 rules-array join + an in-
+  // projection longest-match fold — zero corpus shuffles. The
+  // oracle restates the identical group/window parse, the pattern→
+  // regex translation, and the election as a window argmax
+  // (prio DESC, allow DESC).
   // ---------------------------------------------------------------
   private val RobotsBodyA = "User-agent: bot\nDisallow: /x\n\n" +
     "User-agent: *\nDisallow: /private\nDisallow: /tmp\n" +
+    "Allow: /tmp/x1\nDisallow: /articles/*7$\n" +
     "# comment line\nUser-agent: zeta\nDisallow: /p"
   private val RobotsBodyB = "User-agent: *\nDisallow:"
   private val RobotsBodyC = "User-agent: other\nDisallow: /"
@@ -507,8 +513,12 @@ object WebEntry {
   // restates the whole chain: unnest → CASE resolve → GROUP BY →
   // three NOT EXISTS / predicate filters → census.
   // ---------------------------------------------------------------
+  // `*` group: Disallow /p (prio 2) + Allow /p/1 (prio 4) + anchored
+  // wildcard Disallow /p/*0$ (prio 6) — the longest-match election:
+  // /p/10 blocked (6 beats 4), /p/11../p/19 allowed, other /p/N
+  // blocked, non-/p open. The graftbot group must NOT apply.
   private val FrontierRobotsBody = "User-agent: graftbot\nDisallow: /\n" +
-    "User-agent: *\nDisallow: /p"
+    "User-agent: *\nDisallow: /p\nAllow: /p/1\nDisallow: /p/*0$"
   private val FrontierOpenBody = "User-agent: *\nDisallow:"
   private val FrontierBlocklist = Seq("news.portal0.org", "assets.net")
 
@@ -544,9 +554,7 @@ object WebEntry {
         when(hostNum % 3 === 0, lit(FrontierRobotsBody))
           .otherwise(lit(FrontierOpenBody)).as("body"))
     val rules = Robots.rules(robots, "domain", "body")
-    val okRobots = unseen.join(broadcast(rules),
-      unseen("dom") === rules("domain") &&
-        unseen("path").startsWith(rules("rule")), "left_anti")
+    val okRobots = Robots.filterAllowedPaths(unseen, "dom", "path", rules)
     val open = okRobots.filter(!Urls.blockedBy(col("dom"), FrontierBlocklist))
     open.groupBy("dom")
       .agg(count(lit(1)).as("n_urls"), sum(col("discoverer")).as("sum_disc"))
@@ -1808,10 +1816,14 @@ object WebEntry {
          |  SELECT f.* FROM frontier f WHERE NOT EXISTS (
          |    SELECT 1 FROM seen s WHERE s.dom = f.dom AND s.path = f.path)
          |), ok_robots AS (
+         |  -- compiled longest-match election of the fixture body:
+         |  -- /p/*0$$ (prio 6, dis) > /p/1 (prio 4, allow) > /p (2, dis)
          |  SELECT u.* FROM unseen u
          |  WHERE NOT (u.dom LIKE '%.example.com'
          |             AND ($hostNumSql) % 3 = 0
-         |             AND starts_with(u.path, '/p'))
+         |             AND (regexp_matches(u.path, '^/p/.*0$$')
+         |                  OR (starts_with(u.path, '/p')
+         |                      AND NOT starts_with(u.path, '/p/1'))))
          |), open_f AS (
          |  SELECT * FROM ok_robots
          |  WHERE NOT (dom = 'news.portal0.org'
@@ -2048,8 +2060,12 @@ object WebEntry {
          |  SELECT dom, idx, line,
          |    lower(line) LIKE 'user-agent:%' AS is_ua,
          |    lower(line) LIKE 'disallow:%' AS is_dis,
+         |    lower(line) LIKE 'allow:%' AS is_al,
          |    trim(substr(line, 12)) AS agent,
-         |    trim(substr(line, 10)) AS rule
+         |    CASE WHEN lower(line) LIKE 'disallow:%'
+         |           THEN trim(substr(line, 10))
+         |         WHEN lower(line) LIKE 'allow:%'
+         |           THEN trim(substr(line, 7)) END AS rule
          |  FROM lines
          |), grp AS (
          |  SELECT *, SUM(CASE WHEN is_ua THEN 1 ELSE 0 END)
@@ -2058,12 +2074,24 @@ object WebEntry {
          |  SELECT *, MAX(CASE WHEN is_ua THEN agent END)
          |    OVER (PARTITION BY dom, g) AS group_agent FROM grp
          |), rules AS (
-         |  SELECT dom, rule FROM ag
-         |  WHERE is_dis AND group_agent = '*' AND rule <> ''
+         |  SELECT dom, rule, is_al AS allow FROM ag
+         |  WHERE (is_dis OR is_al) AND group_agent = '*' AND rule <> ''
+         |), rules2 AS (
+         |  SELECT dom, allow, length(rule) AS prio,
+         |    ${graft.text.Robots.PatternToRegexSql} AS re
+         |  FROM rules
+         |), cand AS (
+         |  SELECT u.doc_id, r.prio, r.allow
+         |  FROM u JOIN rules2 r
+         |    ON r.dom = u.dom AND regexp_matches(u.path, r.re)
+         |), best AS (
+         |  SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY prio DESC, allow DESC) AS rn
+         |  FROM cand
          |), allowed AS (
          |  SELECT u.* FROM u WHERE NOT EXISTS (
-         |    SELECT 1 FROM rules r
-         |    WHERE r.dom = u.dom AND starts_with(u.path, r.rule))
+         |    SELECT 1 FROM best b
+         |    WHERE b.doc_id = u.doc_id AND b.rn = 1 AND NOT b.allow)
          |)
          |SELECT dom, count(*) AS n_allowed, CAST(sum(doc_id) AS BIGINT)
          |    AS sum_ids

@@ -5,34 +5,42 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** robots.txt honoring — crawl step -1, before even the domain
-  * blocklist: a compliant crawler drops URLs matching the
-  * `User-agent: *` group's `Disallow` prefixes. The implemented
-  * subset (documented contract, same as C4-class pipelines):
+  * blocklist: a compliant crawler applies the `User-agent: *` group's
+  * rules under RFC 9309 matching. The implemented surface:
   *
+  *  - `Disallow:` AND `Allow:` rules, with the RFC 9309 / Google
+  *    election: the rule with the LONGEST pattern (octets of the raw
+  *    value) wins; on a length tie Allow beats Disallow; no matching
+  *    rule means allowed. (`Disallow: /` + `Allow: /public` therefore
+  *    blocks everything except `/public...` — the shape real crawls
+  *    hit daily.)
+  *  - `*` in a pattern matches any character sequence; a TRAILING
+  *    `$` anchors the match at the path's end (interior `$` is
+  *    literal, per the RFC's grammar). Patterns without `$` are
+  *    prefix-anchored as before.
   *  - only the `User-agent: *` group applies (a per-crawler UA match
-  *    is a config knob away — the parse already keys groups);
-  *  - a group starts at each `User-agent:` line (the
+  *    is a config knob away — the parse already keys groups); the
   *    multiple-consecutive-UA-lines-share-a-group nicety of the full
-  *    RFC 9309 grammar is out of scope);
-  *  - `Disallow: <prefix>` blocks any path with that literal prefix;
-  *    an EMPTY `Disallow:` disallows nothing (per the original
-  *    spec); `Allow:` precedence and `*`/`$` wildcards are out of
-  *    scope;
-  *  - field names match case-insensitively, values are trimmed,
-  *    `#` comment lines and blank lines are ignored.
+  *    RFC grammar remains out of scope (documented subset);
+  *  - an EMPTY `Disallow:`/`Allow:` value carries no rule; field
+  *    names match case-insensitively, values are trimmed, `#`
+  *    comment lines and blank lines are ignored.
   *
   * Parse shape: robots bodies live in a DOMAINS-sized table (orders
   * of magnitude smaller than the page corpus), so the
   * explode-lines → running-count group id → group-agent window pass
-  * shuffles only that small table. Enforcement against the CORPUS is
-  * one broadcast LEFT ANTI join on (domain, path-prefix) — no corpus
-  * row ever shuffles. Every construct (posexplode = UNNEST WITH
-  * ORDINALITY, running SUM window, starts_with join) is portable,
-  * so the DuckDB oracle restates the identical pipeline.
+  * shuffles only that small table. Enforcement against the CORPUS
+  * never shuffles a corpus row: the per-domain rule set collapses to
+  * ONE array row per domain (domains-sized groupBy), broadcast-joins
+  * to the URLs 1:1, and the longest-match election runs INSIDE a
+  * projection as a higher-order filter+fold over that array — no
+  * per-URL groupBy, no corpus exchange. The DuckDB oracle restates
+  * the identical parse and election (join + window argmax — the
+  * oracle needn't be shuffle-free, only equivalent).
   */
 object Robots {
 
-  /** `Disallow` rules of the `User-agent: *` group: (domain, rule).
+  /** Rules of the `User-agent: *` group: (domain, rule, allow).
     * Domains with no rules (or no robots.txt row at all) simply
     * produce no rows — absent means allowed.
     */
@@ -44,8 +52,11 @@ object Robots {
     val classified = lines
       .withColumn("is_ua", lower(col("line")).startsWith("user-agent:"))
       .withColumn("is_dis", lower(col("line")).startsWith("disallow:"))
+      .withColumn("is_al", lower(col("line")).startsWith("allow:"))
       .withColumn("agent", trim(expr("substring(line, 12)")))
-      .withColumn("rule", trim(expr("substring(line, 10)")))
+      .withColumn("rule",
+        when(col("is_dis"), trim(expr("substring(line, 10)")))
+          .when(col("is_al"), trim(expr("substring(line, 7)"))))
     // group id = running count of User-agent lines; the group's
     // agent is the (single) UA line's value within that group
     val g = sum(when(col("is_ua"), 1).otherwise(0))
@@ -54,29 +65,87 @@ object Robots {
     val agentOfGroup = max(when(col("is_ua"), col("agent")))
       .over(Window.partitionBy("domain", "g"))
     withGroup.withColumn("group_agent", agentOfGroup)
-      .filter(col("is_dis") && col("group_agent") === "*" && col("rule") =!= "")
-      .select("domain", "rule")
+      .filter((col("is_dis") || col("is_al")) &&
+        col("group_agent") === "*" && col("rule") =!= "")
+      .select(col("domain"), col("rule"), col("is_al").as("allow"))
   }
 
-  /** URL path for prefix matching (empty path → "/"). */
+  /** URL path for matching (empty path → "/"). */
   def path(url: Column): Column = {
     val raw = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     when(raw === "", lit("/")).otherwise(raw)
   }
 
-  /** Corpus minus robots-disallowed URLs: one broadcast anti join,
-    * zero corpus shuffles. `disallow` is the `rules` output.
+  /** RFC 9309 pattern → anchored regex: strip a trailing `$` (end
+    * anchor), escape regex metacharacters in the remainder (interior
+    * `$` becomes literal), widen `*` to `.*`, prefix-anchor with
+    * `^`. The DuckDB oracle restates this exact chain.
+    */
+  def patternToRegex(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val core = when(anchored, rule.substr(lit(1), length(rule) - 1))
+      .otherwise(rule)
+    val escaped = regexp_replace(core,
+      "([\\\\.\\[\\]{}()+\\-?^$|])", "\\\\$1")
+    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Corpus minus robots-disallowed URLs under the longest-match
+    * election. `ruleRows` is the [[rules]] output; it collapses to
+    * one broadcast array row per domain, and the election runs in a
+    * projection — zero corpus shuffles.
     */
   def filterAllowed(urls: DataFrame, urlCol: String,
-      disallow: DataFrame): DataFrame = {
-    val u = urls
+      ruleRows: DataFrame): DataFrame =
+    urls
       .withColumn("__dom", Urls.domain(col(urlCol)))
       .withColumn("__path", path(col(urlCol)))
-    u.join(broadcast(disallow),
-        u("__dom") === disallow("domain") &&
-          u("__path").startsWith(disallow("rule")),
-        "left_anti")
+      .transform(filterAllowedPaths(_, "__dom", "__path", ruleRows))
       .drop("__dom", "__path")
+
+  /** The same election over ALREADY-SPLIT (domain, path) columns —
+    * the frontier shape (q140), where URLs were resolved upstream.
+    */
+  def filterAllowedPaths(df: DataFrame, domCol: String, pathCol: String,
+      ruleRows: DataFrame): DataFrame = {
+    val perDomain = ruleRows
+      .select(col("domain").as("__rbdom"),
+        struct(patternToRegex(col("rule")).as("re"),
+          length(col("rule")).as("prio"), col("allow")).as("r"))
+      .groupBy("__rbdom").agg(collect_list(col("r")).as("__rs"))
+    // matched rules via HOF filter (regexp per array element inside
+    // codegen'd projection), then the longest-match fold: start from
+    // the virtual "no rule matched" verdict (prio -1, allow) and take
+    // a rule when strictly longer, or equal-length-and-Allow (the
+    // RFC tie-break). Fold order over the array is irrelevant: the
+    // (max prio, Allow-on-tie) verdict is order-independent.
+    val matched = filter(coalesce(col("__rs"),
+        array().cast("array<struct<re:string,prio:int,allow:boolean>>")),
+      r => regexp_like(col(pathCol), r.getField("re")))
+    val verdict = aggregate(matched,
+      named_struct(lit("prio"), lit(-1), lit("allow"), lit(true)),
+      (acc, r) => when(
+        r.getField("prio") > acc.getField("prio") ||
+          (r.getField("prio") === acc.getField("prio") &&
+            r.getField("allow")),
+        named_struct(lit("prio"), r.getField("prio"),
+          lit("allow"), r.getField("allow"))).otherwise(acc))
+    df.join(broadcast(perDomain), col(domCol) === col("__rbdom"), "left")
+      .filter(verdict.getField("allow"))
+      .drop("__rbdom", "__rs")
   }
+
+  /** DuckDB text of [[patternToRegex]] over a column named `rule`.
+    * Deliberately margin-pipe-free: callers interpolate this into
+    * stripMargin'd oracle strings, and a leading `|` here would be
+    * eaten by the OUTER stripMargin.
+    */
+  val PatternToRegexSql: String =
+    """'^' || regexp_replace(regexp_replace(
+    CASE WHEN rule LIKE '%$' THEN substr(rule, 1, length(rule) - 1)
+         ELSE rule END,
+    '([\\\.\[\]\{\}\(\)\+\-\?\^\$\|])', '\\\0', 'g'),
+  '\*', '.*', 'g') || CASE WHEN rule LIKE '%$' THEN '$' ELSE '' END"""
 }

@@ -6,25 +6,32 @@ import org.apache.spark.sql.functions._
 class RobotsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def rulesOf(body: String): Set[String] =
+  private def rulesOf(body: String): Set[(String, Boolean)] =
     Robots.rules(Seq(("d", body)).toDF("domain", "body"), "domain", "body")
-      .as[(String, String)].collect().map(_._2).toSet
+      .as[(String, String, Boolean)].collect()
+      .map(r => (r._2, r._3)).toSet
 
   describe("Robots.rules") {
-    it("collects only the User-agent: * group's Disallow lines") {
+    it("collects only the User-agent: * group's rules") {
       rulesOf("User-agent: bot\nDisallow: /x\n" +
         "User-agent: *\nDisallow: /private\nDisallow: /tmp\n" +
-        "User-agent: zeta\nDisallow: /p") shouldBe Set("/private", "/tmp")
+        "User-agent: zeta\nDisallow: /p") shouldBe
+        Set(("/private", false), ("/tmp", false))
+    }
+
+    it("collects Allow lines with allow=true") {
+      rulesOf("User-agent: *\nDisallow: /\nAllow: /public") shouldBe
+        Set(("/", false), ("/public", true))
     }
 
     it("ignores comments, blank lines, and unknown fields") {
       rulesOf("# top comment\nUser-agent: *\n\nCrawl-delay: 10\n" +
         "Disallow: /a\n# inline comment line\nDisallow: /b") shouldBe
-        Set("/a", "/b")
+        Set(("/a", false), ("/b", false))
     }
 
-    it("empty Disallow means nothing is disallowed") {
-      rulesOf("User-agent: *\nDisallow:") shouldBe Set.empty
+    it("empty Disallow/Allow carry no rule") {
+      rulesOf("User-agent: *\nDisallow:\nAllow:") shouldBe Set.empty
     }
 
     it("no * group → no rules") {
@@ -32,41 +39,90 @@ class RobotsSpec extends SparkSpec {
     }
 
     it("field names match case-insensitively, values trim") {
-      rulesOf("USER-AGENT: *\nDISALLOW:   /Secret  ") shouldBe Set("/Secret")
+      rulesOf("USER-AGENT: *\nDISALLOW:   /Secret  \nALLOW: /Secret/ok") shouldBe
+        Set(("/Secret", false), ("/Secret/ok", true))
     }
 
     it("a later * group adds its rules too") {
       rulesOf("User-agent: *\nDisallow: /a\nUser-agent: b\nDisallow: /x\n" +
-        "User-agent: *\nDisallow: /c") shouldBe Set("/a", "/c")
+        "User-agent: *\nDisallow: /c") shouldBe
+        Set(("/a", false), ("/c", false))
     }
   }
 
-  describe("Robots.filterAllowed") {
+  private def allowed(urls: Seq[(Long, String)],
+      rules: Seq[(String, String, Boolean)]): Seq[Long] =
+    Robots.filterAllowed(urls.toDF("id", "url"), "url",
+        rules.toDF("domain", "rule", "allow"))
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq
+
+  describe("Robots.filterAllowed (RFC 9309 longest-match)") {
     it("drops URLs whose path has a disallowed prefix, per domain") {
-      val urls = Seq(
+      allowed(Seq(
         (1L, "https://a.com/private/x"), // blocked on a.com
         (2L, "https://a.com/public/x"), // allowed
         (3L, "https://b.com/private/x"), // b.com has no rules → allowed
         (4L, "https://a.com/privateer"), // literal prefix → blocked
-        (5L, "https://a.com/")).toDF("id", "url") // allowed
-      val rules = Seq(("a.com", "/private")).toDF("domain", "rule")
-      val got = Robots.filterAllowed(urls, "url", rules)
-        .as[(Long, String)].collect().map(_._1).sorted.toSeq
-      got shouldBe Seq(2L, 3L, 5L)
+        (5L, "https://a.com/")), // allowed
+        Seq(("a.com", "/private", false))) shouldBe Seq(2L, 3L, 5L)
     }
 
     it("a bare '/' rule blocks the whole domain") {
-      val urls = Seq((1L, "https://a.com/x"), (2L, "https://a.com"),
-        (3L, "https://b.com/x")).toDF("id", "url")
-      val rules = Seq(("a.com", "/")).toDF("domain", "rule")
-      Robots.filterAllowed(urls, "url", rules)
-        .as[(Long, String)].collect().map(_._1).toSeq shouldBe Seq(3L)
+      allowed(Seq((1L, "https://a.com/x"), (2L, "https://a.com"),
+        (3L, "https://b.com/x")),
+        Seq(("a.com", "/", false))) shouldBe Seq(3L)
+    }
+
+    it("Allow overrides a shorter Disallow (Disallow:/ + Allow:/public)") {
+      allowed(Seq(
+        (1L, "https://a.com/public/page"), // Allow /public (7) beats / (1)
+        (2L, "https://a.com/private/page"), // only / matches → blocked
+        (3L, "https://a.com/")), // only / matches → blocked
+        Seq(("a.com", "/", false), ("a.com", "/public", true))) shouldBe
+        Seq(1L)
+    }
+
+    it("a longer Disallow re-blocks inside an Allow subtree") {
+      allowed(Seq(
+        (1L, "https://a.com/public/ok"),
+        (2L, "https://a.com/public/secret/x")),
+        Seq(("a.com", "/", false), ("a.com", "/public", true),
+          ("a.com", "/public/secret", false))) shouldBe Seq(1L)
+    }
+
+    it("equal-length rules tie-break toward Allow") {
+      allowed(Seq((1L, "https://a.com/page")),
+        Seq(("a.com", "/page", false), ("a.com", "/page", true))) shouldBe
+        Seq(1L)
+    }
+
+    it("* wildcards match any character run") {
+      allowed(Seq(
+        (1L, "https://a.com/fish.php"),
+        (2L, "https://a.com/fishheads/catfish.php?x=1"),
+        (3L, "https://a.com/fish/ok.html")),
+        // blocks any path containing 'fish' then '.php'
+        Seq(("a.com", "/fish*.php", false))) shouldBe Seq(3L)
+    }
+
+    it("a trailing $ anchors at the path end") {
+      allowed(Seq(
+        (1L, "https://a.com/doc.pdf"), // ends .pdf → blocked
+        (2L, "https://a.com/doc.pdfx")), // does not END there → allowed
+        Seq(("a.com", "/*.pdf$", false))) shouldBe Seq(2L)
+    }
+
+    it("regex metacharacters in patterns stay literal") {
+      allowed(Seq(
+        (1L, "https://a.com/a.b/x"), // literal dot path → blocked
+        (2L, "https://a.com/aXb/x")), // '.' must not match X
+        Seq(("a.com", "/a.b", false))) shouldBe Seq(2L)
     }
 
     it("keeps the original columns and no helpers") {
       val urls = Seq((1L, "https://a.com/x", "extra")).toDF("id", "url", "meta")
       val got = Robots.filterAllowed(urls, "url",
-        Seq.empty[(String, String)].toDF("domain", "rule"))
+        Seq.empty[(String, String, Boolean)].toDF("domain", "rule", "allow"))
       got.columns.toSeq shouldBe Seq("id", "url", "meta")
       got.count() shouldBe 1L
     }
