@@ -768,10 +768,20 @@ object Dedup {
     * stay bounded and the within-cluster join is O(Σ cᵢ²/maxBucket)
     * tasks, never corpus².
     *
+    * `probe2 = true` closes the known recall hole at CELL BOUNDARIES
+    * (a near-identical pair whose members fall on opposite sides of
+    * a centroid bisector never meets within one cluster): each
+    * vector also enters its SECOND-nearest centroid's bucket, so a
+    * straddling pair meets in the union of the probes. Pair volume
+    * at most 4× (2 buckets per side), bucket discipline unchanged;
+    * the survival CONTRACT stays within-primary-cluster semantics
+    * unless probing is on (q163's oracle pins the 1-probe contract).
+    *
     * @param centroids k driver-side vectors (e.g. `KMeans.initCentroids`
     *                  or the converged means of repeated `lloydStep`s).
-    * @return (doc_id, cl, kept) — the full assignment with the
-    *         survival verdict; filter on `kept` to apply.
+    * @return (doc_id, cl, kept) — the full assignment (cl = PRIMARY
+    *         cluster, also under probe2) with the survival verdict;
+    *         filter on `kept` to apply.
     */
   def semantic(
       vecs: DataFrame,
@@ -779,14 +789,24 @@ object Dedup {
       vecCol: String,
       centroids: Seq[Seq[Double]],
       tau: Double,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200,
+      probe2: Boolean = false): DataFrame = {
     // barrier: the assignment feeds both the pair join (twice, as the
     // self-join's two branches) and the verdict join — one scan.
-    val assigned = barrier(vecs.select(col(idCol).as("doc_id"),
-      col(vecCol).as("v"),
+    val probeCols = Seq(col(idCol).as("doc_id"), col(vecCol).as("v"),
       graft.functions.VectorColumns.nearestCentroid(col(vecCol), centroids)
-        .as("cl")))
-    val drops = bucketPairs(assigned, Seq("cl"), maxBucket, Seq("v"))
+        .as("cl")) ++ (if (probe2)
+        Seq(graft.functions.VectorColumns.secondNearestCentroid(col(vecCol),
+          centroids).as("cl2")) else Nil)
+    val assigned = barrier(vecs.select(probeCols: _*))
+    // 2-probe: each vector sits in {nearest, second-nearest} buckets;
+    // array_distinct guards k=1 (cl2 degenerates to cl). A pair
+    // meeting in both shared buckets dedups in the drops DISTINCT.
+    val bucketed =
+      if (!probe2) assigned
+      else assigned.select(col("doc_id"), col("v"),
+        explode(array_distinct(array(col("cl"), col("cl2")))).as("cl"))
+    val drops = bucketPairs(bucketed, Seq("cl"), maxBucket, Seq("v"))
       .filter(graft.functions.VectorColumns.cosine(col("v_a"), col("v_b"))
         >= tau)
       .select(col("b").as("doc_id")).distinct()

@@ -68,6 +68,26 @@ object VectorExprs {
     best
   }
 
+  def secondNearestCentroidEval(v: ArrayData, cents: Array[Array[Double]], isFloat: Boolean): Int = {
+    val (n, g) = toDoubles(v, isFloat)
+    var best = 0; var second = -1
+    var bestD = Double.MaxValue; var secondD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0
+      var i = 0
+      val m = math.min(n, cent.length)
+      while (i < m) { val t = g(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) {
+        secondD = bestD; second = best
+        bestD = d; best = c
+      } else if (d < secondD) { secondD = d; second = c }
+      c += 1
+    }
+    if (second < 0) best else second // 1 centroid: degenerate to best
+  }
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case org.apache.spark.sql.types.ArrayType(t, _) =>
       t == org.apache.spark.sql.types.FloatType
@@ -123,6 +143,41 @@ object VectorExprs {
     }
     override def hashCode(): Int =
       31 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
+  }
+
+  /** Index of the SECOND-nearest centroid — the 2-probe assignment
+    * SemDeDup-style clustering uses to close the cell-boundary
+    * recall hole (a vector pair straddling two cells meets in the
+    * union of both probes). Degenerates to the nearest with a single
+    * centroid.
+    */
+  case class SecondNearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+    require(centroids.nonEmpty, "need centroids")
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "graft_second_nearest_centroid"
+    private lazy val vf = elemIsFloat(child)
+
+    override protected def nullSafeEval(input: Any): Any =
+      secondNearestCentroidEval(input.asInstanceOf[ArrayData], centroids, vf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExprs.secondNearestCentroidEval($c, $ref, $vf)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): SecondNearestCentroid =
+      copy(child = c)
+
+    override def equals(o: Any): Boolean = o match {
+      case SecondNearestCentroid(c, p) =>
+        c == child && p.length == centroids.length &&
+          p.zip(centroids).forall { case (x, y) => java.util.Arrays.equals(x, y) }
+      case _ => false
+    }
+    override def hashCode(): Int =
+      37 * child.hashCode() + centroids.map(java.util.Arrays.hashCode).toSeq.hashCode()
   }
 
   /** Asymmetric PQ cosine (ADC): cosine between an exact query vector
@@ -238,6 +293,9 @@ object VectorColumns {
 
   def nearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
     column(NearestCentroid(expression(v), centroids.map(_.toArray).toArray))
+
+  def secondNearestCentroid(v: Column, centroids: Seq[Seq[Double]]): Column =
+    column(SecondNearestCentroid(expression(v), centroids.map(_.toArray).toArray))
 
   def pqCosine(q: Column, codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
     column(PqCosine(expression(q), expression(codes),

@@ -49,5 +49,29 @@ class SemDedupSpec extends SparkSpec {
     it("emits every input exactly once") {
       verdicts().map(_._1) shouldBe Seq(1L, 2L, 3L, 4L, 5L, 6L)
     }
+    it("probe2 closes the cell-boundary recall hole (colinear pair caught)") {
+      // the 1-probe contract lets id 5 survive as cell 1's min even
+      // though it is colinear with id 1 (previous test); with the
+      // second-nearest probe the straddling pairs meet and only the
+      // global min id of the ray survives
+      val got = Dedup.semantic(corpus, "id", "v", cents, tau = 0.95,
+          probe2 = true)
+        .select("doc_id", "cl", "kept").as[(Long, Int, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      got shouldBe Seq(
+        (1L, 0, true), (2L, 0, false), (3L, 0, false),
+        (4L, 0, true), (5L, 1, false), (6L, 1, false))
+      // primary cluster assignment is unchanged by probing
+      got.map(v => (v._1, v._2)) shouldBe verdicts().map(v => (v._1, v._2))
+    }
+    it("probe2 with a single centroid degenerates to 1-probe") {
+      val one = Seq(Seq(1.0, 0.0))
+      Dedup.semantic(corpus, "id", "v", one, tau = 0.95, probe2 = true)
+        .select("doc_id", "kept").as[(Long, Boolean)]
+        .collect().sortBy(_._1).toSeq shouldBe
+        Dedup.semantic(corpus, "id", "v", one, tau = 0.95)
+          .select("doc_id", "kept").as[(Long, Boolean)]
+          .collect().sortBy(_._1).toSeq
+    }
   }
 }
