@@ -44,15 +44,43 @@ object PcaPower {
         .cast("decimal(24,9)").as("c"))
   }
 
+  /** Covariance entries via the native outer-product moments
+    * aggregate (`functions.CovMoments` — the treeAggregate shape):
+    * one tight d² loop per row instead of d² exploded rows through
+    * the aggregation hash. Same 6dp input quantization and 9dp
+    * output rounding as [[covariance]], but double sums — partial-
+    * merge order costs ~1 ulp, absorbed by the 9dp rounding on
+    * well-conditioned input (spec-pinned agreement), yet not
+    * oracle-gateable; use `exact = true` (the default) for parity
+    * runs, this for d ≥ 256 production width.
+    */
+  private def covarianceFast(df: DataFrame, vecCol: String): DataFrame = {
+    val m = df.agg(graft.functions.CovMoments.covMoments(col(vecCol)).as("m"))
+    m.select(col("m.n").as("n"), col("m.s1").as("s1"),
+        posexplode(col("m.s2")).as(Seq("idx", "s2")))
+      .select(
+        (col("idx") / size(col("s1"))).cast("int").as("i"),
+        pmod(col("idx"), size(col("s1"))).cast("int").as("j"),
+        col("n"), col("s1"), col("s2"))
+      .select(col("i"), col("j"),
+        round((col("n").cast("double") * col("s2") -
+          element_at(col("s1"), col("i") + 1) *
+            element_at(col("s1"), col("j") + 1)) /
+          (col("n").cast("double") * col("n").cast("double")), 9)
+          .cast("decimal(24,9)").as("c"))
+  }
+
   /** Run `iters` power-iteration rounds; returns per dim:
     * (d, loading, eig_share). */
   def topComponent(
       spark: SparkSession,
       df: DataFrame,
       vecCol: String,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      exact: Boolean = true): DataFrame = {
     require(iters >= 1)
-    val cov = graft.plans.Plans.barrier(covariance(df, vecCol))
+    val cov = graft.plans.Plans.barrier(
+      if (exact) covariance(df, vecCol) else covarianceFast(df, vecCol))
     val dims = cov.select(col("i").as("d")).distinct()
     var v = dims.select(col("d"),
       lit(0.125).cast("decimal(20,9)").as("x"))

@@ -18,6 +18,38 @@ class PcaPowerSpec extends SparkSpec {
       // nearly all variance explained by the component
       out(0).getAs[Double]("eig_share") shouldBe 1.0 +- 0.01
     }
+    it("fast (CovMoments) and exact covariance paths agree to 9dp") {
+      // deterministic anisotropic cloud, multi-partition so partial
+      // merges actually happen; d = 6 exercises the full outer loop
+      val vecs = (1 to 120).map { i =>
+        Array.tabulate(6)(k =>
+          (math.sin(i * (k + 1) * 0.37) * (6 - k) + k * 0.01).toFloat)
+      }.toDF("v").repartition(7)
+      def run(exact: Boolean) =
+        PcaPower.topComponent(spark, vecs, "v", iters = 5, exact = exact)
+          .collect().sortBy(_.getAs[Long]("d"))
+          .map(r => (r.getAs[Long]("d"), r.getAs[Double]("loading"),
+            r.getAs[Double]("eig_share")))
+      val e = run(exact = true)
+      val f = run(exact = false)
+      // loadings are 9dp-rounded each iteration and eig_share 6dp:
+      // the double-sum path must land on the identical quantized
+      // values for this well-conditioned fixture
+      f shouldBe e
+    }
+    it("CovMoments buffer survives serialize/merge across partitions") {
+      import org.apache.spark.sql.functions._
+      val df = (1 to 100).map(i =>
+        Array(i.toFloat, (2 * i).toFloat)).toDF("v").repartition(13)
+      val m = df.agg(graft.functions.CovMoments.covMoments(col("v")).as("m"))
+        .select("m.n", "m.s1", "m.s2").collect().head
+      m.getAs[Long](0) shouldBe 100L
+      val s1 = m.getSeq[Double](1).toSeq
+      val s2 = m.getSeq[Double](2).toSeq
+      s1 shouldBe Seq(5050.0, 10100.0)
+      // Σx² = 338350, Σx·2x = 676700, Σ(2x)² = 1353400
+      s2 shouldBe Seq(338350.0, 676700.0, 676700.0, 1353400.0)
+    }
     it("splits an isotropic pair evenly in eig_share") {
       // two equal-variance independent dims → share ≈ 0.5
       val vecs = (1 to 64).map { i =>
