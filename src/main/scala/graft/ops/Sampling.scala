@@ -269,12 +269,39 @@ object Sampling {
     * α is fixed at 1/2 because IEEE-754 REQUIRES sqrt to be
     * correctly rounded — both engines produce bit-identical weights,
     * so the sampling thresholds (and therefore the kept set) match
-    * exactly. A general-α variant needs pow, whose last-ulp behavior
-    * is libm-specific; at a threshold boundary that could flip a
-    * row, so it is deliberately not offered.
+    * exactly. For other exponents use [[temperatureWeights]] — the
+    * engine-LOCAL general-α path.
     */
   def sqrtTemperatureWeights(supply: Map[String, Long]): Map[String, Double] =
     supply.collect { case (s, t) if t > 0 => s -> math.sqrt(t.toDouble) }
+
+  /** General-α temperature weights w_s = T_s^α — real mixture
+    * recipes run α anywhere in ~0.3–0.7 (multilingual sampling,
+    * DoReMi-style reweights), so the engine offers the full curve.
+    *
+    * ENGINE-LOCAL by design (documented non-oracled): pow's last-ulp
+    * behavior is libm-specific, so unlike the α=1/2 path these
+    * weights are not guaranteed bit-identical on a second engine —
+    * at a hash-threshold boundary one row could flip. Within ONE
+    * engine the weights (and the kept set) are fully deterministic:
+    * java.lang.Math.pow is specified to ≤1 ulp with
+    * semi-monotonicity, the same on every JVM platform. Dyadic α
+    * (0.5, 0.25, 0.75) short-circuit to correctly-rounded sqrt
+    * chains, so `temperatureWeights(s, 0.5)` ==
+    * `sqrtTemperatureWeights(s)` exactly.
+    */
+  def temperatureWeights(supply: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1]: $alpha")
+    def w(t: Double): Double = alpha match {
+      case 0.5 => math.sqrt(t)
+      case 0.25 => math.sqrt(math.sqrt(t))
+      case 0.75 => math.sqrt(math.sqrt(t * t * t))
+      case 1.0 => t
+      case a => math.pow(t, a)
+    }
+    supply.collect { case (s, t) if t > 0 => s -> w(t.toDouble) }
+  }
 
   /** The driver-side fraction math, exposed for tests and oracles:
     * budget = min over weighted strata of supply/weight, fraction_s =

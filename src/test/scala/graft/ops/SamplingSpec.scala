@@ -94,6 +94,42 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  describe("temperatureWeights (general α, engine-local)") {
+    val supply = Map("web" -> 90000L, "wiki" -> 10000L, "code" -> 40000L)
+    it("α = 0.5 equals the sqrt path bit-for-bit") {
+      Sampling.temperatureWeights(supply, 0.5) shouldBe
+        Sampling.sqrtTemperatureWeights(supply)
+    }
+    it("α = 1 reproduces raw proportions (every stratum binds)") {
+      val f = Sampling.mixtureFractions(supply,
+        Sampling.temperatureWeights(supply, 1.0))
+      f.values.foreach(_ shouldBe 1.0 +- 1e-12)
+    }
+    it("kept tokens track T^α against a driver-computed expectation") {
+      val a = 0.3
+      val f = Sampling.mixtureFractions(supply,
+        Sampling.temperatureWeights(supply, a))
+      f("wiki") shouldBe 1.0 +- 1e-12 // smallest still binds for α < 1
+      // kept_s = budget·T_s^α with budget = T_wiki^(1-α)
+      val budget = math.pow(10000.0, 1 - a)
+      (supply("web") * f("web")) shouldBe
+        (budget * math.pow(90000.0, a)) +- 1e-6
+      (supply("code") * f("code")) shouldBe
+        (budget * math.pow(40000.0, a)) +- 1e-6
+    }
+    it("dyadic α run as correctly-rounded sqrt chains") {
+      val t = Map("x" -> 81L)
+      Sampling.temperatureWeights(t, 0.25) shouldBe Map("x" -> 3.0)
+      Sampling.temperatureWeights(t, 0.75) shouldBe Map("x" -> 27.0)
+    }
+    it("rejects α outside (0, 1]") {
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.temperatureWeights(supply, 0.0)
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.temperatureWeights(supply, 1.5)
+    }
+  }
+
   describe("mixtureByTokens") {
     it("achieves the target token mixture within hash-threshold noise") {
       import org.apache.spark.sql.functions.{col, lit, sum}
