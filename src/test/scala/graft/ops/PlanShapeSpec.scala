@@ -142,15 +142,22 @@ class PlanShapeSpec extends SparkSpec {
     import graft.text.Robots
     val urls = (1L to 400L).map(i => (i, s"https://h${i % 5}.com/p/$i"))
       .toDF("id", "url")
-    val rules = Seq(("h1.com", "/p/1")).toDF("domain", "rule")
+    val rules = Seq(("h1.com", "/p/1", false)).toDF("domain", "rule", "allow")
     val out = Robots.filterAllowed(urls, "url", rules)
     out.collect()
-    // broadcast anti join: no exchange on the corpus side, no
-    // sort-merge join anywhere
+    // broadcast join with the election in a projection: the RULES
+    // side may shuffle its domains-sized groupBy, but the corpus
+    // (streamed) side must carry no exchange, and no sort-merge
+    // join may appear anywhere
     val ns = nodes(out.queryExecution.executedPlan)
-    ns.count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
     ns.exists(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.SortMergeJoinExec]) shouldBe false
+    val bhj = ns.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    bhj should have size 1
+    nodes(bhj.head.left)
+      .count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
   }
 
   it("ZoneMap.readRange opens only the manifest-surviving files") {
