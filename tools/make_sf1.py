@@ -5,11 +5,17 @@ oracles (the driver's oracle SFs stay sf0.01/sf0.1).
 
 Replication scheme (r = 0..9, r0 = the original rows):
 - documents: doc_id + r*1_000_000; for r>0 a replica token 'zr<r>'
-  is interleaved after EVERY word, so replicas share no word
-  3-shingles with the original or each other — the dedup families
-  then see 10 independent corpora of the original shape (pair volume
-  scales ~linearly) instead of an adversarial 10-identical-copies
-  corpus where every bucket blows up 100x in pairs.
+  is prepended to every 8th word, which caps cross-replica /
+  replica-vs-original 3-shingle Jaccard at ~0.45 (< every dedup tau
+  in the registry) — the dedup families then see 10 independent
+  corpora of the original shape (pair volume scales ~linearly)
+  instead of an adversarial 10-identical-copies corpus where every
+  bucket blows up 100x in pairs. Filler stays ~11% of tokens: an
+  earlier every-word interleave made the filler 50% of ALL tokens,
+  i.e. one mega-hot unigram join key per replica, and ground the
+  bigram-LM join family ~100x — an adversarial token distribution
+  no real corpus has (Zipf heads top out ~5%), not a 10x-growth
+  measurement.
 - embeddings: vec_id + r*1_000_000; the vector is cyclically
   shifted by 6r positions for r>0 — norm/component distribution
   preserved, but shifted copies decorrelate (cosine ~ that of
@@ -52,13 +58,18 @@ def src(table):
 gen("documents", lambda r: (
     f"SELECT doc_id + {r*1_000_000} AS doc_id, "
     + ("text, " if r == 0 else
-       f"array_to_string(flatten(list_transform(string_split(text, ' '), "
-       f"w -> [w, 'zr{r}'])), ' ') AS text, ")
+       f"array_to_string(list_transform(range(1, "
+       f"len(string_split(text, ' ')) + 1), "
+       f"i -> CASE WHEN i % 8 = 1 THEN 'zr{r} ' || "
+       f"string_split(text, ' ')[i] ELSE string_split(text, ' ')[i] END), "
+       f"' ') AS text, ")
     + "lang, source, "
     + ("n_chars " if r == 0 else
-       f"CAST(length(array_to_string(flatten(list_transform("
-       f"string_split(text, ' '), w -> [w, 'zr{r}'])), ' ')) AS BIGINT)"
-       " AS n_chars ")
+       f"CAST(length(array_to_string(list_transform(range(1, "
+       f"len(string_split(text, ' ')) + 1), "
+       f"i -> CASE WHEN i % 8 = 1 THEN 'zr{r} ' || "
+       f"string_split(text, ' ')[i] ELSE string_split(text, ' ')[i] END), "
+       f"' ')) AS BIGINT) AS n_chars ")
     + f"FROM {src('documents')}"))
 
 gen("embeddings", lambda r: (
