@@ -10,12 +10,14 @@ Replication scheme (r = 0..9, r0 = the original rows):
   in the registry) — the dedup families then see 10 independent
   corpora of the original shape (pair volume scales ~linearly)
   instead of an adversarial 10-identical-copies corpus where every
-  bucket blows up 100x in pairs. Filler stays ~11% of tokens: an
-  earlier every-word interleave made the filler 50% of ALL tokens,
-  i.e. one mega-hot unigram join key per replica, and ground the
-  bigram-LM join family ~100x — an adversarial token distribution
-  no real corpus has (Zipf heads top out ~5%), not a 10x-growth
-  measurement.
+  bucket blows up 100x in pairs. Filler stays ~11% of tokens (an
+  every-word interleave would make it 50% of ALL tokens AND double
+  the token volume — a corpus shape no real data has; Zipf heads
+  top out ~5% — so ratios would measure the fixture, not the
+  engine). Note the hot-key skew itself is MEASURED harmless: a
+  controlled A/B at 10M bigrams ran the 50%-hot-token corpus within
+  noise of a benign one (SkewRobustnessSpec) — partial aggregation
+  + AQE absorb it.
 - embeddings: vec_id + r*1_000_000; the vector is cyclically
   shifted by 6r positions for r>0 — norm/component distribution
   preserved, but shifted copies decorrelate (cosine ~ that of
