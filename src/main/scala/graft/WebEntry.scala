@@ -356,7 +356,10 @@ object WebEntry {
   private val RobotsBodyA = "User-agent: bot\nDisallow: /x\n\n" +
     "User-agent: *\nDisallow: /private\nDisallow: /tmp\n" +
     "Allow: /tmp/x1\nDisallow: /articles/*7$\n" +
-    "# comment line\nUser-agent: zeta\nDisallow: /p"
+    "# comment line\nUser-agent: zeta\nDisallow: /p\n" +
+    // RFC group grammar: consecutive UA lines share the rules —
+    // this group binds to BOTH 'extra' and '*'
+    "User-agent: extra\nUser-agent: *\nDisallow: /p/9"
   private val RobotsBodyB = "User-agent: *\nDisallow:"
   private val RobotsBodyC = "User-agent: other\nDisallow: /"
 
@@ -2066,16 +2069,22 @@ object WebEntry {
          |           THEN trim(substr(line, 10))
          |         WHEN lower(line) LIKE 'allow:%'
          |           THEN trim(substr(line, 7)) END AS rule
-         |  FROM lines
+         |  FROM lines WHERE line <> '' AND line NOT LIKE '#%'
+         |), pre AS (
+         |  SELECT *, COALESCE(LAG(is_ua) OVER
+         |    (PARTITION BY dom ORDER BY idx), FALSE) AS prev_ua
+         |  FROM cls
          |), grp AS (
-         |  SELECT *, SUM(CASE WHEN is_ua THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY dom ORDER BY idx) AS g FROM cls
+         |  SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY dom ORDER BY idx) AS g FROM pre
          |), ag AS (
-         |  SELECT *, MAX(CASE WHEN is_ua THEN agent END)
-         |    OVER (PARTITION BY dom, g) AS group_agent FROM grp
+         |  SELECT *, MAX(CASE WHEN is_ua AND agent = '*'
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY dom, g) AS star FROM grp
          |), rules AS (
          |  SELECT dom, rule, is_al AS allow FROM ag
-         |  WHERE (is_dis OR is_al) AND group_agent = '*' AND rule <> ''
+         |  WHERE (is_dis OR is_al) AND star = 1 AND rule <> ''
          |), rules2 AS (
          |  SELECT dom, allow, length(rule) AS prio,
          |    ${graft.text.Robots.PatternToRegexSql} AS re

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *    `$` anchors the match at the path's end (interior `$` is
   *    literal, per the RFC's grammar). Patterns without `$` are
   *    prefix-anchored as before.
-  *  - only the `User-agent: *` group applies (a per-crawler UA match
-  *    is a config knob away — the parse already keys groups); the
-  *    multiple-consecutive-UA-lines-share-a-group nicety of the full
-  *    RFC grammar remains out of scope (documented subset);
+  *  - only `User-agent: *` rules apply (a per-crawler UA match is a
+  *    config knob away — the parse already keys groups); CONSECUTIVE
+  *    `User-agent` lines share the rule group that follows them (the
+  *    RFC 9309 group grammar: `User-agent: a` + `User-agent: *` +
+  *    rules binds the rules to BOTH agents), with comment/blank
+  *    lines insignificant inside a UA run and any rule line ending
+  *    it;
   *  - an EMPTY `Disallow:`/`Allow:` value carries no rule; field
   *    names match case-insensitively, values are trimmed, `#`
   *    comment lines and blank lines are ignored.
@@ -49,6 +52,9 @@ object Robots {
       .select(col(domainCol).as("domain"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
       .withColumn("line", trim(col("raw")))
+      // comments/blanks are insignificant everywhere (incl. inside a
+      // UA run) — drop them before group structure is derived
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
     val classified = lines
       .withColumn("is_ua", lower(col("line")).startsWith("user-agent:"))
       .withColumn("is_dis", lower(col("line")).startsWith("disallow:"))
@@ -57,16 +63,20 @@ object Robots {
       .withColumn("rule",
         when(col("is_dis"), trim(expr("substring(line, 10)")))
           .when(col("is_al"), trim(expr("substring(line, 7)"))))
-    // group id = running count of User-agent lines; the group's
-    // agent is the (single) UA line's value within that group
-    val g = sum(when(col("is_ua"), 1).otherwise(0))
-      .over(Window.partitionBy("domain").orderBy("idx"))
+    // group id increments at the START of each UA run (a UA line
+    // whose previous retained line is not UA) — consecutive UA lines
+    // then share one group, per the RFC grammar; any other line
+    // (rules, unknown fields like Crawl-delay) ends the run
+    val byIdx = Window.partitionBy("domain").orderBy("idx")
+    val prevUa = lag(col("is_ua"), 1, false).over(byIdx)
+    val g = sum(when(col("is_ua") && !prevUa, 1).otherwise(0)).over(byIdx)
     val withGroup = classified.withColumn("g", g)
-    val agentOfGroup = max(when(col("is_ua"), col("agent")))
-      .over(Window.partitionBy("domain", "g"))
-    withGroup.withColumn("group_agent", agentOfGroup)
+    // the group applies to '*' if ANY of its UA lines names '*'
+    val starGroup = max(when(col("is_ua") && col("agent") === "*", 1)
+      .otherwise(0)).over(Window.partitionBy("domain", "g"))
+    withGroup.withColumn("star", starGroup)
       .filter((col("is_dis") || col("is_al")) &&
-        col("group_agent") === "*" && col("rule") =!= "")
+        col("star") === 1 && col("rule") =!= "")
       .select(col("domain"), col("rule"), col("is_al").as("allow"))
   }
 

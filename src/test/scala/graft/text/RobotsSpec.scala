@@ -48,6 +48,27 @@ class RobotsSpec extends SparkSpec {
         "User-agent: *\nDisallow: /c") shouldBe
         Set(("/a", false), ("/c", false))
     }
+
+    it("consecutive UA lines share the rule group (RFC grammar)") {
+      // '*' first, specific agent second — the rules bind to both
+      rulesOf("User-agent: *\nUser-agent: b\nDisallow: /x") shouldBe
+        Set(("/x", false))
+      // specific agent first, '*' second — same sharing
+      rulesOf("User-agent: b\nUser-agent: *\nDisallow: /y") shouldBe
+        Set(("/y", false))
+    }
+
+    it("comments and blanks inside a UA run are insignificant") {
+      rulesOf("User-agent: b\n# c\n\nUser-agent: *\nDisallow: /z") shouldBe
+        Set(("/z", false))
+    }
+
+    it("a rule line ends the UA run — a later UA starts a new group") {
+      // the Crawl-delay (unknown rule) ends *'s run, so the 'b'
+      // group that follows does NOT share with '*'
+      rulesOf("User-agent: *\nCrawl-delay: 10\n" +
+        "User-agent: b\nDisallow: /w") shouldBe Set.empty
+    }
   }
 
   private def allowed(urls: Seq[(Long, String)],
