@@ -92,6 +92,25 @@ class PlanShapeSpec extends SparkSpec {
     scan should include regex "PushedFilters: \\[.*Or\\(IsNull\\(valid_to\\),GreaterThan\\(valid_to,"
   }
 
+  it("LM-index probe pushes the kind split into the parquet scan") {
+    import graft.text.LmFilter
+    val p = "target/scratch/planshape_lm_index"
+    val pp = new org.apache.hadoop.fs.Path(p)
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    val ref = Seq("alpha beta gamma", "beta gamma delta")
+      .map(Tuple1(_)).toDF("text")
+    LmFilter.bigramLmIndex(ref, "text").write.parquet(p)
+    val out = LmFilter.scoreAgainstLmIndex(spark.read.parquet(p),
+      Seq((1L, "alpha beta zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    out.collect()
+    val scan = out.queryExecution.executedPlan.toString
+    // the persisted model splits by row kind at the SCAN — a probe
+    // must never deserialize the other half of the count table
+    scan should include regex "PushedFilters: \\[.*EqualTo\\(kind,uni\\)"
+    scan should include regex "PushedFilters: \\[.*EqualTo\\(kind,bi\\)"
+  }
+
   it("crawl-pipeline extraction + quality gate stays shuffle-free pre-election") {
     import graft.text.HtmlExtract
     val pages = (1L to 20L)
