@@ -768,6 +768,32 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
+  // q327 — SemDeDup with 2-probe assignment (Dedup.semantic
+  // probe2 = true — the r9 cell-boundary recall fix made a gated
+  // contract): identical fixture and census as q163, but candidate
+  // pairs form in the UNION of each vector's nearest AND second-
+  // nearest centroid buckets, so ε-ball members straddling a
+  // bisector are caught. The oracle replays rank-≤2 assignment
+  // (row_number ≤ 2 over the same (dist, cid) order — the Scala
+  // runner-up election matches this tie discipline exactly) and the
+  // widened pair join; the census still keys on the PRIMARY cluster.
+  // ---------------------------------------------------------------
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    import graft.ann.KMeans
+    import graft.dedup.Dedup
+    val base = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = PipelineEntry.vecCorpus(s, dir)
+    val cents = KMeans.initCentroids(base, "vec_id", "embedding", k = 8)
+    Dedup.semantic(corpus, "vec_id", "embedding", cents, tau = 0.95,
+        probe2 = true)
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(!col("kept"), 1)).as("n_dropped"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_sum_ids"))
+      .orderBy("cl")
+  }
+
+  // ---------------------------------------------------------------
   // q164 — repeated-substring exposure report (Dedup.repeatedGramReport
   // — the doc-level shape of Lee et al. 2022's exact substring dedup):
   // per doc, the fraction of its distinct word 8-grams already OWNED
@@ -893,6 +919,7 @@ object TrainEntry {
     "q165_dsir_weights" -> (q165 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
+    "q327_semdedup_probe2" -> (q327 _),
     "q143_bpe_train" -> (q143 _),
     "q144_bpe_census" -> (q144 _),
     "q145_image_neardup" -> (q145 _),
@@ -1090,6 +1117,49 @@ object TrainEntry {
          |  SELECT DISTINCT y.vid AS b
          |  FROM v x JOIN a ax ON x.vid = ax.vid
          |    JOIN a ay ON ax.cid = ay.cid
+         |    JOIN v y ON y.vid = ay.vid AND x.vid < y.vid
+         |  WHERE $cos >= 0.95)
+         |SELECT cid AS cl, count(*) AS n_total,
+         |  count(*) FILTER (WHERE vid IN (SELECT b FROM drops)) AS n_dropped,
+         |  CAST(sum(vid) FILTER (WHERE vid NOT IN (SELECT b FROM drops))
+         |    AS BIGINT) AS kept_sum_ids
+         |FROM a GROUP BY 1 ORDER BY cl""".stripMargin
+    },
+    "q327_semdedup_probe2" -> {
+      val cos = PipelineEntry.cosSql("x.dv", "y.dv")
+      s"""WITH cents AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+         |  FROM embeddings
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings
+         |                   ORDER BY vec_id LIMIT 8)),
+         |corpus AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_transform(embedding, x -> CAST(x * CAST(1.01 AS FLOAT) AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |v AS MATERIALIZED (
+         |  SELECT vec_id AS vid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM corpus),
+         |d AS MATERIALIZED (
+         |  SELECT v.vid, c.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, len(dv) + 1),
+         |        i -> (dv[i] - c.c[i]) * (dv[i] - c.c[i]))),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM v, cents c),
+         |ranked AS MATERIALIZED (
+         |  SELECT vid, cid,
+         |    row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+         |  FROM d),
+         |a AS MATERIALIZED (SELECT vid, cid FROM ranked WHERE rn = 1),
+         |a2 AS MATERIALIZED (SELECT vid, cid FROM ranked WHERE rn <= 2),
+         |drops AS MATERIALIZED (
+         |  SELECT DISTINCT y.vid AS b
+         |  FROM v x JOIN a2 ax ON x.vid = ax.vid
+         |    JOIN a2 ay ON ax.cid = ay.cid
          |    JOIN v y ON y.vid = ay.vid AND x.vid < y.vid
          |  WHERE $cos >= 0.95)
          |SELECT cid AS cl, count(*) AS n_total,

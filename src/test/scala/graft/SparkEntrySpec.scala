@@ -12,10 +12,10 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q326, contiguous)") {
-      SparkEntry.queries.size shouldBe 326
+    it("covers the full SURVEY inventory (q01..q327, contiguous)") {
+      SparkEntry.queries.size shouldBe 327
       val nums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
-      nums shouldBe (1 to 326).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 327).map(i => f"q$i%02d").toSet
     }
     it("every registered query carries a DuckDB oracle") {
       SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet shouldBe empty
