@@ -28,8 +28,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_SLICE=i/k — time only round-robin slice i of
+    // the sorted registry in THIS JVM. tools/bench_chunks.sh runs one
+    // JVM per slice and merges, so a 300+-query sweep's accumulated
+    // codegen/JIT-cache pressure can't tax late queries (BASELINE.md's
+    // q155 lesson: 1.57s standalone vs 3.86s at sweep position 150+).
+    // Round-robin (j % k == i) keeps each slice a cheap/expensive mix.
+    val slice = sys.env.get("SPARK_GRAFT_BENCH_SLICE").map { s =>
+      val Array(i, k) = s.split("/").map(_.trim.toInt)
+      require(k >= 1 && i >= 0 && i < k, s"slice i/k needs 0<=i<k: $s")
+      (i, k)
+    }
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.exists(n.startsWith))
+    val names = slice.fold(names0) { case (i, k) =>
+      names0.zipWithIndex.collect { case (n, j) if j % k == i => n }
+    }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val best = scala.collection.mutable.Map.empty[String, Double]
     val runTotals = (1 to runs).map { _ =>

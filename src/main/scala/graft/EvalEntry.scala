@@ -991,8 +991,60 @@ object EvalEntry {
   private[graft] def lmIndexPath(dir: String): String =
     s"target/scratch/lm_index_${sanitize(dir)}"
 
+  // ---------------------------------------------------------------
+  // q330 — interpolated (Jelinek-Mercer) bigram LM scoring
+  // (text/LmFilter.Interpolated): the same persisted-index
+  // train-once/score-many loop as q325 but with the λ-interpolated
+  // scorer — λ·P_ml(b|a) + (1−λ)·P_add1(b) — the classic fix for
+  // add-k's vocabulary over-penalty (Chen & Goodman 1999) and the
+  // generality VERDICT r9 asked of the (order, smoothing) metadata:
+  // the artifact self-describes smoothing_k = -λ‰ and the scorer
+  // dispatches from it. One extra keyed join (second-token unigram)
+  // over q325's shape; its own artifact path (a different model
+  // family must never thrash q325's index).
+  // ---------------------------------------------------------------
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    graft.text.LmFilter.indexedBigramLogprob(s,
+        s"target/scratch/lm_index_jm_${sanitize(dir)}",
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        smoothing = graft.text.LmFilter.Interpolated(
+          StatsEntry.JmLambdaPermille))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q329 — wide-embedding PCA (ann/PcaPower auto-switch, VERDICT r9
+  // item 2's bench row): a deterministic d=256 widening of the
+  // embeddings table (4 fixed per-block transforms of the d=64
+  // vectors) pushes the width past ExactWidthCutoff, so the auto
+  // default takes the CovMoments moments path — one fused d² loop
+  // per row instead of d² exploded rows (the exact path measured
+  // ~28× slower at this width; BASELINE.md r10). No DuckDB oracle BY
+  // DESIGN: the moments path's double partial-merge order is not
+  // cross-engine gateable (the 9dp agreement is spec-pinned in
+  // PcaPowerSpec at d=64/d=256 instead); the driver records the
+  // rows-only check.
+  // ---------------------------------------------------------------
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "embeddings").select(
+      flatten(array(
+        col("embedding"),
+        transform(col("embedding"),
+          x => (x * lit(0.5d) + lit(0.01d)).cast("float")),
+        transform(col("embedding"),
+          x => (x * x * lit(0.25d)).cast("float")),
+        transform(col("embedding"),
+          x => (-x + lit(0.125d)).cast("float")))).as("embedding"))
+    graft.ann.PcaPower.topComponent(s, wide, "embedding", iters = 5)
+      .orderBy("d")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q325_lm_index" -> (q325 _),
+    "q329_pca_wide" -> (q329 _),
+    "q330_lm_interpolated" -> (q330 _),
     "q321_median_ci" -> (q321 _),
     "q322_forecast_baseline" -> (q322 _),
     "q323_conversion_ab" -> (q323 _),
@@ -1117,6 +1169,15 @@ object EvalEntry {
     // to the fresh full recompute
     "q325_lm_index" ->
       s"""WITH ${StatsEntry.LmScoreCte}
+         |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
+         |FROM lm_scores ORDER BY doc_id""".stripMargin,
+    // q329_pca_wide carries NO oracle by design: the CovMoments
+    // moments path sums IEEE doubles in partial-merge order — not
+    // cross-engine gateable; agreement with the exact path is
+    // spec-pinned (PcaPowerSpec d=64/d=256) and the driver records
+    // the rows-only check here.
+    "q330_lm_interpolated" ->
+      s"""WITH ${StatsEntry.LmScoreJmCte}
          |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
          |FROM lm_scores ORDER BY doc_id""".stripMargin,
     "q321_median_ci" ->

@@ -425,6 +425,68 @@ object StatsEntry {
       |  FROM terms GROUP BY doc_id
       |)""".stripMargin
 
+  /** λ (permille) of the q330 Jelinek-Mercer fixture — shared by the
+    * Spark plan and the oracle so both derive the identical double
+    * from the same integer. */
+  private[graft] val JmLambdaPermille = 700
+
+  /** q330's oracle: [[LmScoreCte]]'s corpus split and count tables,
+    * scored with the INTERPOLATED term instead of add-one —
+    *   λ·(c_ab/c_a  when c_a>0 else 0) + (1−λ)·(c_b+1)/(T+V)
+    * with λ = JmLambdaPermille/1000.0 (the same IEEE division both
+    * engines perform), c_b the second token's unigram count and
+    * T = Σ c_a. Ends in `lm_scores` with q325's column contract.
+    */
+  private[graft] val LmScoreJmCte: String = {
+    val lam = s"($JmLambdaPermille / 1000.0)"
+    s"""toksall AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents
+       |), ref AS (SELECT * FROM toksall WHERE doc_id % 2 = 0),
+       |tgt AS (SELECT * FROM toksall WHERE doc_id % 2 = 1),
+       |uni AS (
+       |  SELECT w, count(*) AS c_a FROM
+       |    (SELECT unnest(t) AS w FROM ref) GROUP BY w
+       |), vv AS (
+       |  SELECT count(*) AS v, CAST(sum(c_a) AS BIGINT) AS tt FROM uni
+       |), refbi AS (
+       |  SELECT ab, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1])) AS ab
+       |    FROM ref WHERE len(t) >= 2) GROUP BY ab
+       |), db AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS ab
+       |  FROM tgt WHERE len(t) >= 2
+       |), j AS (
+       |  SELECT d.doc_id, string_split(d.ab, ' ')[1] AS a,
+       |    string_split(d.ab, ' ')[2] AS b2, r.c_ab
+       |  FROM db d LEFT JOIN refbi r USING (ab)
+       |), terms AS (
+       |  SELECT j.doc_id, j.c_ab,
+       |    CAST(round(ln(
+       |      $lam * (CASE WHEN COALESCE(u.c_a, 0) > 0
+       |        THEN CAST(COALESCE(j.c_ab, 0) AS DOUBLE)
+       |          / CAST(u.c_a AS DOUBLE) ELSE 0.0 END)
+       |      + (1.0 - $lam)
+       |        * (CAST(COALESCE(ub.c_a, 0) + 1 AS DOUBLE)
+       |          / CAST(tt + v AS DOUBLE))), 6)
+       |      AS DECIMAL(28,6)) AS term
+       |  FROM j LEFT JOIN uni u ON j.a = u.w
+       |    LEFT JOIN uni ub ON j.b2 = ub.w
+       |    CROSS JOIN vv
+       |), lm_scores AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) FILTER (WHERE c_ab IS NULL) AS BIGINT)
+       |      AS n_unseen,
+       |    round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |      AS avg_logprob
+       |  FROM terms GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   private[graft] val DailyCte =
     """daily0 AS (
       |  SELECT event_type AS g, epoch_ns(ts) // 1000000 // 86400000 AS day,

@@ -393,6 +393,52 @@ object WebEntry {
   }
 
   // ---------------------------------------------------------------
+  // q328 — robots with a CONFIGURED crawler name (text/Robots
+  // .rules(agent=...)): the RFC 9309 §2.2.1 most-specific election —
+  // a domain with a group naming 'graftbot' (case-insensitive)
+  // serves the crawler THOSE rules and its '*' groups are ignored;
+  // only unnamed domains fall back to '*'. Same zero-corpus-shuffle
+  // enforcement as q135 (the election happens in the domains-sized
+  // parse); the oracle extends q135's parse with the identical
+  // named-group window election.
+  // ---------------------------------------------------------------
+  private val UaBodyBot = "User-agent: graftbot\nDisallow: /p/\n" +
+    "User-agent: *\nDisallow: /articles/" // named group overrides '*'
+  private val UaBodyStar = "User-agent: *\nDisallow: /private/" // fallback
+  private val UaBodyMixed = // case-insensitive token + in-group election
+    "User-agent: GRAFTBOT\nAllow: /articles/\nDisallow: /\n" +
+      "User-agent: other\nDisallow: /x"
+
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Robots
+    val urls = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"), srcDomainCol,
+        when(col("doc_id") % 4 === 0,
+            concat(lit("/private/doc"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/tmp/x"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/articles/"), col("doc_id").cast("string"))))
+        .as("url"))
+    val domains = urls
+      .select(graft.text.Urls.domain(col("url")).as("domain")).distinct()
+    val hostNum = regexp_extract(col("domain"), "^host([0-9]+)\\.", 1)
+      .cast("long")
+    val robots = domains.select(col("domain"),
+      when(hostNum % 3 === 0, lit(UaBodyBot))
+        .when(hostNum % 3 === 1, lit(UaBodyStar))
+        .otherwise(lit(UaBodyMixed)).as("body"))
+    val allowed = Robots.filterAllowed(urls, "url",
+      Robots.rules(robots, "domain", "body", agent = Some("graftbot")))
+    allowed
+      .groupBy(graft.text.Urls.domain(col("url")).as("dom"))
+      .agg(count(lit(1)).as("n_allowed"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("dom")
+  }
+
+  // ---------------------------------------------------------------
   // q136 — anchor-text index (the classic target-page relevance
   // signal: what OTHER pages call a page; search engines weight
   // anchor terms into the target's ranking, and crawl pipelines use
@@ -1207,7 +1253,8 @@ object WebEntry {
     "q132_zone_map" -> (q132 _),
     "q133_mojibake_repair" -> (q133 _),
     "q134_column_lineage" -> (q134 _),
-    "q135_robots_filter" -> (q135 _))
+    "q135_robots_filter" -> (q135 _),
+    "q328_robots_ua" -> (q328 _))
 
   def oracleSql: Map[String, String] = Map(
     "q181_join_profile" ->
@@ -2035,75 +2082,107 @@ object WebEntry {
         |  ('ln_stg_orders', 'price', 'main.orders', 'o_totalprice')
         |) AS t(model, column_name, src_table, src_column)
         |ORDER BY model, column_name, src_table, src_column""".stripMargin,
-    "q135_robots_filter" -> {
-      val pathCase =
-        """CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
-          |     WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR)
-          |     WHEN doc_id % 4 = 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
-          |     ELSE '/articles/' || CAST(doc_id AS VARCHAR) END""".stripMargin
-      // normal-quoted Scala string: "\\." emits a single backslash
-      val hostNumSql =
-        "CAST(regexp_extract(dom, '^host([0-9]+)\\.', 1) AS BIGINT) % 3"
-      val bodyCase =
-        s"""CASE WHEN $hostNumSql = 0
-           |       THEN ${sqlLit(RobotsBodyA)}
-           |     WHEN $hostNumSql = 1
-           |       THEN ${sqlLit(RobotsBodyB)}
-           |     ELSE ${sqlLit(RobotsBodyC)} END""".stripMargin
-      s"""WITH u AS (
-         |  SELECT doc_id, $SrcDomainSql AS dom, $pathCase AS path
-         |  FROM documents
-         |), robots AS (
-         |  SELECT dom, $bodyCase AS body FROM (SELECT DISTINCT dom FROM u) d
-         |), lines AS (
-         |  SELECT dom, i AS idx, trim(ls[i]) AS line
-         |  FROM (SELECT dom, split(body, chr(10)) AS ls FROM robots),
-         |    UNNEST(generate_series(1, len(ls))) AS t(i)
-         |), cls AS (
-         |  SELECT dom, idx, line,
-         |    lower(line) LIKE 'user-agent:%' AS is_ua,
-         |    lower(line) LIKE 'disallow:%' AS is_dis,
-         |    lower(line) LIKE 'allow:%' AS is_al,
-         |    trim(substr(line, 12)) AS agent,
-         |    CASE WHEN lower(line) LIKE 'disallow:%'
-         |           THEN trim(substr(line, 10))
-         |         WHEN lower(line) LIKE 'allow:%'
-         |           THEN trim(substr(line, 7)) END AS rule
-         |  FROM lines WHERE line <> '' AND line NOT LIKE '#%'
-         |), pre AS (
-         |  SELECT *, COALESCE(LAG(is_ua) OVER
-         |    (PARTITION BY dom ORDER BY idx), FALSE) AS prev_ua
-         |  FROM cls
-         |), grp AS (
-         |  SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua
-         |      THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY dom ORDER BY idx) AS g FROM pre
-         |), ag AS (
-         |  SELECT *, MAX(CASE WHEN is_ua AND agent = '*'
-         |      THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY dom, g) AS star FROM grp
-         |), rules AS (
-         |  SELECT dom, rule, is_al AS allow FROM ag
-         |  WHERE (is_dis OR is_al) AND star = 1 AND rule <> ''
-         |), rules2 AS (
-         |  SELECT dom, allow, length(rule) AS prio,
-         |    ${graft.text.Robots.PatternToRegexSql} AS re
-         |  FROM rules
-         |), cand AS (
-         |  SELECT u.doc_id, r.prio, r.allow
-         |  FROM u JOIN rules2 r
-         |    ON r.dom = u.dom AND regexp_matches(u.path, r.re)
-         |), best AS (
-         |  SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY prio DESC, allow DESC) AS rn
-         |  FROM cand
-         |), allowed AS (
-         |  SELECT u.* FROM u WHERE NOT EXISTS (
-         |    SELECT 1 FROM best b
-         |    WHERE b.doc_id = u.doc_id AND b.rn = 1 AND NOT b.allow)
-         |)
-         |SELECT dom, count(*) AS n_allowed, CAST(sum(doc_id) AS BIGINT)
-         |    AS sum_ids
-         |FROM allowed GROUP BY dom ORDER BY dom""".stripMargin
-    })
+    "q135_robots_filter" -> robotsOracleSql(None,
+      bodyA = RobotsBodyA, bodyB = RobotsBodyB, bodyC = RobotsBodyC),
+    "q328_robots_ua" -> robotsOracleSql(Some("graftbot"),
+      bodyA = UaBodyBot, bodyB = UaBodyStar, bodyC = UaBodyMixed))
+
+  // The q135/q328 URL fixture: one deterministic path per doc_id
+  private val RobotsPathCase =
+    """CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+      |     WHEN doc_id % 4 = 1 THEN '/p/' || CAST(doc_id AS VARCHAR)
+      |     WHEN doc_id % 4 = 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+      |     ELSE '/articles/' || CAST(doc_id AS VARCHAR) END""".stripMargin
+
+  /** DuckDB restatement of the full robots pipeline shared by q135
+    * and q328 (their oracles were line-identical up to body text and
+    * group election before this factoring): the q135/q328 URL
+    * fixture, the hostnum%3 body assignment, Robots.rules' group
+    * parse, and the RFC 9309 longest-match enforcement. `agent`
+    * mirrors `Robots.rules(agent=...)`: None keeps the '*'-only
+    * election; Some(name) adds the per-domain most-specific election
+    * (a named group suppresses every '*' group on its domain).
+    */
+  private def robotsOracleSql(agent: Option[String],
+      bodyA: String, bodyB: String, bodyC: String): String = {
+    // normal-quoted Scala string: "\\." emits a single backslash
+    val hostNumSql =
+      "CAST(regexp_extract(dom, '^host([0-9]+)\\.', 1) AS BIGINT) % 3"
+    val bodyCase =
+      s"""CASE WHEN $hostNumSql = 0
+         |       THEN ${sqlLit(bodyA)}
+         |     WHEN $hostNumSql = 1
+         |       THEN ${sqlLit(bodyB)}
+         |     ELSE ${sqlLit(bodyC)} END""".stripMargin
+    val namedFlag = agent.fold("") { a =>
+      ",\n    MAX(CASE WHEN is_ua AND lower(agent) = " +
+        sqlLit(a.toLowerCase(java.util.Locale.ROOT)) +
+        "\n        THEN 1 ELSE 0 END)\n      " +
+        "OVER (PARTITION BY dom, g) AS named"
+    }
+    val domFlag = agent.fold("") { _ =>
+      ",\n    MAX(CASE WHEN is_ua AND lower(agent) = " +
+        sqlLit(agent.get.toLowerCase(java.util.Locale.ROOT)) +
+        "\n        THEN 1 ELSE 0 END)\n      " +
+        "OVER (PARTITION BY dom) AS dom_named"
+    }
+    val election = agent.fold("star = 1")(_ =>
+      "CASE WHEN dom_named = 1 THEN named = 1 ELSE star = 1 END")
+    s"""WITH u AS (
+       |  SELECT doc_id, $SrcDomainSql AS dom, $RobotsPathCase AS path
+       |  FROM documents
+       |), robots AS (
+       |  SELECT dom, $bodyCase AS body FROM (SELECT DISTINCT dom FROM u) d
+       |), lines AS (
+       |  SELECT dom, i AS idx, trim(ls[i]) AS line
+       |  FROM (SELECT dom, split(body, chr(10)) AS ls FROM robots),
+       |    UNNEST(generate_series(1, len(ls))) AS t(i)
+       |), cls AS (
+       |  SELECT dom, idx, line,
+       |    lower(line) LIKE 'user-agent:%' AS is_ua,
+       |    lower(line) LIKE 'disallow:%' AS is_dis,
+       |    lower(line) LIKE 'allow:%' AS is_al,
+       |    trim(substr(line, 12)) AS agent,
+       |    CASE WHEN lower(line) LIKE 'disallow:%'
+       |           THEN trim(substr(line, 10))
+       |         WHEN lower(line) LIKE 'allow:%'
+       |           THEN trim(substr(line, 7)) END AS rule
+       |  FROM lines WHERE line <> '' AND line NOT LIKE '#%'
+       |), pre AS (
+       |  SELECT *, COALESCE(LAG(is_ua) OVER
+       |    (PARTITION BY dom ORDER BY idx), FALSE) AS prev_ua
+       |  FROM cls
+       |), grp AS (
+       |  SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY dom ORDER BY idx) AS g FROM pre
+       |), ag AS (
+       |  SELECT *, MAX(CASE WHEN is_ua AND agent = '*'
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY dom, g) AS star$namedFlag$domFlag
+       |  FROM grp
+       |), rules AS (
+       |  SELECT dom, rule, is_al AS allow FROM ag
+       |  WHERE (is_dis OR is_al) AND ($election) AND rule <> ''
+       |), rules2 AS (
+       |  SELECT dom, allow, length(rule) AS prio,
+       |    ${graft.text.Robots.PatternToRegexSql} AS re
+       |  FROM rules
+       |), cand AS (
+       |  SELECT u.doc_id, r.prio, r.allow
+       |  FROM u JOIN rules2 r
+       |    ON r.dom = u.dom AND regexp_matches(u.path, r.re)
+       |), best AS (
+       |  SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY prio DESC, allow DESC) AS rn
+       |  FROM cand
+       |), allowed AS (
+       |  SELECT u.* FROM u WHERE NOT EXISTS (
+       |    SELECT 1 FROM best b
+       |    WHERE b.doc_id = u.doc_id AND b.rn = 1 AND NOT b.allow)
+       |)
+       |SELECT dom, count(*) AS n_allowed, CAST(sum(doc_id) AS BIGINT)
+       |    AS sum_ids
+       |FROM allowed GROUP BY dom ORDER BY dom""".stripMargin
+  }
 }

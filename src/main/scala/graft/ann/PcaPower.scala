@@ -51,8 +51,8 @@ object PcaPower {
     * output rounding as [[covariance]], but double sums — partial-
     * merge order costs ~1 ulp, absorbed by the 9dp rounding on
     * well-conditioned input (spec-pinned agreement), yet not
-    * oracle-gateable; use `exact = true` (the default) for parity
-    * runs, this for d ≥ 256 production width.
+    * oracle-gateable; parity fixtures force `exact = Some(true)`,
+    * and the auto default picks this path above [[ExactWidthCutoff]].
     */
   private def covarianceFast(df: DataFrame, vecCol: String): DataFrame = {
     val m = df.agg(graft.functions.CovMoments.covMoments(col(vecCol)).as("m"))
@@ -70,17 +70,46 @@ object PcaPower {
           .cast("decimal(24,9)").as("c"))
   }
 
+  /** Covariance-path switch point: at or below this width the exact
+    * decimal d²-explode is cheap and oracle-gateable; above it the
+    * exploded pair volume (rows × d²) dominates and the CovMoments
+    * one-pass moments path wins by an order of magnitude (d=256 at
+    * sf0.1: ~28s exact vs ~1s moments — BASELINE.md r10 row). The
+    * auto default removes the production foot-gun VERDICT r9 named:
+    * a d=768 user no longer needs to know to pass `exact = false`.
+    */
+  val ExactWidthCutoff = 128
+
+  /** The covariance-path decision (seam for the switch-point spec):
+    * an explicit `exact` wins; otherwise exact iff the width of the
+    * first vector is <= [[ExactWidthCutoff]] (empty input defaults
+    * exact — there is nothing to be slow about). */
+  private[graft] def resolveExact(
+      df: DataFrame, vecCol: String, exact: Option[Boolean]): Boolean =
+    exact.getOrElse {
+      val w = df.select(size(col(vecCol)).as("w")).head(1)
+      w.isEmpty || w.head.getInt(0) <= ExactWidthCutoff
+    }
+
   /** Run `iters` power-iteration rounds; returns per dim:
-    * (d, loading, eig_share). */
+    * (d, loading, eig_share).
+    *
+    * `exact`: `Some(true)` forces the decimal-exact covariance (the
+    * parity contract — every oracle fixture), `Some(false)` forces
+    * the CovMoments moments path, `None` (default) auto-switches on
+    * the embedding width: exact iff d <= [[ExactWidthCutoff]] (width
+    * read from one row — a limit-1 scan, not a pass).
+    */
   def topComponent(
       spark: SparkSession,
       df: DataFrame,
       vecCol: String,
       iters: Int = 5,
-      exact: Boolean = true): DataFrame = {
+      exact: Option[Boolean] = None): DataFrame = {
     require(iters >= 1)
+    val useExact = resolveExact(df, vecCol, exact)
     val cov = graft.plans.Plans.barrier(
-      if (exact) covariance(df, vecCol) else covarianceFast(df, vecCol))
+      if (useExact) covariance(df, vecCol) else covarianceFast(df, vecCol))
     val dims = cov.select(col("i").as("d")).distinct()
     var v = dims.select(col("d"),
       lit(0.125).cast("decimal(20,9)").as("x"))

@@ -45,11 +45,14 @@ object DpNoise {
 
   def laplaceMu(key: Column, b: Int, salt: Long = 0L): Column = {
     require(b >= 1 && salt >= 0, s"b >= 1, salt >= 0: $b, $salt")
-    // fold the salted key into mix30's < 2^30 input domain (and the
-    // *31+7 sign variant likewise) so no intermediate overflows ANSI
-    // long arithmetic; for unsalted keys < P30/31 both pmods are the
-    // identity, preserving the historical q287 draw exactly
-    val k = pmod(key + lit(salt), lit(P30))
+    // fold key and salt into mix30's < 2^30 input domain SEPARATELY
+    // before adding (pmod(key)+saltMod < 2^31), so the fold is
+    // overflow-total: even salt = Long.MaxValue with a large key
+    // cannot overflow ANSI long arithmetic — a raw `key + salt`
+    // would be evaluated before any pmod and could. salt=0 keeps
+    // saltMod=0, preserving the historical q287 draw exactly
+    val saltMod = salt % P30
+    val k = pmod(pmod(key, lit(P30)) + lit(saltMod), lit(P30))
     val mag6 = floor(round(-log((Sampling.mix30(k) + 1) / lit(Den)), 6)
       * 1000000d + 0.5d).cast("long")
     val sign = when(
@@ -61,7 +64,7 @@ object DpNoise {
   /** SQL text of the same draw, for oracle authorship. `key` must be
     * non-negative (DuckDB `%` and Spark `pmod` then agree). */
   def laplaceMuSql(key: String, b: Int, salt: Long = 0L): String = {
-    val k = s"(($key + $salt) % $P30)"
+    val k = s"((($key % $P30) + ${salt % P30}) % $P30)"
     val u = s"((${Sampling.mix30Sql(k)}) + 1) / $Den"
     val mag6 = s"CAST(floor(round(-ln($u), 6) * 1000000 + 0.5) AS BIGINT)"
     val sign = s"CASE WHEN (${Sampling.mix30Sql(s"(($k * 31 + 7) % $P30)")}) % 2 = 0" +

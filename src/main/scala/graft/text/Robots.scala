@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   *    `$` anchors the match at the path's end (interior `$` is
   *    literal, per the RFC's grammar). Patterns without `$` are
   *    prefix-anchored as before.
-  *  - only `User-agent: *` rules apply (a per-crawler UA match is a
-  *    config knob away — the parse already keys groups); CONSECUTIVE
-  *    `User-agent` lines share the rule group that follows them (the
-  *    RFC 9309 group grammar: `User-agent: a` + `User-agent: *` +
-  *    rules binds the rules to BOTH agents), with comment/blank
-  *    lines insignificant inside a UA run and any rule line ending
-  *    it;
+  *  - group selection honors a CONFIGURED crawler name (RFC 9309
+  *    §2.2.1 most-specific election): if any group on the domain
+  *    names the crawler's product token (case-insensitive exact
+  *    match), the crawler obeys the union of THOSE groups and
+  *    ignores `*` groups entirely; only a domain with no matching
+  *    named group falls back to its `User-agent: *` groups. With no
+  *    configured name (the default) only `*` groups apply, as
+  *    before. CONSECUTIVE `User-agent` lines share the rule group
+  *    that follows them (the RFC 9309 group grammar: `User-agent: a`
+  *    + `User-agent: *` + rules binds the rules to BOTH agents),
+  *    with comment/blank lines insignificant inside a UA run and any
+  *    rule line ending it;
   *  - an EMPTY `Disallow:`/`Allow:` value carries no rule; field
   *    names match case-insensitively, values are trimmed, `#`
   *    comment lines and blank lines are ignored.
@@ -43,11 +48,16 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Rules of the `User-agent: *` group: (domain, rule, allow).
-    * Domains with no rules (or no robots.txt row at all) simply
-    * produce no rows — absent means allowed.
+  /** Rules of the group(s) the crawler must obey: (domain, rule,
+    * allow). With `agent = None`, the `User-agent: *` groups; with
+    * `agent = Some(name)`, the RFC 9309 most-specific election —
+    * per DOMAIN, groups naming `name` (case-insensitive) if any
+    * exist, else the `*` groups. Domains with no applicable rules
+    * (or no robots.txt row at all) simply produce no rows — absent
+    * means allowed.
     */
-  def rules(robots: DataFrame, domainCol: String, bodyCol: String): DataFrame = {
+  def rules(robots: DataFrame, domainCol: String, bodyCol: String,
+      agent: Option[String] = None): DataFrame = {
     val lines = robots
       .select(col(domainCol).as("domain"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("idx", "raw")))
@@ -71,12 +81,29 @@ object Robots {
     val prevUa = lag(col("is_ua"), 1, false).over(byIdx)
     val g = sum(when(col("is_ua") && !prevUa, 1).otherwise(0)).over(byIdx)
     val withGroup = classified.withColumn("g", g)
-    // the group applies to '*' if ANY of its UA lines names '*'
+    // the group applies to '*' if ANY of its UA lines names '*', and
+    // to the configured crawler if any names its product token
+    val byGroup = Window.partitionBy("domain", "g")
     val starGroup = max(when(col("is_ua") && col("agent") === "*", 1)
-      .otherwise(0)).over(Window.partitionBy("domain", "g"))
-    withGroup.withColumn("star", starGroup)
-      .filter((col("is_dis") || col("is_al")) &&
-        col("star") === 1 && col("rule") =!= "")
+      .otherwise(0)).over(byGroup)
+    val flagged = withGroup.withColumn("star", starGroup)
+    val applicable = agent match {
+      case None => flagged.filter(col("star") === 1)
+      case Some(name) =>
+        val nameLc = name.toLowerCase(java.util.Locale.ROOT)
+        val named = max(when(col("is_ua") &&
+          lower(col("agent")) === nameLc, 1).otherwise(0)).over(byGroup)
+        // most-specific election is PER DOMAIN: any named group on
+        // the domain suppresses every '*' group there — the windows
+        // stay on the domains-sized table, never the corpus
+        val f2 = flagged.withColumn("named", named)
+        val domNamed = max(col("named")).over(Window.partitionBy("domain"))
+        f2.withColumn("dom_named", domNamed)
+          .filter(when(col("dom_named") === 1, col("named") === 1)
+            .otherwise(col("star") === 1))
+      }
+    applicable
+      .filter((col("is_dis") || col("is_al")) && col("rule") =!= "")
       .select(col("domain"), col("rule"), col("is_al").as("allow"))
   }
 

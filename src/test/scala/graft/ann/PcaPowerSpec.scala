@@ -26,7 +26,7 @@ class PcaPowerSpec extends SparkSpec {
           (math.sin(i * (k + 1) * 0.37) * (6 - k) + k * 0.01).toFloat)
       }.toDF("v").repartition(7)
       def run(exact: Boolean) =
-        PcaPower.topComponent(spark, vecs, "v", iters = 5, exact = exact)
+        PcaPower.topComponent(spark, vecs, "v", iters = 5, exact = Some(exact))
           .collect().sortBy(_.getAs[Long]("d"))
           .map(r => (r.getAs[Long]("d"), r.getAs[Double]("loading"),
             r.getAs[Double]("eig_share")))
@@ -36,6 +36,36 @@ class PcaPowerSpec extends SparkSpec {
       // the double-sum path must land on the identical quantized
       // values for this well-conditioned fixture
       f shouldBe e
+    }
+    it("auto mode switches exactly at ExactWidthCutoff; explicit wins") {
+      def fixture(d: Int) = (1 to 4).map(i =>
+        Array.tabulate(d)(k => (i * (k + 1) % 7).toFloat)).toDF("v")
+      val cut = PcaPower.ExactWidthCutoff
+      PcaPower.resolveExact(fixture(cut), "v", None) shouldBe true
+      PcaPower.resolveExact(fixture(cut + 1), "v", None) shouldBe false
+      // explicit overrides in both directions, and empty input is exact
+      PcaPower.resolveExact(fixture(cut + 1), "v", Some(true)) shouldBe true
+      PcaPower.resolveExact(fixture(cut), "v", Some(false)) shouldBe false
+      PcaPower.resolveExact(fixture(2).limit(0), "v", None) shouldBe true
+    }
+    it("fast and exact paths agree to the quantized digits at d=64 " +
+        "and d=256") {
+      // the widths VERDICT r9 asked pinned: the oracle fixture width
+      // (64, auto = exact) and a production width past the cutoff
+      // (256, auto = moments); multi-partition so partials merge
+      for (d <- Seq(64, 256)) {
+        val vecs = (1 to 24).map { i =>
+          Array.tabulate(d)(k =>
+            (math.sin(i * (k + 1) * 0.37) * ((k % 7) + 1) * 0.5).toFloat)
+        }.toDF("v").repartition(5)
+        def run(exact: Boolean) =
+          PcaPower.topComponent(spark, vecs, "v", iters = 3,
+              exact = Some(exact))
+            .collect().sortBy(_.getAs[Long]("d"))
+            .map(r => (r.getAs[Long]("d"), r.getAs[Double]("loading"),
+              r.getAs[Double]("eig_share")))
+        run(exact = false) shouldBe run(exact = true)
+      }
     }
     it("CovMoments buffer survives serialize/merge across partitions") {
       import org.apache.spark.sql.functions._

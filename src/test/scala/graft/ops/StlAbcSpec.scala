@@ -83,6 +83,20 @@ class StlAbcSpec extends SparkSpec {
       (salted == unsalted) shouldBe false // holder of the cells alone
       draws(982451653L) shouldBe salted // but same salt → same release
     }
+    it("extreme salts and keys cannot overflow (salt folded mod P30 " +
+        "before the add)") {
+      // the pre-r10 fold evaluated key + salt BEFORE any pmod: a salt
+      // near Long.MaxValue plus a large positive key overflowed under
+      // ANSI arithmetic. Both operands now reduce mod P30 separately.
+      val df = Seq(Long.MaxValue - 1L, Long.MaxValue / 2, 7L).toDF("k")
+      for (salt <- Seq(Long.MaxValue, Long.MaxValue - 3L, 1L << 62)) {
+        val z = df.select(graft.quality.DpNoise.laplaceMu(col("k"), 1, salt)
+          .as("z")).as[Long].collect()
+        val z2 = df.select(graft.quality.DpNoise.laplaceMu(col("k"), 1, salt)
+          .as("z")).as[Long].collect()
+        z shouldBe z2 // no overflow error, and still deterministic
+      }
+    }
     it("draws both signs and plausible Laplace magnitudes") {
       val df = spark.range(1, 2001).toDF("k")
       val z = df.select(graft.quality.DpNoise.laplaceMu(col("k"), 1)

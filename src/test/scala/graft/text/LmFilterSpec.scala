@@ -70,6 +70,43 @@ class LmFilterSpec extends SparkSpec {
         LmFilter.scoreAgainstLmIndex(foreign, docsDf, "doc_id", "text")
     }
 
+    it("fingerprint separates equal-count duplicate-heavy slices " +
+        "(XOR alone cancels even multiplicities)") {
+      // {A,A} vs {B,B}: same row count, and both bit-XOR to 0 — the
+      // pre-r10 fingerprint collided here and silently reused a
+      // stale index. The SUM fold must separate them.
+      def fp(texts: String*) = LmFilter.referenceFingerprint(
+        texts.map(Tuple1(_)).toDF("text"), "text")
+      val aa = fp("alpha alpha beta", "alpha alpha beta")
+      val bb = fp("gamma delta gamma", "gamma delta gamma")
+      aa._1 shouldBe 2L
+      bb._1 shouldBe 2L
+      assert(aa._2 != bb._2, "fingerprints must differ")
+      // still order-independent and deterministic
+      fp("alpha alpha beta", "alpha alpha beta") shouldBe aa
+    }
+
+    it("a half-written (corrupt) on-disk index triggers rebuild, " +
+        "not an abort") {
+      val path = "target/scratch/lmfilter_spec_corrupt_idx"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      // simulate a crashed writer: a directory with one torn file
+      // (not parquet) — reading it throws a non-Analysis error, which
+      // must be treated as "rebuild", never bubbled to the caller
+      fs.mkdirs(p)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "part-torn.parquet"))
+      out.write("not a parquet footer".getBytes("UTF-8"))
+      out.close()
+      sorted(LmFilter.indexedBigramLogprob(
+        spark, path, refDf, docsDf, "doc_id", "text")) shouldBe
+        sorted(LmFilter.bigramLogprob(docsDf, refDf, "doc_id", "text"))
+      // and the swap left no staging/old residue next to the path
+      fs.exists(new org.apache.hadoop.fs.Path(path + ".staging")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(path + ".old")) shouldBe false
+    }
+
     it("build-or-reuse: second call reuses; changed reference rebuilds") {
       val path = "target/scratch/lmfilter_spec_idx"
       val p = new org.apache.hadoop.fs.Path(path)
@@ -90,6 +127,90 @@ class LmFilterSpec extends SparkSpec {
       sorted(LmFilter.indexedBigramLogprob(
         spark, path, ref2, docsDf, "doc_id", "text")) shouldBe
         sorted(LmFilter.bigramLogprob(docsDf, ref2, "doc_id", "text"))
+    }
+  }
+
+  describe("LmFilter smoothing families") {
+    import org.apache.spark.sql.functions._
+    import LmFilter.{AddK, Interpolated}
+    val refDf = Seq("a b a").map(Tuple1(_)).toDF("text")
+
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+
+    it("interpolated term matches the hand-computed JM chain") {
+      // ref tokens [a,b,a]: c_a(a)=2, c_a(b)=1, V=2, T=3; bigram
+      // 'a b' count 1. doc 'a b': pml = 1/2, puni = (1+1)/(3+2);
+      // λ=0.5 → ln(0.5·0.5 + 0.5·0.4) = ln(0.45) → 6dp −0.798508
+      val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+      val got = LmFilter.bigramLogprob(docs, refDf, "doc_id", "text",
+        smoothing = Interpolated(500)).collect().head
+      got.getAs[Long]("n_bigrams") shouldBe 1L
+      got.getAs[Long]("n_unseen") shouldBe 0L
+      got.getAs[Double]("avg_logprob") shouldBe -0.798508
+    }
+
+    it("an unseen-first-token bigram still gets the finite backoff leg") {
+      // doc 'z b': c_a(z)=0 → pml leg 0; puni(b) = (1+1)/5 = 0.4;
+      // λ=0.5 → ln(0.2) → 6dp −1.609438
+      val docs = Seq((1L, "z b")).toDF("doc_id", "text")
+      val got = LmFilter.bigramLogprob(docs, refDf, "doc_id", "text",
+        smoothing = Interpolated(500)).collect().head
+      got.getAs[Long]("n_unseen") shouldBe 1L
+      got.getAs[Double]("avg_logprob") shouldBe -1.609438
+    }
+
+    it("add-k generalizes: k=2 differs from k=1 and follows the " +
+        "(c_ab+k)/(c_a+kV) chain") {
+      // doc 'a b': add-1 = ln(2/4), add-2 = ln(3/6) — equal here, so
+      // use 'b a': add-1 = ln((1+1)/(1+2)), add-2 = ln((1+2)/(1+4))
+      val docs = Seq((1L, "b a")).toDF("doc_id", "text")
+      def avg(k: Int) = LmFilter.bigramLogprob(docs, refDf,
+        "doc_id", "text", smoothing = AddK(k))
+        .collect().head.getAs[Double]("avg_logprob")
+      avg(1) shouldBe BigDecimal(math.log(2.0 / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      avg(2) shouldBe BigDecimal(math.log(3.0 / 5.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    it("the persisted index dispatches the scorer from its metadata " +
+        "and pins the caller's expectation") {
+      val docs = Seq((1L, "a b"), (2L, "b a b")).toDF("doc_id", "text")
+      val jm = LmFilter.bigramLmIndex(refDf, "text", Interpolated(700))
+      // scoring through the index = fresh recompute with the family
+      sorted(LmFilter.scoreAgainstLmIndex(jm, docs, "doc_id", "text")) shouldBe
+        sorted(LmFilter.bigramLogprob(docs, refDf, "doc_id", "text",
+          smoothing = Interpolated(700)))
+      // a caller expecting add-one must fail loudly on a JM artifact
+      an[IllegalArgumentException] should be thrownBy
+        LmFilter.scoreAgainstLmIndex(jm, docs, "doc_id", "text",
+          expected = Some(AddK(1)))
+    }
+
+    it("indexedBigramLogprob keyed by smoothing: a family switch " +
+        "rebuilds rather than reusing the other family's artifact") {
+      val path = "target/scratch/lmfilter_spec_jm_idx"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+      val addOne = sorted(LmFilter.indexedBigramLogprob(
+        spark, path, refDf, docs, "doc_id", "text"))
+      val jm = sorted(LmFilter.indexedBigramLogprob(
+        spark, path, refDf, docs, "doc_id", "text", Interpolated(500)))
+      assert(jm != addOne, "family switch must change the scores")
+      jm shouldBe sorted(LmFilter.bigramLogprob(docs, refDf,
+        "doc_id", "text", smoothing = Interpolated(500)))
+    }
+
+    it("smoothing codes roundtrip through the metadata encoding") {
+      LmFilter.decodeSmoothing(AddK(1).code) shouldBe AddK(1)
+      LmFilter.decodeSmoothing(AddK(7).code) shouldBe AddK(7)
+      LmFilter.decodeSmoothing(Interpolated(700).code) shouldBe
+        Interpolated(700)
+      an[IllegalArgumentException] should be thrownBy
+        LmFilter.decodeSmoothing(0)
     }
   }
 

@@ -71,6 +71,62 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  private def rulesAs(agent: String, body: String): Set[(String, Boolean)] =
+    Robots.rules(Seq(("d", body)).toDF("domain", "body"),
+        "domain", "body", agent = Some(agent))
+      .as[(String, String, Boolean)].collect()
+      .map(r => (r._2, r._3)).toSet
+
+  describe("Robots.rules with a configured crawler name " +
+      "(RFC 9309 most-specific election)") {
+    val body = "User-agent: graftbot\nDisallow: /bot-only\n" +
+      "User-agent: *\nDisallow: /everyone\nAllow: /open"
+
+    it("a group naming the crawler overrides the * group entirely") {
+      rulesAs("graftbot", body) shouldBe Set(("/bot-only", false))
+    }
+
+    it("an unnamed crawler falls back to the * group") {
+      rulesAs("otherbot", body) shouldBe
+        Set(("/everyone", false), ("/open", true))
+      // and the no-agent default is the same fallback
+      rulesOf(body) shouldBe Set(("/everyone", false), ("/open", true))
+    }
+
+    it("the product-token match is case-insensitive") {
+      rulesAs("GraftBot", "User-agent: GRAFTBOT\nDisallow: /g\n" +
+        "User-agent: *\nDisallow: /s") shouldBe Set(("/g", false))
+    }
+
+    it("multiple groups naming the crawler combine (RFC: matching " +
+        "groups' rules MUST be combined)") {
+      rulesAs("graftbot",
+        "User-agent: graftbot\nDisallow: /a\n" +
+          "User-agent: *\nDisallow: /star\n" +
+          "User-agent: graftbot\nAllow: /a/ok") shouldBe
+        Set(("/a", false), ("/a/ok", true))
+    }
+
+    it("a shared UA run binds its rules to both the name and *") {
+      // consecutive UA lines: the group serves graftbot AND '*';
+      // graftbot elects it as a NAMED group (not via the * path)
+      rulesAs("graftbot",
+        "User-agent: graftbot\nUser-agent: *\nDisallow: /both") shouldBe
+        Set(("/both", false))
+    }
+
+    it("the election is per domain: a named group on one domain " +
+        "does not suppress * groups on another") {
+      val robots = Seq(
+        ("a.com", "User-agent: graftbot\nDisallow: /g\n" +
+          "User-agent: *\nDisallow: /s"),
+        ("b.com", "User-agent: *\nDisallow: /t")).toDF("domain", "body")
+      Robots.rules(robots, "domain", "body", agent = Some("graftbot"))
+        .as[(String, String, Boolean)].collect().toSet shouldBe
+        Set(("a.com", "/g", false), ("b.com", "/t", false))
+    }
+  }
+
   private def allowed(urls: Seq[(Long, String)],
       rules: Seq[(String, String, Boolean)]): Seq[Long] =
     Robots.filterAllowed(urls.toDF("id", "url"), "url",

@@ -24,20 +24,32 @@ python3 tools/parity.py "$SF_CORRECT" "$OUT/verify_out" | tee "$OUT/parity.txt"
 grep -q " 0 fail" "$OUT/parity.txt"
 
 sentinel() { # host-noise sentinel: q01+q03 min-of-3 vs pinned quiet mins
-  SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  # the sentinel run's own failure must surface as a BUILD/RUNTIME
+  # failure, not masquerade as "noisy window": capture sbt output to
+  # a log and check both the exit status and that the JSON landed
+  if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     SPARK_GRAFT_BENCH_ONLY=q01_full_scan_agg,q03_join_star \
     SPARK_GRAFT_BENCH_OUT="$OUT/sentinel_$1.json" \
-    sbt -batch "runMain graft.Bench" > /dev/null 2>&1
+    sbt -batch "runMain graft.Bench" > "$OUT/sentinel_$1.log" 2>&1; then
+    echo "gate FAILED: sentinel bench run ($1) exited non-zero —" \
+      "see $OUT/sentinel_$1.log (NOT a noise verdict)" >&2
+    return 2
+  fi
+  if [ ! -s "$OUT/sentinel_$1.json" ]; then
+    echo "gate FAILED: sentinel bench run ($1) produced no JSON —" \
+      "see $OUT/sentinel_$1.log (NOT a noise verdict)" >&2
+    return 2
+  fi
   python3 tools/check_sentinel.py "$OUT/sentinel_$1.json"
 }
 
 echo "[gate 4/4] bench (min-of-${SPARK_GRAFT_BENCH_RUNS:-3}) @ $SF_BENCH"
 echo "[gate 4/4] pre-bench noise sentinel"
-sentinel pre || { echo "gate REJECTED: noisy window (pre)"; exit 1; }
+sentinel pre || { rc=$?; [ "$rc" -eq 2 ] || echo "gate REJECTED: noisy window (pre)"; exit 1; }
 SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_OUT="$OUT/bench.json" sbt -batch "runMain graft.Bench"
 echo "[gate 4/4] post-bench noise sentinel"
-sentinel post || { echo "gate REJECTED: noisy window (post)"; exit 1; }
+sentinel post || { rc=$?; [ "$rc" -eq 2 ] || echo "gate REJECTED: noisy window (post)"; exit 1; }
 python3 - "$OUT/bench.json" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
