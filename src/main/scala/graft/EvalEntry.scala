@@ -1020,8 +1020,9 @@ object EvalEntry {
   // embeddings table (4 fixed per-block transforms of the d=64
   // vectors) pushes the width past ExactWidthCutoff, so the auto
   // default takes the CovMoments moments path — one fused d² loop
-  // per row instead of d² exploded rows (the exact path measured
-  // ~28× slower at this width; BASELINE.md r10). No DuckDB oracle BY
+  // per row instead of d² exploded rows (the exact path measured 24×
+  // slower at this width — 73.7s vs 3.1s, sf0.1 min-of-3 via
+  // graft.tools.WidthBench; BASELINE.md r10). No DuckDB oracle BY
   // DESIGN: the moments path's double partial-merge order is not
   // cross-engine gateable (the 9dp agreement is spec-pinned in
   // PcaPowerSpec at d=64/d=256 instead); the driver records the

@@ -384,61 +384,11 @@ object PlatformEntry {
     // persisted index is maintenance-transparent — OPTIMIZE must not
     // change what a probe returns
     "q326_index_optimize" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |), batch AS (
-        |  SELECT doc_id + 3000000 AS doc_id, 'qv ' || text AS text
-        |  FROM documents WHERE doc_id % 17 = 3
-        |), csets AS (
-        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
-        |  FROM (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |    FROM corpus)
-        |), bsets AS (
-        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
-        |  FROM (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |    FROM batch)
-        |), pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    len(list_intersect(x.g, y.g)) * 1.0
-        |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
-        |  FROM csets x JOIN bsets y ON TRUE
-        |)
-        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
-        |ORDER BY a, b""".stripMargin,
+      incrementalProbeOracleSql(offset = 3000000L, prefix = "qv ",
+        batchFilter = "doc_id % 17 = 3"),
     "q110_dedup_incremental" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |), batch AS (
-        |  SELECT doc_id + 1000000 AS doc_id, 'zq ' || text AS text
-        |  FROM documents WHERE doc_id % 25 = 0
-        |), csets AS (
-        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
-        |  FROM (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |    FROM corpus)
-        |), bsets AS (
-        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
-        |  FROM (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |    FROM batch)
-        |), pairs AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
-        |    len(list_intersect(x.g, y.g)) * 1.0
-        |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
-        |  FROM csets x JOIN bsets y ON TRUE
-        |)
-        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
-        |ORDER BY a, b""".stripMargin,
+      incrementalProbeOracleSql(offset = 1000000L, prefix = "zq ",
+        batchFilter = "doc_id % 25 = 0"),
     "q109_remove_models" ->
       """SELECT * FROM (VALUES
         |  ('cust_rollup_dropped', TRUE),
@@ -449,4 +399,42 @@ object PlatformEntry {
         |  ('snapshot_remove_first', TRUE),
         |  ('snapshot_remove_second', FALSE)
         |) AS t(step, ok) ORDER BY step""".stripMargin)
+
+  /** Shared q110/q326 oracle: exact trigram-Jaccard of a synthetic
+    * probe batch (corpus rows shifted by `offset`, text prefixed so
+    * every batch doc differs from its source, filtered by
+    * `batchFilter`) against the whole corpus at threshold 0.7 — the
+    * ground truth an incremental MinHash-index probe must reproduce.
+    * The two queries differ ONLY in these constants; their CTE
+    * chains were line-identical before this factoring.
+    */
+  private def incrementalProbeOracleSql(
+      offset: Long, prefix: String, batchFilter: String): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |), batch AS (
+       |  SELECT doc_id + $offset AS doc_id, '$prefix' || text AS text
+       |  FROM documents WHERE $batchFilter
+       |), csets AS (
+       |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+       |  FROM (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |    FROM corpus)
+       |), bsets AS (
+       |  SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |      ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS g
+       |  FROM (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |    FROM batch)
+       |), pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    len(list_intersect(x.g, y.g)) * 1.0
+       |      / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
+       |  FROM csets x JOIN bsets y ON TRUE
+       |)
+       |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.7
+       |ORDER BY a, b""".stripMargin
 }

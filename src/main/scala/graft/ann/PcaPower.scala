@@ -74,7 +74,8 @@ object PcaPower {
     * decimal d²-explode is cheap and oracle-gateable; above it the
     * exploded pair volume (rows × d²) dominates and the CovMoments
     * one-pass moments path wins by an order of magnitude (d=256 at
-    * sf0.1: ~28s exact vs ~1s moments — BASELINE.md r10 row). The
+    * sf0.1, min-of-3 via graft.tools.WidthBench: 73.7s exact vs
+    * 3.1s moments, 24× — BASELINE.md r10 row). The
     * auto default removes the production foot-gun VERDICT r9 named:
     * a d=768 user no longer needs to know to pass `exact = false`.
     */

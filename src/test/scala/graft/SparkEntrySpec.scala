@@ -12,13 +12,20 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q327, contiguous)") {
-      SparkEntry.queries.size shouldBe 327
+    it("covers the full SURVEY inventory (q01..q330, contiguous)") {
+      SparkEntry.queries.size shouldBe 330
       val nums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
-      nums shouldBe (1 to 327).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 330).map(i => f"q$i%02d").toSet
     }
-    it("every registered query carries a DuckDB oracle") {
-      SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet shouldBe empty
+    it("every registered query carries a DuckDB oracle (except the " +
+        "documented rows-only set)") {
+      // q329_pca_wide is rows-only BY DESIGN: the CovMoments moments
+      // path sums IEEE doubles in partial-merge order — not
+      // cross-engine gateable; 9dp agreement with the exact path is
+      // spec-pinned in PcaPowerSpec (SURVEY §2 row 329)
+      val rowsOnly = Set("q329_pca_wide")
+      SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet shouldBe
+        rowsOnly
     }
     it("oracle SQL never references scratch paths or spark-only syntax markers") {
       SparkEntry.oracleSql.values.foreach { sql =>

@@ -48,7 +48,12 @@ echo "[gate 4/4] pre-bench noise sentinel"
 sentinel pre || { rc=$?; [ "$rc" -eq 2 ] || echo "gate REJECTED: noisy window (pre)"; exit 1; }
 SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_OUT="$OUT/bench.json" sbt -batch "runMain graft.Bench"
-echo "[gate 4/4] post-bench noise sentinel"
+echo "[gate 4/4] post-bench noise sentinel (after a 60s settle)"
+# the post sentinel measures the WINDOW's ambient noise, not the
+# bench's own cache/GC residue — immediately after a heavy run the
+# first sentinel sample reads high even on an idle host (r10
+# BASELINE.md host-state note), so let the residue drain first
+sleep 60
 sentinel post || { rc=$?; [ "$rc" -eq 2 ] || echo "gate REJECTED: noisy window (post)"; exit 1; }
 python3 - "$OUT/bench.json" <<'EOF'
 import json, sys
