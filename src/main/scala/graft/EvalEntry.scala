@@ -1020,8 +1020,8 @@ object EvalEntry {
   // embeddings table (4 fixed per-block transforms of the d=64
   // vectors) pushes the width past ExactWidthCutoff, so the auto
   // default takes the CovMoments moments path — one fused d² loop
-  // per row instead of d² exploded rows (the exact path measured 24×
-  // slower at this width — 73.7s vs 3.1s, sf0.1 min-of-3 via
+  // per row instead of d² exploded rows (the exact path measured 14×
+  // slower at this width — 42.0s vs 2.9s, sf0.1 min-of-3 via
   // graft.tools.WidthBench; BASELINE.md r10). No DuckDB oracle BY
   // DESIGN: the moments path's double partial-merge order is not
   // cross-engine gateable (the 9dp agreement is spec-pinned in

@@ -25,18 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object PcaPower {
 
-  /** Covariance entries (i, j, c) from `vecCol`, 9dp-quantized. */
+  /** Covariance entries (i, j, c) from `vecCol`, 9dp-quantized.
+    *
+    * Split-moment shape (r10): `n` and the first moments Σxᵢ are
+    * PER-DIMENSION quantities — computing them per (i,j) (the r9
+    * plan) dragged four decimal aggregates through the d²-row
+    * aggregation hash when only Σxᵢ·xⱼ genuinely lives there. The
+    * d-row first-moment table now comes from its own cheap pass
+    * (d additions/row vs d² products) and broadcast-joins onto the
+    * d²-row product sums — identical exact arithmetic, identical
+    * 9dp outputs (per (i,j) group, sum(xi) ≡ s1ᵢ because every row
+    * contributes one xi for each j; fixed-width vectors, the same
+    * assumption the iteration and the oracle already make), 26%
+    * less q318 wall-clock at d=64 (6.22s → 4.62s) and 43% at d=256
+    * (73.7s → 42.0s, WidthBench).
+    */
   private def covariance(df: DataFrame, vecCol: String): DataFrame = {
     val q = df.select(transform(col(vecCol),
       x => round(x.cast("double"), 6).cast("decimal(12,6)")).as("v"))
-    val pairs = q
+    // d rows: (i, n, s1) — barriered so both broadcast branches
+    // share ONE computation instead of re-scanning the corpus
+    val dims = graft.plans.Plans.barrier(
+      q.select(posexplode(col("v")).as(Seq("i", "xi")))
+        .groupBy("i")
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("s1")))
+    // d² rows through the agg, ONE decimal sum of the exact products
+    val prods = q
       .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
       .select(col("i"), col("xi"),
         posexplode(col("v")).as(Seq("j", "xj")))
-    val sums = graft.plans.Plans.barrier(pairs.groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum(col("xi")).as("s1i"), sum(col("xj")).as("s1j"),
-        sum(col("xi") * col("xj")).as("s2")))
+      .groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("s2"))
+    // no barrier here: topComponent barriers the returned cov table
+    val sums = prods
+      .join(broadcast(dims.select(col("i"), col("n"),
+        col("s1").as("s1i"))), Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"),
+        col("s1").as("s1j"))), Seq("j"))
     sums.select(col("i"), col("j"),
       round((col("n").cast("double") * col("s2").cast("double") -
         col("s1i").cast("double") * col("s1j").cast("double")) /
@@ -74,8 +99,9 @@ object PcaPower {
     * decimal d²-explode is cheap and oracle-gateable; above it the
     * exploded pair volume (rows × d²) dominates and the CovMoments
     * one-pass moments path wins by an order of magnitude (d=256 at
-    * sf0.1, min-of-3 via graft.tools.WidthBench: 73.7s exact vs
-    * 3.1s moments, 24× — BASELINE.md r10 row). The
+    * sf0.1, min-of-3 via graft.tools.WidthBench: 42.0s exact vs
+    * 2.9s moments, 14× with the split-moment exact plan —
+    * BASELINE.md r10 row). The
     * auto default removes the production foot-gun VERDICT r9 named:
     * a d=768 user no longer needs to know to pass `exact = false`.
     */

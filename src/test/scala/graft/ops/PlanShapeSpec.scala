@@ -111,6 +111,53 @@ class PlanShapeSpec extends SparkSpec {
     scan should include regex "PushedFilters: \\[.*EqualTo\\(kind,bi\\)"
   }
 
+  it("interpolated LM probe keeps the scan-level kind split for all " +
+      "three count-table legs") {
+    import graft.text.LmFilter
+    val p = "target/scratch/planshape_lm_jm_index"
+    val pp = new org.apache.hadoop.fs.Path(p)
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    val ref = Seq("alpha beta gamma", "beta gamma delta")
+      .map(Tuple1(_)).toDF("text")
+    LmFilter.bigramLmIndex(ref, "text", LmFilter.Interpolated(700))
+      .write.parquet(p)
+    val out = LmFilter.scoreAgainstLmIndex(spark.read.parquet(p),
+      Seq((1L, "alpha beta zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    out.collect()
+    val scan = out.queryExecution.executedPlan.toString
+    // the JM scorer adds a second unigram join (c_b of the second
+    // token) — every leg must still split by row kind AT THE SCAN,
+    // never deserialize-then-filter the whole count table
+    scan should include regex "PushedFilters: \\[.*EqualTo\\(kind,uni\\)"
+    scan should include regex "PushedFilters: \\[.*EqualTo\\(kind,bi\\)"
+  }
+
+  it("per-UA robots election still never shuffles the URL corpus") {
+    import graft.text.Robots
+    val urls = (1L to 400L).map(i => (i, s"https://h${i % 5}.com/p/$i"))
+      .toDF("id", "url")
+    val robots = Seq(
+      ("h1.com", "User-agent: graftbot\nDisallow: /p/\n" +
+        "User-agent: *\nDisallow: /x"),
+      ("h2.com", "User-agent: *\nDisallow: /p/3")).toDF("domain", "body")
+    val out = Robots.filterAllowed(urls, "url",
+      Robots.rules(robots, "domain", "body", agent = Some("graftbot")))
+    out.collect()
+    // the named-group election adds windows on the RULES side only
+    // (domains-sized); the corpus side must stay exchange-free and
+    // no sort-merge join may appear
+    val ns = nodes(out.queryExecution.executedPlan)
+    ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) shouldBe false
+    val bhj = ns.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    bhj should have size 1
+    nodes(bhj.head.left)
+      .count(_.isInstanceOf[ShuffleExchangeLike]) shouldBe 0
+  }
+
   it("crawl-pipeline extraction + quality gate stays shuffle-free pre-election") {
     import graft.text.HtmlExtract
     val pages = (1L to 20L)
