@@ -836,6 +836,32 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
+  // q331 — DSIR with a persisted corpus distribution (text/Dsir
+  // .indexedScore — the q325 production-shape lesson applied to the
+  // registry's top remaining steady-state heavy): the raw-corpus
+  // bigram counts land in parquet ONCE ((gram-hash, count) rows,
+  // 8-byte keys, self-describing family tag + corpus fingerprint),
+  // and a scoring batch (every 3rd doc here) pays only its own gram
+  // explode + one keyed join — O(batch), the corpus never rescans;
+  // N_c/V derive from the vocabulary-sized index. Oracle is the full
+  // from-scratch recompute over the same batch (Dsir.sqlBatch) —
+  // index transparency is the gated property, exactly q325's
+  // contract. Stale/foreign/torn artifacts rebuild via the staged
+  // swap, never abort.
+  // ---------------------------------------------------------------
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dsir
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Dsir.indexedScore(s,
+        s"target/scratch/dsir_index_${ExtendedEntry.sanitize(dir)}",
+        corpus = docs,
+        target = docs.filter(col("doc_id") % 31 === 7),
+        batch = docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // q166 — k-anonymity / l-diversity audit (quality/Anonymity — the
   // pre-export privacy gate; measures what q55 redaction and q146
   // purge enforce): equivalence classes over the quasi-identifiers
@@ -917,6 +943,7 @@ object TrainEntry {
     "q166_k_anonymity" -> (q166 _),
     "q167_hard_negatives" -> (q167 _),
     "q165_dsir_weights" -> (q165 _),
+    "q331_dsir_indexed" -> (q331 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q327_semdedup_probe2" -> (q327 _),
@@ -1045,6 +1072,15 @@ object TrainEntry {
          |${graft.text.Dsir.sql(
             "SELECT doc_id, text FROM documents",
             "SELECT text FROM documents WHERE doc_id % 31 = 7")}
+         |) z ORDER BY doc_id""".stripMargin,
+    // q331: the full recompute over the indexed probe's batch — a
+    // lost/duplicated/stale index row breaks parity (q325's contract)
+    "q331_dsir_indexed" ->
+      s"""SELECT * FROM (
+         |${graft.text.Dsir.sqlBatch(
+            "SELECT doc_id, text FROM documents",
+            "SELECT text FROM documents WHERE doc_id % 31 = 7",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1")}
          |) z ORDER BY doc_id""".stripMargin,
     // q164: gram generation restated exactly as q64/q129's proven
     // chain at k=8 (lowercase, \s+ split, empty filter, distinct

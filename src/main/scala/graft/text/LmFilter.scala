@@ -331,29 +331,11 @@ object LmFilter {
               (r.getInt(0), r.getInt(1)) == ((2, smoothing.code)) &&
                 (r.getLong(2), r.getLong(3)) == fp)
       } catch { case scala.util.control.NonFatal(_) => false }
-    if (!reusable) {
-      import org.apache.hadoop.fs.Path
-      val target = new Path(path)
-      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new Path(path + ".staging")
-      bigramLmIndex(reference, textCol, smoothing)
-        .write.mode("overwrite").parquet(staging.toString)
-      // rename-aside swap: old index survives until the new one is
-      // fully in place; a crash mid-swap leaves either the old or the
-      // new complete index (or the .old aside, recovered below)
-      val old = new Path(path + ".old")
-      if (fs.exists(old)) fs.delete(old, true)
-      val hadTarget = fs.exists(target)
-      if (hadTarget && !fs.rename(target, old))
-        throw new java.io.IOException(
-          s"lm-index swap: rename $target -> $old failed")
-      if (!fs.rename(staging, target)) {
-        if (hadTarget) fs.rename(old, target) // restore
-        throw new java.io.IOException(
-          s"lm-index swap: rename $staging -> $target failed")
+    if (!reusable)
+      graft.ops.StagedSwap.overwrite(spark, path) { staging =>
+        bigramLmIndex(reference, textCol, smoothing)
+          .write.mode("overwrite").parquet(staging)
       }
-      if (hadTarget) fs.delete(old, true)
-    }
     scoreAgainstLmIndex(spark.read.parquet(path), docs, idCol, textCol,
       expected = Some(smoothing))
   }
