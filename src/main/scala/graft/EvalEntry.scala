@@ -1015,6 +1015,31 @@ object EvalEntry {
   }
 
   // ---------------------------------------------------------------
+  // q332 — Kneser-Ney bigram LM scoring (text/LmFilter.KneserNey —
+  // the family VERDICT r9 named as the natural next ask, and the
+  // one CCNet's KenLM actually uses): absolute discounting with the
+  // CONTINUATION-probability backoff P_cont(b) ∝ distinct left
+  // contexts — 'francisco' scores low after an unseen context even
+  // though it is frequent, because it only ever follows 'san'. All
+  // continuation statistics (N1+, N_ctx, B) derive from the SAME
+  // persisted bigram count table, so the q325 artifact format serves
+  // a third family unchanged (smoothing_k = -(1000+D‰), scorer
+  // dispatched from metadata); own artifact path. Oracle is the full
+  // from-scratch KN recompute (LmScoreKnCte), degenerate-context
+  // backoff restated exactly.
+  // ---------------------------------------------------------------
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    graft.text.LmFilter.indexedBigramLogprob(s,
+        s"target/scratch/lm_index_kn_${sanitize(dir)}",
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        smoothing = graft.text.LmFilter.KneserNey(
+          StatsEntry.KnDiscountPermille))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // q329 — wide-embedding PCA (ann/PcaPower auto-switch, VERDICT r9
   // item 2's bench row): a deterministic d=256 widening of the
   // embeddings table (4 fixed per-block transforms of the d=64
@@ -1046,6 +1071,7 @@ object EvalEntry {
     "q325_lm_index" -> (q325 _),
     "q329_pca_wide" -> (q329 _),
     "q330_lm_interpolated" -> (q330 _),
+    "q332_lm_kneser_ney" -> (q332 _),
     "q321_median_ci" -> (q321 _),
     "q322_forecast_baseline" -> (q322 _),
     "q323_conversion_ab" -> (q323 _),
@@ -1179,6 +1205,10 @@ object EvalEntry {
     // the rows-only check here.
     "q330_lm_interpolated" ->
       s"""WITH ${StatsEntry.LmScoreJmCte}
+         |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
+         |FROM lm_scores ORDER BY doc_id""".stripMargin,
+    "q332_lm_kneser_ney" ->
+      s"""WITH ${StatsEntry.LmScoreKnCte}
          |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
          |FROM lm_scores ORDER BY doc_id""".stripMargin,
     "q321_median_ci" ->

@@ -487,6 +487,81 @@ object StatsEntry {
        |)""".stripMargin
   }
 
+  /** D (permille) of the q332 Kneser-Ney fixture — shared by the
+    * Spark plan and the oracle. */
+  private[graft] val KnDiscountPermille = 750
+
+  /** q332's oracle: [[LmScoreCte]]'s corpus split and count tables,
+    * scored with interpolated Kneser-Ney —
+    *   P(b|a) = max(c_ab−D,0)/c_a + (D·N1+(a)/c_a)·P_cont(b)
+    *   P_cont(b) = (N_ctx(b)+1)/(B+V)
+    * with D = KnDiscountPermille/1000.0, N1+/N_ctx/B all derived
+    * from the bigram count table, and the degenerate-context backoff
+    * (c_a = 0 or N1+(a) = 0 → P_cont(b) alone) restated exactly as
+    * the engine contract defines it. Ends in `lm_scores` with q325's
+    * column contract.
+    */
+  private[graft] val LmScoreKnCte: String = {
+    val d = s"($KnDiscountPermille / 1000.0)"
+    s"""toksall AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents
+       |), ref AS (SELECT * FROM toksall WHERE doc_id % 2 = 0),
+       |tgt AS (SELECT * FROM toksall WHERE doc_id % 2 = 1),
+       |uni AS (
+       |  SELECT w, count(*) AS c_a FROM
+       |    (SELECT unnest(t) AS w FROM ref) GROUP BY w
+       |), refbi AS (
+       |  SELECT ab, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1])) AS ab
+       |    FROM ref WHERE len(t) >= 2) GROUP BY ab
+       |), n1p AS (
+       |  SELECT string_split(ab, ' ')[1] AS a, count(*) AS n1p
+       |  FROM refbi GROUP BY 1
+       |), nctx AS (
+       |  SELECT string_split(ab, ' ')[2] AS b2, count(*) AS nctx
+       |  FROM refbi GROUP BY 1
+       |), vv AS (
+       |  SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS v,
+       |         CAST((SELECT count(*) FROM refbi) AS BIGINT) AS bt
+       |), db AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i+1])) AS ab
+       |  FROM tgt WHERE len(t) >= 2
+       |), j AS (
+       |  SELECT d.doc_id, string_split(d.ab, ' ')[1] AS a,
+       |    string_split(d.ab, ' ')[2] AS b2, r.c_ab
+       |  FROM db d LEFT JOIN refbi r USING (ab)
+       |), terms AS (
+       |  SELECT j.doc_id, j.c_ab,
+       |    CAST(round(ln(
+       |      CASE WHEN COALESCE(u.c_a, 0) > 0 AND COALESCE(np.n1p, 0) > 0
+       |        THEN greatest(CAST(COALESCE(j.c_ab, 0) AS DOUBLE) - $d, 0)
+       |            / CAST(u.c_a AS DOUBLE)
+       |          + ((($d) * CAST(np.n1p AS DOUBLE))
+       |              / CAST(u.c_a AS DOUBLE))
+       |            * (CAST(COALESCE(nc.nctx, 0) + 1 AS DOUBLE)
+       |              / CAST(bt + v AS DOUBLE))
+       |        ELSE CAST(COALESCE(nc.nctx, 0) + 1 AS DOUBLE)
+       |          / CAST(bt + v AS DOUBLE)
+       |      END), 6) AS DECIMAL(28,6)) AS term
+       |  FROM j LEFT JOIN uni u ON j.a = u.w
+       |    LEFT JOIN n1p np ON j.a = np.a
+       |    LEFT JOIN nctx nc ON j.b2 = nc.b2
+       |    CROSS JOIN vv
+       |), lm_scores AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(count(*) FILTER (WHERE c_ab IS NULL) AS BIGINT)
+       |      AS n_unseen,
+       |    round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |      AS avg_logprob
+       |  FROM terms GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   private[graft] val DailyCte =
     """daily0 AS (
       |  SELECT event_type AS g, epoch_ns(ts) // 1000000 // 86400000 AS day,

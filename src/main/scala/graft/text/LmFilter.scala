@@ -60,13 +60,38 @@ object LmFilter {
     def code: Int = -lambdaPermille
   }
 
+  /** Interpolated Kneser-Ney (Chen & Goodman 1999's best performer,
+    * KenLM's default — the family CCNet actually scores with):
+    *
+    *   P(b|a) = max(c_ab − D, 0)/c_a + (D·N1+(a)/c_a)·P_cont(b)
+    *
+    * with D a fixed permille discount, N1+(a) the number of distinct
+    * continuations of `a`, and the continuation probability
+    * P_cont(b) = (N_ctx(b) + 1)/(B + V) — N_ctx(b) the distinct LEFT
+    * contexts of `b`, B the distinct bigram types — add-one smoothed
+    * so it is strictly positive. Engine contract for degenerate
+    * contexts (pinned by spec, restated by the oracle): an unseen
+    * first token (c_a = 0) or a continuation-free one (N1+(a) = 0 —
+    * a token seen only at document ends) backs off to P_cont(b)
+    * alone. All counts exact integers; P is one fixed-association
+    * double chain, 6dp-rounded at the ln (the house discipline).
+    */
+  final case class KneserNey(discountPermille: Int) extends Smoothing {
+    require(discountPermille >= 1 && discountPermille <= 999,
+      s"discount permille in [1, 999]: $discountPermille")
+    def code: Int = -(1000 + discountPermille)
+  }
+
   /** Inverse of [[Smoothing.code]] — how a persisted `smoothing_k`
-    * metadata value dispatches to a scorer. */
+    * metadata value dispatches to a scorer: k >= 1 add-k, -1..-999
+    * interpolated (λ = -code ‰), -1001..-1999 Kneser-Ney
+    * (D = -code - 1000 ‰). */
   private[graft] def decodeSmoothing(code: Int): Smoothing =
     if (code >= 1) AddK(code)
-    else if (code <= -1) Interpolated(-code)
+    else if (code >= -999 && code <= -1) Interpolated(-code)
+    else if (code >= -1999 && code <= -1001) KneserNey(-code - 1000)
     else throw new IllegalArgumentException(
-      s"smoothing_k = 0 names no smoothing family")
+      s"smoothing_k = $code names no smoothing family")
 
   /** Per-document unseen-gram ratio against a reference corpus.
     *
@@ -156,10 +181,18 @@ object LmFilter {
       smoothing: Smoothing = AddK(1)): DataFrame = {
     val vocab = uni.agg(count(lit(1)).as("v"),
       coalesce(sum(col("c_a")), lit(0L)).as("t"))
+    // the KN branch reads the bi table three more times (N1+/N_ctx/B)
+    // — barrier it so the fresh-train path computes the corpus
+    // groupBy once; the other scorers read bi exactly once
+    val biEff = smoothing match {
+      case KneserNey(_) =>
+        graft.plans.Plans.barrier(bi.select("ab", "c_ab"))
+      case _ => bi.select("ab", "c_ab")
+    }
     val joined0 = docs
       .select(col(idCol), explode(bigrams(col(textCol))).as("ab"))
       .withColumn("a", split(col("ab"), " ").getItem(0))
-      .join(bi.select("ab", "c_ab"), Seq("ab"), "left")
+      .join(biEff, Seq("ab"), "left")
       .join(uni.select(col("w").as("a"), col("c_a")), Seq("a"), "left")
     val (joined, term) = smoothing match {
       case AddK(k) =>
@@ -187,6 +220,33 @@ object LmFilter {
             Seq("b2"), "left")
         (j, F.round(log(lam * pml + (lit(1.0d) - lam) * puni), 6)
           .cast("decimal(28,6)"))
+      case KneserNey(dp) =>
+        // continuation statistics all derive from the SAME (barrier'd)
+        // bi table: N1+(a) distinct continuations per first token,
+        // N_ctx(b) distinct left contexts per second token, B the
+        // bigram-type total (1-row broadcast with V)
+        val n1p = biEff.select(split(col("ab"), " ").getItem(0).as("a"))
+          .groupBy("a").agg(count(lit(1)).as("n1p"))
+        val nctx = biEff.select(split(col("ab"), " ").getItem(1).as("b2"))
+          .groupBy("b2").agg(count(lit(1)).as("nctx"))
+        val btypes = biEff.agg(count(lit(1)).as("bt"))
+        val d = lit(dp.toDouble / 1000.0d)
+        val pc = (coalesce(col("nctx"), lit(0L)) + lit(1L)).cast("double") /
+          (col("bt") + col("v")).cast("double")
+        val p = when(
+          coalesce(col("c_a"), lit(0L)) > 0 &&
+            coalesce(col("n1p"), lit(0L)) > 0,
+          greatest(coalesce(col("c_ab"), lit(0L)).cast("double") - d,
+              lit(0.0d)) / col("c_a").cast("double") +
+            ((d * col("n1p").cast("double")) / col("c_a").cast("double"))
+              * pc)
+          .otherwise(pc)
+        val j = joined0
+          .withColumn("b2", split(col("ab"), " ").getItem(1))
+          .join(n1p, Seq("a"), "left")
+          .join(nctx, Seq("b2"), "left")
+          .crossJoin(broadcast(btypes))
+        (j, F.round(log(p), 6).cast("decimal(28,6)"))
     }
     joined.crossJoin(broadcast(vocab))
       .groupBy(idCol)

@@ -12,10 +12,10 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q331, contiguous)") {
-      SparkEntry.queries.size shouldBe 331
+    it("covers the full SURVEY inventory (q01..q332, contiguous)") {
+      SparkEntry.queries.size shouldBe 332
       val nums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
-      nums shouldBe (1 to 331).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 332).map(i => f"q$i%02d").toSet
     }
     it("every registered query carries a DuckDB oracle (except the " +
         "documented rows-only set)") {

@@ -205,12 +205,89 @@ class LmFilterSpec extends SparkSpec {
     }
 
     it("smoothing codes roundtrip through the metadata encoding") {
+      import LmFilter.KneserNey
       LmFilter.decodeSmoothing(AddK(1).code) shouldBe AddK(1)
       LmFilter.decodeSmoothing(AddK(7).code) shouldBe AddK(7)
       LmFilter.decodeSmoothing(Interpolated(700).code) shouldBe
         Interpolated(700)
+      LmFilter.decodeSmoothing(KneserNey(750).code) shouldBe
+        KneserNey(750)
       an[IllegalArgumentException] should be thrownBy
         LmFilter.decodeSmoothing(0)
+      an[IllegalArgumentException] should be thrownBy
+        LmFilter.decodeSmoothing(-1000) // the gap between families
+    }
+
+    it("Kneser-Ney term matches the hand-computed discount chain") {
+      import LmFilter.KneserNey
+      // ref 'a b a c': bigrams {a b:1, b a:1, a c:1} → B=3;
+      // uni {a:2, b:1, c:1} → V=3; N1+(a)=2, N1+(b)=1;
+      // N_ctx(b)=1 (a), N_ctx(a)=1 (b), N_ctx(c)=1 (a).
+      // doc 'a b' with D=0.5:
+      //   P = max(1−0.5,0)/2 + (0.5·2/2)·((1+1)/(3+3))
+      //     = 0.25 + 0.5·(1/3) = 0.41666...
+      //   round(ln(P),6) = −0.875469
+      val ref = Seq("a b a c").map(Tuple1(_)).toDF("text")
+      val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+      val got = LmFilter.bigramLogprob(docs, ref, "doc_id", "text",
+        smoothing = KneserNey(500)).collect().head
+      got.getAs[Long]("n_bigrams") shouldBe 1L
+      got.getAs[Long]("n_unseen") shouldBe 0L
+      val p = 0.5 / 2.0 + ((0.5 * 2.0) / 2.0) * (2.0 / 6.0)
+      got.getAs[Double]("avg_logprob") shouldBe
+        BigDecimal(math.log(p))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    it("KN's continuation backoff downweights frequent-but-captive " +
+        "tokens (the 'san francisco' property)") {
+      import LmFilter.KneserNey
+      // 'f' is FREQUENT (4 occurrences) but only ever follows 's';
+      // 'y' is rarer (2) but follows two different contexts. After
+      // the unseen context 'zz', KN must prefer 'y' over 'f' —
+      // add-one smoothing would do the opposite.
+      val ref = Seq("s f", "s f", "s f", "s f", "p y", "q y")
+        .map(Tuple1(_)).toDF("text")
+      val docs = Seq((1L, "zz f"), (2L, "zz y")).toDF("doc_id", "text")
+      val kn = LmFilter.bigramLogprob(docs, ref, "doc_id", "text",
+          smoothing = KneserNey(750))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("avg_logprob")).toMap
+      kn(2L) should be > kn(1L) // y beats f after an unseen context
+      val addOne = LmFilter.bigramLogprob(docs, ref, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("avg_logprob")).toMap
+      addOne(2L) shouldBe addOne(1L) // add-one cannot tell them apart
+    }
+
+    it("KN degenerate contexts back off to the continuation " +
+        "probability (c_a = 0 or N1+(a) = 0)") {
+      import LmFilter.KneserNey
+      // ref 'a b': uni {a:1, b:1}, bigrams {a b:1} → B=1, V=2;
+      // N1+(b) = 0 (b only ends the doc), N_ctx(a) = 0 (a never a
+      // second token). doc 'b a': c_a(b)=1 > 0 but N1+(b)=0 →
+      // P = P_cont(a) = (0+1)/(1+2) = 1/3.
+      // doc 'z a': c_a(z)=0 → same backoff, P = 1/3.
+      val ref = Seq("a b").map(Tuple1(_)).toDF("text")
+      val docs = Seq((1L, "b a"), (2L, "z a")).toDF("doc_id", "text")
+      val got = LmFilter.bigramLogprob(docs, ref, "doc_id", "text",
+          smoothing = KneserNey(500))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("avg_logprob")).toMap
+      val expected = BigDecimal(math.log(1.0 / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got(1L) shouldBe expected
+      got(2L) shouldBe expected
+    }
+
+    it("the persisted index serves the KN family transparently") {
+      import LmFilter.KneserNey
+      val ref = Seq("a b a c", "c a b").map(Tuple1(_)).toDF("text")
+      val docs = Seq((1L, "a b c"), (2L, "b a")).toDF("doc_id", "text")
+      val idx = LmFilter.bigramLmIndex(ref, "text", KneserNey(750))
+      sorted(LmFilter.scoreAgainstLmIndex(idx, docs, "doc_id", "text")) shouldBe
+        sorted(LmFilter.bigramLogprob(docs, ref, "doc_id", "text",
+          smoothing = KneserNey(750)))
     }
   }
 
