@@ -30,10 +30,15 @@ def mins(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # strip --top AND its value from the positionals, wherever it
+    # appears — `--top 5 old.json new.json` must not open '5' as a file
+    argv = sys.argv[1:]
     top = 10
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
+    if "--top" in argv:
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if not a.startswith("--")]
     old_doc, old = mins(args[0])
     new_doc, new = mins(args[1])
     shared = sorted(set(old) & set(new))
