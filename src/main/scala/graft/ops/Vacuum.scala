@@ -23,15 +23,17 @@ object Vacuum {
 
   /** Staging-debris suffixes recognized as vacuum candidates. */
   /** RESERVED warehouse suffixes — `Writer`'s staged-swap (`.staging`,
-    * `.old`) and `Compaction`'s rewrite temp (`__compact_tmp`) own
-    * these names; user tables must not end with them. For the swap
-    * suffixes, eligibility additionally requires the SIBLING LIVE
-    * table to exist (debris `orders.old` implies a live `orders`): a
-    * user directory that merely happens to be named `*.old` with no
-    * sibling is never swept.
+    * `.old`), `StagedSwap`'s per-invocation tagged variants
+    * (`.staging-<tag>` / `.old-<tag>`, 8-hex tag), and `Compaction`'s
+    * rewrite temp (`__compact_tmp`) own these names; user tables must
+    * not end with them. For the swap suffixes, eligibility
+    * additionally requires the SIBLING LIVE table to exist (debris
+    * `orders.old` implies a live `orders`): a user directory that
+    * merely happens to be named `*.old` with no sibling is never
+    * swept.
     */
   val DebrisSuffixes: Seq[String] = Seq(".staging", ".old", "__compact_tmp")
-  private val SwapSuffixes = Seq(".staging", ".old")
+  private val SwapRe = """^(.+)\.(staging|old)(-[0-9a-f]{8})?$""".r
 
   final case class Stats(
       nExamined: Int, nCandidates: Int, nDeleted: Int, bytesReclaimed: Long)
@@ -59,14 +61,13 @@ object Vacuum {
     val names = entries.map(_.getPath.getName).toSet
     val candidates = entries.filter { e =>
       val name = e.getPath.getName
-      SwapSuffixes.find(name.endsWith) match {
+      name match {
         // swap debris only when the live table it was staged for is
         // present — protects a user dir that merely matches the suffix.
         // sweepOrphans extends eligibility to sibling-less debris (the
         // dropped-table leak documented above).
-        case Some(sfx) =>
-          sweepOrphans || names.contains(name.dropRight(sfx.length))
-        case None => name.endsWith("__compact_tmp")
+        case SwapRe(base, _, _) => sweepOrphans || names.contains(base)
+        case _ => name.endsWith("__compact_tmp")
       }
     }
     val cutoff = now - retentionMs
