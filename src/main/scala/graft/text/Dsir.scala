@@ -111,8 +111,16 @@ object Dsir {
     * constants; `ref_rows`/`ref_fp` fingerprint the TRAINING corpus
     * (LmFilter.referenceFingerprint's XOR+SUM combine).
     */
-  def corpusIndex(corpus: DataFrame, textCol: String): DataFrame = {
-    val fp = LmFilter.referenceFingerprint(corpus, textCol)
+  def corpusIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpusIndex(corpus, textCol,
+      graft.ops.ArtifactIndex.fingerprint(corpus, textCol))
+
+  /** [[corpusIndex]] with the corpus signature supplied by the
+    * caller (the freshness-mode seam — fingerprint pair or
+    * (ArtifactIndex.TokenRows, token)). */
+  def corpusIndex(corpus: DataFrame, textCol: String,
+      sig: (Long, Long)): DataFrame = {
+    val fp = sig
     corpus.select(explode(bigramsWithMultiplicity(col(textCol))).as("g"))
       .select(xxhash64(col("g")).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("c_c"))
@@ -132,7 +140,14 @@ object Dsir {
     require(IndexMetaCols.forall(index.columns.contains),
       s"index carries no DSIR metadata (${IndexMetaCols.mkString("/")}) — " +
         "rebuild it with Dsir.corpusIndex")
-    index.select("dsir_fam").head(1).foreach { r =>
+    // an empty index would score every batch gram at the smoothed
+    // floor with N_c=0/V=0 — a silently-wrong all-zero distribution;
+    // fail loudly instead (ADVICE r10)
+    val fam = index.select("dsir_fam").head(1)
+    require(fam.nonEmpty,
+      "DSIR index is empty — rebuild it with Dsir.corpusIndex over a " +
+        "non-empty corpus")
+    fam.foreach { r =>
       require(r.getString(0) == IndexFamily,
         s"index is a '${r.getString(0)}' artifact but this scorer " +
           s"implements '$IndexFamily'")
@@ -167,11 +182,16 @@ object Dsir {
 
   /** Build-or-reuse the persisted corpus distribution at `path`,
     * then score the batch: the train-once/score-many loop
-    * ([[graft.text.LmFilter.indexedBigramLogprob]]'s contract). An
-    * existing index is trusted only if its stored corpus fingerprint
-    * matches the CURRENT corpus (one scan); any mismatch, foreign
-    * family, or read failure rebuilds via the staged swap — a torn
-    * artifact can never abort a scoring job or serve stale counts.
+    * ([[graft.text.LmFilter.indexedBigramLogprob]]'s contract,
+    * through the shared [[graft.ops.ArtifactIndex.buildOrReuse]]).
+    * An existing index is trusted only if its stored signature
+    * matches the CURRENT corpus under the caller's `freshness`
+    * choice — the default fingerprint scans the corpus once per
+    * probe; `Token(v)` compares two longs and never scans it (the
+    * 100-TB probe cost model: O(batch + metadata)). Any mismatch,
+    * foreign family, or read failure rebuilds via the staged swap —
+    * a torn artifact can never abort a scoring job or serve stale
+    * counts.
     */
   def indexedScore(
       spark: org.apache.spark.sql.SparkSession,
@@ -180,23 +200,18 @@ object Dsir {
       target: DataFrame,
       batch: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val fp = LmFilter.referenceFingerprint(corpus, textCol)
-    val reusable =
-      try {
-        val idx = spark.read.parquet(path)
-        IndexMetaCols.forall(idx.columns.contains) &&
-          idx.select("dsir_fam", "ref_rows", "ref_fp").head(1).exists(r =>
-            r.getString(0) == IndexFamily &&
-              (r.getLong(1), r.getLong(2)) == fp)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (!reusable)
-      graft.ops.StagedSwap.overwrite(spark, path) { staging =>
-        corpusIndex(corpus, textCol)
-          .write.mode("overwrite").parquet(staging)
-      }
-    scoreAgainstIndex(spark.read.parquet(path), batch, target,
-      idCol, textCol)
+      textCol: String,
+      freshness: graft.ops.ArtifactIndex.Freshness =
+        graft.ops.ArtifactIndex.Fingerprint): DataFrame = {
+    val sig = graft.ops.ArtifactIndex.signature(freshness, corpus, textCol)
+    val idx = graft.ops.ArtifactIndex.buildOrReuse(spark, path,
+      IndexMetaCols, r =>
+        r.getString(0) == IndexFamily &&
+          (r.getLong(1), r.getLong(2)) == sig) { staging =>
+      corpusIndex(corpus, textCol, sig)
+        .write.mode("overwrite").parquet(staging)
+    }
+    scoreAgainstIndex(idx, batch, target, idCol, textCol)
   }
 
   /** The SAME scoring as DuckDB SQL: `corpusSql`/`targetSql` are

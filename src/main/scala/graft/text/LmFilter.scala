@@ -282,44 +282,35 @@ object LmFilter {
     * matches the reference slice before trusting it.
     */
   def bigramLmIndex(reference: DataFrame, textCol: String,
-      smoothing: Smoothing = AddK(1)): DataFrame = {
+      smoothing: Smoothing = AddK(1)): DataFrame =
+    bigramLmIndex(reference, textCol, smoothing,
+      graft.ops.ArtifactIndex.fingerprint(reference, textCol))
+
+  /** [[bigramLmIndex]] with the corpus signature supplied by the
+    * caller — the seam the freshness modes share: fingerprint-signed
+    * artifacts pass the scan pair, token-signed ones pass
+    * (ArtifactIndex.TokenRows, token). */
+  def bigramLmIndex(reference: DataFrame, textCol: String,
+      smoothing: Smoothing, sig: (Long, Long)): DataFrame = {
     val uni = reference.select(explode(toks(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .withColumn("kind", lit("uni"))
     val bi = reference.select(explode(bigrams(col(textCol))).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .withColumn("kind", lit("bi"))
-    val fp = referenceFingerprint(reference, textCol)
+    val fp = sig
     uni.unionByName(bi)
       .select(col("kind"), col("g"), col("c"),
         lit(2).as("lm_order"), lit(smoothing.code).as("smoothing_k"),
         lit(fp._1).as("ref_rows"), lit(fp._2).as("ref_fp"))
   }
 
-  /** (row count, combined hash fingerprint) — an order-independent
-    * one-scan fingerprint of a reference slice; two driver scalars.
-    *
-    * A bit-XOR alone cancels even-multiplicity texts ({A,A} and
-    * {B,B} both XOR to 0: two different duplicate-heavy slices of
-    * equal row count could collide and silently reuse a stale
-    * index), so the fingerprint folds in an order-independent
-    * wrapping SUM of the same hashes: each xxhash64 reduces to
-    * [0, 2^31) per row, the sum accumulates as DECIMAL(38,0) (no
-    * ANSI long overflow at any row count), reduces mod 2^61-1, and
-    * rotates into the XOR's high half. {A,A} and {B,B} then differ
-    * unless the 31-bit hash reductions themselves collide.
-    */
-  def referenceFingerprint(reference: DataFrame, textCol: String): (Long, Long) = {
-    val h = xxhash64(col(textCol))
-    val r = reference.agg(count(lit(1)).as("n"),
-      coalesce(bit_xor(h), lit(0L)).as("x"),
-      coalesce(sum(pmod(h, lit(1L << 31)).cast("decimal(38,0)")),
-        lit(0L).cast("decimal(38,0)")).as("s"))
-      .head()
-    val sumMod = r.getDecimal(2).toBigInteger
-      .mod(java.math.BigInteger.valueOf((1L << 61) - 1)).longValue
-    (r.getLong(0), r.getLong(1) ^ java.lang.Long.rotateLeft(sumMod, 32))
-  }
+  /** (row count, combined hash fingerprint) of a reference slice —
+    * [[graft.ops.ArtifactIndex.fingerprint]] (the XOR+SUM combine
+    * moved there r11 when the index discipline was extracted; this
+    * forwarder keeps the historical call sites and name). */
+  def referenceFingerprint(reference: DataFrame, textCol: String): (Long, Long) =
+    graft.ops.ArtifactIndex.fingerprint(reference, textCol)
 
   /** Score a batch against a persisted [[bigramLmIndex]] — same
     * output contract as [[bigramLogprob]]. Validates the index's
@@ -338,16 +329,24 @@ object LmFilter {
     require(IndexMetaCols.forall(index.columns.contains),
       s"index carries no LM metadata (${IndexMetaCols.mkString("/")}) — " +
         "rebuild it with LmFilter.bigramLmIndex")
-    val smoothing = index.select("lm_order", "smoothing_k").head(1)
-      .map { r =>
-        require(r.getInt(0) == 2,
-          s"index is an order-${r.getInt(0)} model but this scorer " +
-            "implements bigram (order 2) LMs")
-        val s = decodeSmoothing(r.getInt(1))
-        expected.foreach(e => require(e == s,
-          s"index was built for smoothing $s but the caller expects $e"))
-        s
-      }.headOption.getOrElse(expected.getOrElse(AddK(1)))
+    // an EMPTY index is a broken artifact, not a tiny model: scoring
+    // against it would return all-unseen scores with V=0 — fail loudly
+    // instead (ADVICE r10; the build-or-reuse loop never writes one
+    // because the corpus fingerprint of a non-empty reference implies
+    // non-empty count tables)
+    val meta = index.select("lm_order", "smoothing_k").head(1)
+    require(meta.nonEmpty,
+      "LM index is empty — rebuild it with LmFilter.bigramLmIndex " +
+        "over a non-empty reference")
+    val smoothing = meta.map { r =>
+      require(r.getInt(0) == 2,
+        s"index is an order-${r.getInt(0)} model but this scorer " +
+          "implements bigram (order 2) LMs")
+      val s = decodeSmoothing(r.getInt(1))
+      expected.foreach(e => require(e == s,
+        s"index was built for smoothing $s but the caller expects $e"))
+      s
+    }.head
     val uni = index.filter(col("kind") === "uni")
       .select(col("g").as("w"), col("c").as("c_a"))
     val bi = index.filter(col("kind") === "bi")
@@ -356,22 +355,25 @@ object LmFilter {
   }
 
   /** Build-or-reuse the persisted index at `path`, then score: the
-    * train-once/score-many loop in one call. An existing index is
-    * trusted ONLY if its stored reference fingerprint matches the
-    * CURRENT reference slice (one scan — orders of magnitude cheaper
-    * than the tokenize+groupBy train it saves); on any mismatch or
-    * read failure the index is rebuilt and overwritten. Repeated
-    * calls (a nightly scoring job; bench reruns) therefore pay
-    * O(batch + one reference scan), the production cost model.
+    * train-once/score-many loop in one call ([[graft.ops
+    * .ArtifactIndex.buildOrReuse]] — validation, staged-swap rebuild,
+    * and the torn-artifact logging all live there). An existing index
+    * is trusted only if its stored signature matches the CURRENT
+    * reference slice, where the signature is the caller's
+    * `freshness` choice:
+    *
+    *  - `Fingerprint` (default): one reference scan per probe —
+    *    orders cheaper than the retrain it saves, but at 100 TB the
+    *    validation scan dominates the O(batch) probe it guards.
+    *  - `Token(v)`: a metadata-sized corpus version (a VersionedTable
+    *    commit, an ingest ledger sequence) — the probe compares two
+    *    longs and NEVER scans the reference; a stale token still
+    *    rebuilds. The production cost model: O(batch + metadata).
     *
     * ANY validation/read failure means "rebuild" (not just a missing
     * path): a half-written index from a crashed writer, a schema
     * drift, or a corrupt footer must trigger retraining, never an
-    * abort. The rebuild itself writes to a staging dir and swaps by
-    * rename (the Writer/Compaction discipline), so a concurrent
-    * reader of `path` sees the OLD complete index until the new one
-    * is in place — an in-place mode(overwrite) would delete the live
-    * files first and hand that reader a torn directory.
+    * abort.
     */
   def indexedBigramLogprob(
       spark: org.apache.spark.sql.SparkSession,
@@ -380,23 +382,18 @@ object LmFilter {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      smoothing: Smoothing = AddK(1)): DataFrame = {
-    val fp = referenceFingerprint(reference, textCol)
-    val reusable =
-      try {
-        val idx = spark.read.parquet(path)
-        IndexMetaCols.forall(idx.columns.contains) &&
-          idx.select("lm_order", "smoothing_k", "ref_rows", "ref_fp")
-            .head(1).exists(r =>
-              (r.getInt(0), r.getInt(1)) == ((2, smoothing.code)) &&
-                (r.getLong(2), r.getLong(3)) == fp)
-      } catch { case scala.util.control.NonFatal(_) => false }
-    if (!reusable)
-      graft.ops.StagedSwap.overwrite(spark, path) { staging =>
-        bigramLmIndex(reference, textCol, smoothing)
-          .write.mode("overwrite").parquet(staging)
-      }
-    scoreAgainstLmIndex(spark.read.parquet(path), docs, idCol, textCol,
+      smoothing: Smoothing = AddK(1),
+      freshness: graft.ops.ArtifactIndex.Freshness =
+        graft.ops.ArtifactIndex.Fingerprint): DataFrame = {
+    val sig = graft.ops.ArtifactIndex.signature(freshness, reference, textCol)
+    val idx = graft.ops.ArtifactIndex.buildOrReuse(spark, path,
+      IndexMetaCols, r =>
+        (r.getInt(0), r.getInt(1)) == ((2, smoothing.code)) &&
+          (r.getLong(2), r.getLong(3)) == sig) { staging =>
+      bigramLmIndex(reference, textCol, smoothing, sig)
+        .write.mode("overwrite").parquet(staging)
+    }
+    scoreAgainstLmIndex(idx, docs, idCol, textCol,
       expected = Some(smoothing))
   }
 }
