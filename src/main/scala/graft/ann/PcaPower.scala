@@ -72,12 +72,15 @@ object PcaPower {
   /** Covariance entries via the native outer-product moments
     * aggregate (`functions.CovMoments` — the treeAggregate shape):
     * one tight d² loop per row instead of d² exploded rows through
-    * the aggregation hash. Same 6dp input quantization and 9dp
-    * output rounding as [[covariance]], but double sums — partial-
-    * merge order costs ~1 ulp, absorbed by the 9dp rounding on
-    * well-conditioned input (spec-pinned agreement), yet not
-    * oracle-gateable; parity fixtures force `exact = Some(true)`,
-    * and the auto default picks this path above [[ExactWidthCutoff]].
+    * the aggregation hash. Since r11 the aggregate accumulates
+    * EXACT integers (6dp-quantized components, products at scale
+    * 10⁻¹², 128-bit totals), so its moments are value-identical to
+    * the exact-decimal explode path in ANY partition/merge order and
+    * this projection — the same double chain as [[covariance]] over
+    * the same exact values — lands bit-identical covariance entries:
+    * the path is oracle-gateable (q329 gates it against the
+    * exact-chain DuckDB SQL), and exact-vs-fast is purely a PLAN
+    * choice, switched on width by [[ExactWidthCutoff]].
     */
   private def covarianceFast(df: DataFrame, vecCol: String): DataFrame = {
     val m = df.agg(graft.functions.CovMoments.covMoments(col(vecCol)).as("m"))
@@ -88,44 +91,52 @@ object PcaPower {
         pmod(col("idx"), size(col("s1"))).cast("int").as("j"),
         col("n"), col("s1"), col("s2"))
       .select(col("i"), col("j"),
-        round((col("n").cast("double") * col("s2") -
-          element_at(col("s1"), col("i") + 1) *
-            element_at(col("s1"), col("j") + 1)) /
+        round((col("n").cast("double") * col("s2").cast("double") -
+          element_at(col("s1"), col("i") + 1).cast("double") *
+            element_at(col("s1"), col("j") + 1).cast("double")) /
           (col("n").cast("double") * col("n").cast("double")), 9)
           .cast("decimal(24,9)").as("c"))
   }
 
-  /** Covariance-path switch point: at or below this width the exact
-    * decimal d²-explode is cheap and oracle-gateable; above it the
-    * exploded pair volume (rows × d²) dominates and the CovMoments
-    * one-pass moments path wins by an order of magnitude (d=256 at
-    * sf0.1, min-of-3 via graft.tools.WidthBench: 42.0s exact vs
-    * 2.9s moments, 14× with the split-moment exact plan —
-    * BASELINE.md r10 row). The
-    * auto default removes the production foot-gun VERDICT r9 named:
-    * a d=768 user no longer needs to know to pass `exact = false`.
+  /** Covariance-path switch point: at or below this width the
+    * decimal d²-explode is cheap; above it the exploded pair volume
+    * (rows × d²) dominates and the CovMoments one-pass moments path
+    * wins by an order of magnitude (d=256 at sf0.1, min-of-3 via
+    * graft.tools.WidthBench: 42.0s exact vs 2.9s moments, 14× with
+    * the split-moment exact plan — BASELINE.md r10 row). Both paths
+    * produce IDENTICAL covariance entries since the r11
+    * exact-integer CovMoments, so the switch is pure plan choice;
+    * the auto default removes the production foot-gun VERDICT r9
+    * named: a d=768 user no longer needs to know to pass
+    * `exact = false`.
     */
   val ExactWidthCutoff = 128
 
   /** The covariance-path decision (seam for the switch-point spec):
     * an explicit `exact` wins; otherwise exact iff the width of the
-    * first vector is <= [[ExactWidthCutoff]] (empty input defaults
-    * exact — there is nothing to be slow about). */
+    * first vector is <= [[ExactWidthCutoff]]. Empty input AND a null
+    * first vector default exact — there is nothing to be slow about
+    * (the null guard is ADVICE r10: size(null) is null, and getInt on
+    * it NPEs). The width probe is one limit-1 Spark job per
+    * topComponent call — metadata-cheap, but callers in a tight loop
+    * should pass `exact` explicitly to skip it. */
   private[graft] def resolveExact(
       df: DataFrame, vecCol: String, exact: Option[Boolean]): Boolean =
     exact.getOrElse {
       val w = df.select(size(col(vecCol)).as("w")).head(1)
-      w.isEmpty || w.head.getInt(0) <= ExactWidthCutoff
+      w.isEmpty || w.head.isNullAt(0) || w.head.getInt(0) <= ExactWidthCutoff
     }
 
   /** Run `iters` power-iteration rounds; returns per dim:
     * (d, loading, eig_share).
     *
-    * `exact`: `Some(true)` forces the decimal-exact covariance (the
-    * parity contract — every oracle fixture), `Some(false)` forces
-    * the CovMoments moments path, `None` (default) auto-switches on
-    * the embedding width: exact iff d <= [[ExactWidthCutoff]] (width
-    * read from one row — a limit-1 scan, not a pass).
+    * `exact`: `Some(true)` forces the decimal-explode covariance,
+    * `Some(false)` forces the CovMoments moments path, `None`
+    * (default) auto-switches on the embedding width: exact iff
+    * d <= [[ExactWidthCutoff]] (width read from one row — a limit-1
+    * scan, not a pass). Both paths land identical covariance entries
+    * (exact-integer moments since r11), so the choice is plan cost,
+    * not semantics.
     */
   def topComponent(
       spark: SparkSession,

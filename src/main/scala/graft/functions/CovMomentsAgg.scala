@@ -6,53 +6,144 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.Decimal
 
 /** Covariance moments (n, Σx, Σx·xᵀ) as ONE native aggregate — the
   * treeAggregate-shaped alternative to q318's per-row d² explode
   * (ann/PcaPower.covariance): the explode path drives every of the
   * n·d² outer-product cells through the aggregation hash machinery
-  * (a row + a hash probe each), which is exact-decimal and
-  * oracle-friendly but prohibitive CPU at d ≥ 256 (590k cells/row at
-  * d=768). Here the outer product accumulates into a flat
-  * double[d·d] inside `update` — a tight fused loop per row, zero
-  * intermediate rows — and partials merge elementwise, so the plan
-  * keeps Spark's partial/final aggregation (the treeAggregate
+  * (a row + a hash probe each), which is prohibitive CPU at d ≥ 256
+  * (590k cells/row at d=768). Here the outer product accumulates
+  * into flat arrays inside `update` — a tight fused loop per row,
+  * zero intermediate rows — and partials merge elementwise, so the
+  * plan keeps Spark's partial/final aggregation (the treeAggregate
   * shape) with a d²-sized buffer instead of a d²-rows-per-input
   * stream.
   *
-  * Trade (why the exact path stays the oracle-gated default): sums
-  * are IEEE doubles, and partial-merge order is scheduler-dependent
-  * — bit-level nondeterminism ~1 ulp. PcaPower re-quantizes each
-  * covariance entry to 9dp before iterating, which absorbs it for
-  * any well-conditioned input (spec-pinned agreement on the
-  * fixture), but a cross-engine oracle cannot gate on "usually
-  * equal". Engine-local fast path, exact path for parity.
+  * EXACT-INTEGER accumulation (r11 — what turned q329 oracle-gated):
+  * inputs are 6dp-quantized with Spark `round()`'s own HALF_UP
+  * BigDecimal semantics, so each component is an integer k = x·10⁶
+  * and each outer-product cell an integer k_i·k_j at scale 10⁻¹².
+  * Sums of integers are order-independent, so the moments are
+  * BIT-IDENTICAL to the exact-decimal explode path regardless of
+  * partition count or merge order — the r10 version accumulated IEEE
+  * doubles, whose partial-merge order cost ~1 ulp and made the path
+  * non-gateable cross-engine. The hot loop stays primitive: per-cell
+  * longs, with a per-row headroom check that flushes into a 128-bit
+  * (two-long) overflow lane long before a long could wrap; the
+  * 128-bit totals surface as exact DECIMAL(38,6)/(38,12) arrays.
   *
-  * Buffer: ~8·(d+d²) bytes (d=768 → 4.7 MB) — executor-memory
-  * bounded, never driver-collected (the moments row flows into the
-  * covariance-table projection).
+  * Input domain: |x| ≤ 3000 after 6dp quantization (|k| ≤ 3·10⁹, so
+  * a single k_i·k_j fits a long) — enforced loudly; embeddings are
+  * unit-ish, orders inside the bound. Totals are exact for any row
+  * count whose moments fit 38 decimal digits (n ≈ 10¹⁴ unit-norm
+  * rows before Σx·xᵀ nears the cap — far past 100 TB).
+  *
+  * Buffer: 24·(d+d²) bytes of longs (d=768 → 14 MB) — executor-
+  * memory bounded, never driver-collected (the moments row flows
+  * into the covariance-table projection).
   */
 object CovMoments {
 
-  /** (n, s1[d], s2[d·d] row-major) over a float/double vector
-    * column; inputs are 6dp-rounded first (the q318 scan
-    * quantization, so both covariance paths see identical inputs).
+  /** (n, s1[d] decimal(38,6), s2[d·d] decimal(38,12) row-major) over
+    * a float/double vector column; inputs are 6dp-rounded first with
+    * Spark round()'s HALF_UP-on-BigDecimal semantics, so both
+    * covariance paths (and the DuckDB oracle) see identical inputs.
     */
   def covMoments(v: Column): Column =
     column(CovMomentsAgg(expression(v)).toAggregateExpression())
 }
 
+/** Mutable moments accumulator: `acc*` are the primitive-long hot
+  * lanes (quantized units: 10⁻⁶ for s1, 10⁻¹² for s2), `hi*`/`lo*`
+  * the 128-bit two's-complement flushed totals (lo unsigned).
+  * `headroom` is the remaining guaranteed-no-overflow budget of the
+  * hot lanes: every row consumes maxK² of it, and a row that would
+  * exhaust it triggers a flush first.
+  */
 final class CovBuffer(
     var n: Long,
-    var s1: Array[Double],
-    var s2: Array[Double])
+    var headroom: Long,
+    var acc1: Array[Long],
+    var acc2: Array[Long],
+    var hi1: Array[Long],
+    var lo1: Array[Long],
+    var hi2: Array[Long],
+    var lo2: Array[Long]) {
+
+  def width: Int = if (acc1 == null) 0 else acc1.length
+
+  def alloc(d: Int): Unit = {
+    acc1 = new Array[Long](d); acc2 = new Array[Long](d * d)
+    hi1 = new Array[Long](d); lo1 = new Array[Long](d)
+    hi2 = new Array[Long](d * d); lo2 = new Array[Long](d * d)
+    headroom = Long.MaxValue
+  }
+
+  /** Add signed `v` into the 128-bit cell (hi(i), lo(i)). */
+  @inline private def add128(
+      hi: Array[Long], lo: Array[Long], i: Int, v: Long): Unit = {
+    val l = lo(i)
+    val nl = l + v
+    // carry out of the unsigned low-half addition
+    val carry = ((l & v) | ((l | v) & ~nl)) >>> 63
+    lo(i) = nl
+    hi(i) += (v >> 63) + carry
+  }
+
+  /** Move the hot lanes into the 128-bit totals and reset headroom. */
+  def flush(): Unit = {
+    if (acc1 == null) return
+    var i = 0
+    while (i < acc1.length) {
+      if (acc1(i) != 0L) { add128(hi1, lo1, i, acc1(i)); acc1(i) = 0L }
+      i += 1
+    }
+    i = 0
+    while (i < acc2.length) {
+      if (acc2(i) != 0L) { add128(hi2, lo2, i, acc2(i)); acc2(i) = 0L }
+      i += 1
+    }
+    headroom = Long.MaxValue
+  }
+
+  /** Fold `other`'s (flushed) 128-bit totals into this one's. */
+  def merge128(other: CovBuffer): Unit = {
+    var i = 0
+    while (i < hi1.length) {
+      val l = lo1(i); val ol = other.lo1(i)
+      val nl = l + ol
+      lo1(i) = nl
+      hi1(i) += other.hi1(i) + (((l & ol) | ((l | ol) & ~nl)) >>> 63)
+      i += 1
+    }
+    i = 0
+    while (i < hi2.length) {
+      val l = lo2(i); val ol = other.lo2(i)
+      val nl = l + ol
+      lo2(i) = nl
+      hi2(i) += other.hi2(i) + (((l & ol) | ((l | ol) & ~nl)) >>> 63)
+      i += 1
+    }
+    n += other.n
+  }
+
+  /** The exact 128-bit total of cell i as a BigInteger. */
+  def total(hi: Array[Long], lo: Array[Long], i: Int): java.math.BigInteger =
+    java.math.BigInteger.valueOf(hi(i)).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo(i))))
+}
 
 case class CovMomentsAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CovBuffer] with UnaryLike {
+
+  /** |k| cap keeping a single k_i·k_j inside a long (3e9² = 9e18 <
+    * 2⁶³−1): |x| ≤ 3000 after 6dp quantization. */
+  private val KMax = 3000000000L
 
   private lazy val elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -62,7 +153,7 @@ case class CovMomentsAgg(
   }
 
   override def createAggregationBuffer(): CovBuffer =
-    new CovBuffer(0L, null, null)
+    new CovBuffer(0L, 0L, null, null, null, null, null, null)
 
   override def update(buf: CovBuffer, input: InternalRow): CovBuffer = {
     val raw = child.eval(input)
@@ -70,29 +161,39 @@ case class CovMomentsAgg(
     val a = raw.asInstanceOf[ArrayData]
     val d = a.numElements()
     if (d == 0) return buf
-    if (buf.s1 == null) {
-      buf.s1 = new Array[Double](d)
-      buf.s2 = new Array[Double](d * d)
-    }
-    require(buf.s1.length == d,
-      s"ragged vectors: ${buf.s1.length} vs $d")
-    // 6dp quantization at the scan, matching the exact-decimal path
-    val x = new Array[Double](d)
+    if (buf.acc1 == null) buf.alloc(d)
+    require(buf.width == d, s"ragged vectors: ${buf.width} vs $d")
+    // 6dp quantization with Spark round()'s exact semantics
+    // (BigDecimal.valueOf(double).setScale(6, HALF_UP)) so the
+    // integer units match the exact-decimal path bit for bit
+    val k = new Array[Long](d)
+    var maxK = 0L
     var i = 0
     while (i < d) {
       val v = if (elemFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      // round-half-away-from-zero at 6dp, as Spark's round() does
-      x(i) = if (v >= 0) math.floor(v * 1e6 + 0.5) / 1e6
-        else -math.floor(-v * 1e6 + 0.5) / 1e6
-      buf.s1(i) += x(i)
+      val ki = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      require(ki <= KMax && ki >= -KMax,
+        s"covMoments supports |x| <= 3000 (6dp-quantized |k| <= $KMax); got $v")
+      k(i) = ki
+      val ab = math.abs(ki)
+      if (ab > maxK) maxK = ab
       i += 1
     }
+    // every cell's per-row increment is bounded by maxK² (and s1's by
+    // maxK ≤ maxK² for maxK ≥ 1), so charging maxK² per row against
+    // the shared headroom guarantees no hot-lane long ever wraps
+    val rowBound = maxK * maxK
+    if (buf.headroom < rowBound) buf.flush()
+    buf.headroom -= rowBound
     i = 0
     while (i < d) {
-      val xi = x(i)
+      buf.acc1(i) += k(i)
+      val ki = k(i)
       val row = i * d
       var j = 0
-      while (j < d) { buf.s2(row + j) += xi * x(j); j += 1 }
+      while (j < d) { buf.acc2(row + j) += ki * k(j); j += 1 }
       i += 1
     }
     buf.n += 1
@@ -100,35 +201,51 @@ case class CovMomentsAgg(
   }
 
   override def merge(buf: CovBuffer, other: CovBuffer): CovBuffer = {
-    if (other.s1 == null) return buf
-    if (buf.s1 == null) {
-      buf.s1 = other.s1.clone(); buf.s2 = other.s2.clone()
-      buf.n = other.n
+    if (other.acc1 == null) return buf
+    other.flush()
+    if (buf.acc1 == null) {
+      buf.alloc(other.width)
+      buf.merge128(other)
       return buf
     }
-    require(buf.s1.length == other.s1.length,
-      s"ragged vectors: ${buf.s1.length} vs ${other.s1.length}")
-    var i = 0
-    while (i < buf.s1.length) { buf.s1(i) += other.s1(i); i += 1 }
-    i = 0
-    while (i < buf.s2.length) { buf.s2(i) += other.s2(i); i += 1 }
-    buf.n += other.n
+    require(buf.width == other.width,
+      s"ragged vectors: ${buf.width} vs ${other.width}")
+    buf.flush()
+    buf.merge128(other)
     buf
   }
 
   override def eval(buf: CovBuffer): Any =
-    if (buf.s1 == null) null
-    else InternalRow(buf.n, new GenericArrayData(buf.s1),
-      new GenericArrayData(buf.s2))
+    if (buf.acc1 == null) null
+    else {
+      buf.flush()
+      val d = buf.width
+      val s1 = new Array[Any](d)
+      var i = 0
+      while (i < d) {
+        s1(i) = Decimal(new java.math.BigDecimal(
+          buf.total(buf.hi1, buf.lo1, i), 6), 38, 6)
+        i += 1
+      }
+      val s2 = new Array[Any](d * d)
+      i = 0
+      while (i < d * d) {
+        s2(i) = Decimal(new java.math.BigDecimal(
+          buf.total(buf.hi2, buf.lo2, i), 12), 38, 12)
+        i += 1
+      }
+      InternalRow(buf.n, new GenericArrayData(s1), new GenericArrayData(s2))
+    }
 
   override def serialize(buf: CovBuffer): Array[Byte] = {
-    val d = if (buf.s1 == null) 0 else buf.s1.length
-    val bb = java.nio.ByteBuffer.allocate(16 + 8 * (d + d * d))
+    buf.flush()
+    val d = buf.width
+    val bb = java.nio.ByteBuffer.allocate(16 + 16 * (d + d * d))
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putLong(buf.n).putInt(d).putInt(0)
     if (d > 0) {
-      buf.s1.foreach(bb.putDouble)
-      buf.s2.foreach(bb.putDouble)
+      buf.hi1.foreach(bb.putLong); buf.lo1.foreach(bb.putLong)
+      buf.hi2.foreach(bb.putLong); buf.lo2.foreach(bb.putLong)
     }
     bb.array()
   }
@@ -138,18 +255,26 @@ case class CovMomentsAgg(
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val n = bb.getLong()
     val d = bb.getInt(); bb.getInt()
-    if (d == 0) new CovBuffer(n, null, null)
-    else {
-      val s1 = Array.fill(d)(bb.getDouble())
-      val s2 = Array.fill(d * d)(bb.getDouble())
-      new CovBuffer(n, s1, s2)
+    val buf = new CovBuffer(n, 0L, null, null, null, null, null, null)
+    if (d > 0) {
+      buf.alloc(d)
+      buf.n = n
+      var i = 0
+      while (i < d) { buf.hi1(i) = bb.getLong(); i += 1 }
+      i = 0
+      while (i < d) { buf.lo1(i) = bb.getLong(); i += 1 }
+      i = 0
+      while (i < d * d) { buf.hi2(i) = bb.getLong(); i += 1 }
+      i = 0
+      while (i < d * d) { buf.lo2(i) = bb.getLong(); i += 1 }
     }
+    buf
   }
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
-    StructField("s1", ArrayType(DoubleType, containsNull = false)),
-    StructField("s2", ArrayType(DoubleType, containsNull = false))))
+    StructField("s1", ArrayType(DecimalType(38, 6), containsNull = false)),
+    StructField("s2", ArrayType(DecimalType(38, 12), containsNull = false))))
   override def nullable: Boolean = true
   override def prettyName: String = "cov_moments"
   override def withNewMutableAggBufferOffset(o: Int): CovMomentsAgg =

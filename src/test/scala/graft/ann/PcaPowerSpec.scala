@@ -74,11 +74,32 @@ class PcaPowerSpec extends SparkSpec {
       val m = df.agg(graft.functions.CovMoments.covMoments(col("v")).as("m"))
         .select("m.n", "m.s1", "m.s2").collect().head
       m.getAs[Long](0) shouldBe 100L
-      val s1 = m.getSeq[Double](1).toSeq
-      val s2 = m.getSeq[Double](2).toSeq
+      // exact-integer moments surface as exact decimals (r11)
+      val s1 = m.getSeq[java.math.BigDecimal](1).map(_.doubleValue).toSeq
+      val s2 = m.getSeq[java.math.BigDecimal](2).map(_.doubleValue).toSeq
       s1 shouldBe Seq(5050.0, 10100.0)
       // Σx² = 338350, Σx·2x = 676700, Σ(2x)² = 1353400
       s2 shouldBe Seq(338350.0, 676700.0, 676700.0, 1353400.0)
+    }
+    it("CovMoments 128-bit flush lane: domain-edge components " +
+        "(|x| = 3000) stay exact, out-of-domain fails loudly") {
+      import org.apache.spark.sql.functions._
+      // |k| = 3e9 → every row's maxK² = 9e18 exhausts the long
+      // headroom, forcing the flush path on each update
+      val df = (1 to 4).map(_ => Array(3000f, -3000f)).toDF("v")
+        .repartition(2)
+      val m = df.agg(graft.functions.CovMoments.covMoments(col("v")).as("m"))
+        .select("m.n", "m.s1", "m.s2").collect().head
+      m.getAs[Long](0) shouldBe 4L
+      m.getSeq[java.math.BigDecimal](1).map(_.doubleValue).toSeq shouldBe
+        Seq(12000.0, -12000.0)
+      m.getSeq[java.math.BigDecimal](2).map(_.doubleValue).toSeq shouldBe
+        Seq(3.6e7, -3.6e7, -3.6e7, 3.6e7)
+      val big = Seq(Tuple1(Array(3001f, 0f))).toDF("v")
+      val e = intercept[org.apache.spark.SparkException] {
+        big.agg(graft.functions.CovMoments.covMoments(col("v"))).collect()
+      }
+      e.getMessage should include("3000")
     }
     it("splits an isotropic pair evenly in eig_share") {
       // two equal-variance independent dims → share ≈ 0.5
