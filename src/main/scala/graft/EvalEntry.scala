@@ -991,6 +991,13 @@ object EvalEntry {
   private[graft] def lmIndexPath(dir: String): String =
     s"target/scratch/lm_index_${sanitize(dir)}"
 
+  /** The KN-family artifact path — q332 gates it, q334 probes it
+    * (the q325/q263 sharing precedent applied to the Kneser-Ney
+    * family; a family switch must never thrash the add-one index,
+    * which lives at [[lmIndexPath]]). */
+  private[graft] def lmKnIndexPath(dir: String): String =
+    s"target/scratch/lm_index_kn_${sanitize(dir)}"
+
   // ---------------------------------------------------------------
   // q330 — interpolated (Jelinek-Mercer) bigram LM scoring
   // (text/LmFilter.Interpolated): the same persisted-index
@@ -1030,8 +1037,7 @@ object EvalEntry {
   // ---------------------------------------------------------------
   private def q332(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    graft.text.LmFilter.indexedBigramLogprob(s,
-        s"target/scratch/lm_index_kn_${sanitize(dir)}",
+    graft.text.LmFilter.indexedBigramLogprob(s, lmKnIndexPath(dir),
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         smoothing = graft.text.LmFilter.KneserNey(
@@ -1047,11 +1053,12 @@ object EvalEntry {
   // default takes the CovMoments moments path — one fused d² loop
   // per row instead of d² exploded rows (the exact path measured 14×
   // slower at this width — 42.0s vs 2.9s, sf0.1 min-of-3 via
-  // graft.tools.WidthBench; BASELINE.md r10). No DuckDB oracle BY
-  // DESIGN: the moments path's double partial-merge order is not
-  // cross-engine gateable (the 9dp agreement is spec-pinned in
-  // PcaPowerSpec at d=64/d=256 instead); the driver records the
-  // rows-only check.
+  // graft.tools.WidthBench; BASELINE.md r10). ORACLE-GATED since r11
+  // (VERDICT r10 item 4): CovMoments accumulates exact integers
+  // (6dp-quantized components, 128-bit totals), so the moments path
+  // is bit-identical to the exact decimal chain in any merge order
+  // and the standard topComponentSql gates it — the bench keeps the
+  // moments plan, the board loses its one non-green row.
   // ---------------------------------------------------------------
   private def q329(s: SparkSession, dir: String): DataFrame = {
     val wide = t(s, dir, "embeddings").select(
@@ -1067,7 +1074,36 @@ object EvalEntry {
       .orderBy("d")
   }
 
+  // ---------------------------------------------------------------
+  // q333 — ROUGE-2 with a persisted reference count table
+  // (ml/Rouge.indexedRougeN — the q325/q331 production-shape lesson
+  // applied to the registry's #1 steady-state query, VERDICT r10
+  // item 2): in a generation-eval loop the REFERENCE set is fixed
+  // while candidates change per model run, so the reference
+  // per-(pair, gram) multiset counts land in one parquet artifact
+  // (family tag + gram order + key convention + corpus signature as
+  // RLE'd metadata, ArtifactIndex discipline) and a scoring batch
+  // pays only its own tokenize+count + one keyed join — the
+  // reference corpus is never re-tokenized. Oracle is the full
+  // recompute over the batch's pairs (index transparency, q331's
+  // contract). Batch = every third candidate, so the probe is
+  // visibly O(batch), not O(corpus).
+  // ---------------------------------------------------------------
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ml.Rouge.indexedRougeN(s,
+        s"target/scratch/rouge_index_${sanitize(dir)}",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("pair_id", expr("doc_id div 2")),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+            pmod(col("doc_id"), lit(3)) === 1)
+          .withColumn("pair_id", expr("(doc_id - 1) div 2")),
+        "pair_id", "text", n = 2)
+      .orderBy("pair_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_rouge_indexed" -> (q333 _),
     "q325_lm_index" -> (q325 _),
     "q329_pca_wide" -> (q329 _),
     "q330_lm_interpolated" -> (q330 _),
@@ -1198,11 +1234,29 @@ object EvalEntry {
       s"""WITH ${StatsEntry.LmScoreCte}
          |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
          |FROM lm_scores ORDER BY doc_id""".stripMargin,
-    // q329_pca_wide carries NO oracle by design: the CovMoments
-    // moments path sums IEEE doubles in partial-merge order — not
-    // cross-engine gateable; agreement with the exact path is
-    // spec-pinned (PcaPowerSpec d=64/d=256) and the driver records
-    // the rows-only check here.
+    // q329: the exact decimal chain over the SAME d=256 widening —
+    // gateable since r11's exact-integer CovMoments made the moments
+    // path bit-identical to the explode path in any merge order. The
+    // widening restates Spark's float arithmetic exactly: each block
+    // is double ops on the float component, cast back to float
+    // (x*x is float-exact in double — 24-bit mantissas product fits
+    // 53 — so CAST(x*x AS FLOAT) matches Spark's float multiply).
+    "q329_pca_wide" ->
+      s"""WITH pca_vecs AS (
+         |  SELECT embedding
+         |    || list_transform(embedding,
+         |         x -> CAST(CAST(x AS DOUBLE) * 0.5 + 0.01 AS FLOAT))
+         |    || list_transform(embedding,
+         |         x -> CAST(CAST(CAST(x * x AS FLOAT) AS DOUBLE) * 0.25
+         |           AS FLOAT))
+         |    || list_transform(embedding,
+         |         x -> CAST(-CAST(x AS DOUBLE) + 0.125 AS FLOAT))
+         |    AS vec
+         |  FROM embeddings
+         |),
+         |${graft.ann.PcaPower.topComponentSql(iters = 5)}
+         |SELECT d, loading, eig_share FROM pca_out
+         |ORDER BY d""".stripMargin,
     "q330_lm_interpolated" ->
       s"""WITH ${StatsEntry.LmScoreJmCte}
          |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
@@ -1597,6 +1651,19 @@ object EvalEntry {
       s"""WITH cand AS (
          |  SELECT (doc_id - 1) // 2 AS pair_id, text FROM documents
          |  WHERE doc_id % 2 = 1
+         |), refr AS (
+         |  SELECT doc_id // 2 AS pair_id, text FROM documents
+         |  WHERE doc_id % 2 = 0
+         |), ${ml.Rouge.rougeNSql(n = 2)}
+         |SELECT pair_id, n_cand, n_ref, n_match, precision, recall, f1
+         |FROM rouge_out ORDER BY pair_id""".stripMargin,
+    // q333: the full recompute restricted to the probe's batch — a
+    // lost/duplicated/stale index row breaks parity (q331's index-
+    // transparency contract, applied to the ROUGE reference counts)
+    "q333_rouge_indexed" ->
+      s"""WITH cand AS (
+         |  SELECT (doc_id - 1) // 2 AS pair_id, text FROM documents
+         |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 1
          |), refr AS (
          |  SELECT doc_id // 2 AS pair_id, text FROM documents
          |  WHERE doc_id % 2 = 0

@@ -12,20 +12,17 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q332, contiguous)") {
-      SparkEntry.queries.size shouldBe 332
+    it("covers the full SURVEY inventory (q01..q335, contiguous)") {
+      SparkEntry.queries.size shouldBe 335
       val nums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
-      nums shouldBe (1 to 332).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 335).map(i => f"q$i%02d").toSet
     }
-    it("every registered query carries a DuckDB oracle (except the " +
-        "documented rows-only set)") {
-      // q329_pca_wide is rows-only BY DESIGN: the CovMoments moments
-      // path sums IEEE doubles in partial-merge order — not
-      // cross-engine gateable; 9dp agreement with the exact path is
-      // spec-pinned in PcaPowerSpec (SURVEY §2 row 329)
-      val rowsOnly = Set("q329_pca_wide")
+    it("every registered query carries a DuckDB oracle") {
+      // the rows-only set is EMPTY since r11: q329_pca_wide gained a
+      // gated oracle when CovMoments went exact-integer (bit-identical
+      // moments in any merge order — SURVEY §2 row 329)
       SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet shouldBe
-        rowsOnly
+        Set.empty[String]
     }
     it("oracle SQL never references scratch paths or spark-only syntax markers") {
       SparkEntry.oracleSql.values.foreach { sql =>
