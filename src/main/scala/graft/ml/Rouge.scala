@@ -34,33 +34,43 @@ object Rouge {
         concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
   }
 
-  /** Score candidate rows against reference rows joined on
-    * `pairCol`. Returns (pairCol, n_cand, n_ref, n_match, precision,
-    * recall, f1); pairs where either side has no n-grams drop out
-    * (score undefined, stated not imputed). */
-  def rougeN(
-      cand: DataFrame,
-      ref: DataFrame,
-      pairCol: String,
-      textCol: String,
-      n: Int = 2): DataFrame = {
-    // barrier: each count table feeds BOTH the match join and its
-    // totals rollup — without the cut the tokenize+count runs twice.
-    // Grams join as TEXT, mirroring the oracle: an xxhash64 key would
-    // save ~half the shuffle bytes on word bigrams but makes Spark
-    // alone collision-tolerant — a within-pair 64-bit collision would
-    // inflate n_match on one engine only, an asymmetric (if
-    // astronomically rare) parity break. Word n-grams are short; the
-    // symmetric join costs ~5% here and keeps both engines on
-    // identical multiset semantics.
-    def counts(df: DataFrame, as: String): DataFrame =
-      graft.plans.Plans.barrier(
-        df.select(col(pairCol).as("pair_id"),
-            explode(ngrams(col(textCol), n)).as("gram"))
-          .groupBy("pair_id", "gram")
-          .agg(count(lit(1)).as(as)))
-    val c = counts(cand, "c_cand")
-    val r = counts(ref, "c_ref")
+  /** The gram-key convention, reconciled (VERDICT r10 item 5 — one
+    * documented answer instead of LmFilter/Rouge-text vs Dsir-hash):
+    *
+    *  - `hashKeys = false` (default, ORACLE PARITY): grams join as
+    *    TEXT, so both engines run identical multiset semantics and a
+    *    64-bit collision cannot break parity asymmetrically. Every
+    *    oracle-gated fixture runs this mode.
+    *  - `hashKeys = true` (PRODUCTION): grams reduce to xxhash64
+    *    8-byte keys before the shuffle — on sf1 word bigrams this
+    *    removes the ~7%-of-wall-clock string-shuffle tax (BASELINE
+    *    r11 row). Collision bound: a within-pair collision merges two
+    *    gram counts; with p grams per pair the chance any pair is
+    *    affected is ≤ pairs·p²/2⁶⁵ — at 10⁹ pairs × 10⁴ grams each,
+    *    ~3·10⁻³ expected affected pairs corpus-wide, and an affected
+    *    pair's n_match moves by at most the smaller merged count.
+    *    Spec-pinned equal to text mode on fixtures.
+    */
+  private def gramKey(as: String, hashKeys: Boolean)(g: Column): Column =
+    (if (hashKeys) xxhash64(g) else g).as(as)
+
+  /** Per-(pair, gram) multiset counts of one side — the shared
+    * count-table builder (fresh scoring, the persisted index, and
+    * the probe's candidate leg all run it). Barriered by callers
+    * that read it twice. */
+  private def gramCounts(df: DataFrame, pairCol: String, textCol: String,
+      n: Int, as: String, hashKeys: Boolean): DataFrame =
+    df.select(col(pairCol).as("pair_id"),
+        explode(ngrams(col(textCol), n)).as("_g"))
+      .select(col("pair_id"), gramKey("gram", hashKeys)(col("_g")))
+      .groupBy("pair_id", "gram")
+      .agg(count(lit(1)).as(as))
+
+  /** The clipped-count scoring tail over prepared count tables
+    * `c(pair_id, gram, c_cand)` / `r(pair_id, gram, c_ref)` — both
+    * the fresh path and the persisted-index probe end here. */
+  private def scoreFromCounts(c: DataFrame, r: DataFrame,
+      pairCol: String): DataFrame = {
     val totals = c.groupBy("pair_id").agg(sum(col("c_cand")).as("tc"))
       .join(r.groupBy("pair_id").agg(sum(col("c_ref")).as("tr")),
         "pair_id")
@@ -77,6 +87,125 @@ object Rouge {
           col("tr").cast("double"), 9).as("recall"),
         round(coalesce(col("n_match"), lit(0L)).cast("double") * 2 /
           (col("tc") + col("tr")).cast("double"), 9).as("f1"))
+  }
+
+  /** Score candidate rows against reference rows joined on
+    * `pairCol`. Returns (pairCol, n_cand, n_ref, n_match, precision,
+    * recall, f1); pairs where either side has no n-grams drop out
+    * (score undefined, stated not imputed). `hashKeys` picks the
+    * gram-key convention documented at [[gramKey]]. */
+  def rougeN(
+      cand: DataFrame,
+      ref: DataFrame,
+      pairCol: String,
+      textCol: String,
+      n: Int = 2,
+      hashKeys: Boolean = false): DataFrame = {
+    // barrier: each count table feeds BOTH the match join and its
+    // totals rollup — without the cut the tokenize+count runs twice
+    val c = graft.plans.Plans.barrier(
+      gramCounts(cand, pairCol, textCol, n, "c_cand", hashKeys))
+    val r = graft.plans.Plans.barrier(
+      gramCounts(ref, pairCol, textCol, n, "c_ref", hashKeys))
+    scoreFromCounts(c, r, pairCol)
+  }
+
+  /** Metadata every [[refCountIndex]] row carries and the probe
+    * validates (the q325/q331 index discipline via
+    * [[graft.ops.ArtifactIndex]]): family tag + gram order + key
+    * convention + the corpus signature. */
+  private[graft] val IndexMetaCols =
+    Seq("rouge_fam", "rouge_n", "rouge_keys", "ref_rows", "ref_fp")
+
+  /** Family tag pinning the tokenize/ngram/multiset semantics this
+    * index serves. A different family must write a different tag. */
+  val IndexFamily = "rouge-ngram-multiset-1"
+
+  /** The persisted form of the ROUGE reference side — the
+    * train-once/score-many shape applied to the registry's #1
+    * steady-state query (VERDICT r10 item 2): the reference set in
+    * a generation-eval loop is FIXED (the benchmark references);
+    * candidates change per model run. So the reference per-(pair,
+    * gram) multiset count table lands in parquet once, and every
+    * scoring batch pays only its own tokenize+count plus one keyed
+    * join — the reference corpus is never re-tokenized. `tr` totals
+    * derive from the index itself (count-table-sized scan, not a
+    * corpus scan). Metadata rides as RLE'd constants; `rouge_keys`
+    * records the gram-key convention ("text" for oracle parity,
+    * "xxh64" for the 8-byte production keys) so a probe always
+    * encodes its candidate grams to match the artifact.
+    */
+  def refCountIndex(ref: DataFrame, pairCol: String, textCol: String,
+      n: Int, sig: (Long, Long), hashKeys: Boolean = false): DataFrame =
+    gramCounts(ref, pairCol, textCol, n, "c_ref", hashKeys)
+      .select(col("pair_id"), col("gram"), col("c_ref"),
+        lit(IndexFamily).as("rouge_fam"), lit(n).as("rouge_n"),
+        lit(if (hashKeys) "xxh64" else "text").as("rouge_keys"),
+        lit(sig._1).as("ref_rows"), lit(sig._2).as("ref_fp"))
+
+  /** Score a candidate batch against a persisted [[refCountIndex]] —
+    * same output contract as [[rougeN]] restricted to the batch's
+    * pairs. The gram order and key convention dispatch from the
+    * index metadata, so a probe against a foreign artifact fails
+    * loudly instead of silently scoring with the wrong n. */
+  def scoreAgainstIndex(index: DataFrame, cand: DataFrame,
+      pairCol: String, textCol: String): DataFrame = {
+    require(IndexMetaCols.forall(index.columns.contains),
+      s"index carries no ROUGE metadata (${IndexMetaCols.mkString("/")})" +
+        " — rebuild it with Rouge.refCountIndex")
+    val meta = index.select("rouge_fam", "rouge_n", "rouge_keys").head(1)
+    require(meta.nonEmpty,
+      "ROUGE index is empty — rebuild it with Rouge.refCountIndex over " +
+        "a non-empty reference set")
+    val r0 = meta.head
+    require(r0.getString(0) == IndexFamily,
+      s"index is a '${r0.getString(0)}' artifact but this scorer " +
+        s"implements '$IndexFamily'")
+    val n = r0.getInt(1)
+    val hashKeys = r0.getString(2) match {
+      case "text" => false
+      case "xxh64" => true
+      case other => throw new IllegalArgumentException(
+        s"rouge_keys = '$other' names no gram-key convention")
+    }
+    val c = graft.plans.Plans.barrier(
+      gramCounts(cand, pairCol, textCol, n, "c_cand", hashKeys))
+    // the index side re-reads the (count-table-sized) parquet for its
+    // totals instead of barriering — a second pruned scan is cheaper
+    // than materializing the artifact into executor memory
+    scoreFromCounts(c, index.select("pair_id", "gram", "c_ref"), pairCol)
+  }
+
+  /** Build-or-reuse the persisted reference counts at `path`, then
+    * score the candidate batch (the q325/q331 train-once/score-many
+    * contract through [[graft.ops.ArtifactIndex.buildOrReuse]]):
+    * `freshness` picks fingerprint (one reference scan per probe) or
+    * a metadata-sized token; stale/foreign/torn artifacts rebuild
+    * via the staged swap. Steady-state probe cost is
+    * O(batch + freshness), vs [[rougeN]]'s both-sides recount.
+    */
+  def indexedRougeN(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ref: DataFrame,
+      cand: DataFrame,
+      pairCol: String,
+      textCol: String,
+      n: Int = 2,
+      hashKeys: Boolean = false,
+      freshness: graft.ops.ArtifactIndex.Freshness =
+        graft.ops.ArtifactIndex.Fingerprint): DataFrame = {
+    val sig = graft.ops.ArtifactIndex.signature(freshness, ref, textCol)
+    val keys = if (hashKeys) "xxh64" else "text"
+    val idx = graft.ops.ArtifactIndex.buildOrReuse(spark, path,
+      IndexMetaCols, r =>
+        r.getString(0) == IndexFamily && r.getInt(1) == n &&
+          r.getString(2) == keys &&
+          (r.getLong(3), r.getLong(4)) == sig) { staging =>
+      refCountIndex(ref, pairCol, textCol, n, sig, hashKeys)
+        .write.mode("overwrite").parquet(staging)
+    }
+    scoreAgainstIndex(idx, cand, pairCol, textCol)
   }
 
   /** DuckDB restatement over `cand(pair_id, text)` /
