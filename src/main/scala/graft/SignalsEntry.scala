@@ -424,17 +424,41 @@ object SignalsEntry {
   // mid-rank CDF machinery per language (two-level bucketed prefix,
   // no global sort); ties share a band by construction.
   // ---------------------------------------------------------------
-  private def q263(s: SparkSession, dir: String): DataFrame = {
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(s, dir, EvalEntry.lmIndexPath(dir),
+      graft.text.LmFilter.AddK(1))
+
+  // ---------------------------------------------------------------
+  // q334 — CCNet buckets driven by the Kneser-Ney scorer
+  // (VERDICT r10 item 6: KenLM's-default KN end-to-end through the
+  // bucket pipeline, not just the q332 scoring leg): identical
+  // terciles-per-language machinery, but the head/middle/tail split
+  // now reflects continuation-probability scores — a frequent-but-
+  // captive token no longer buys its document into the head. Probes
+  // the KN artifact q332 gates (own path — the family switch
+  // rebuilds its own index, never thrashes q263's add-one one).
+  // ---------------------------------------------------------------
+  private def q334(s: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(s, dir, EvalEntry.lmKnIndexPath(dir),
+      graft.text.LmFilter.KneserNey(StatsEntry.KnDiscountPermille))
+
+  /** The shared CCNet bucketing pipeline: score the odd-doc batch
+    * through the persisted LM index at `path` (building it if
+    * absent/stale — the metadata dispatch makes the smoothing family
+    * a parameter), then tercile per language. */
+  private def ccnetBuckets(s: SparkSession, dir: String, path: String,
+      smoothing: graft.text.LmFilter.Smoothing): DataFrame = {
     val docs = t(s, dir, "documents")
-    // scores through the persisted LM index q325 gates (shared
-    // artifact path): the reference count tables train at most once
-    // per corpus state — a rerun, or a run after q325, pays only the
-    // fingerprint scan + the batch probe, the CCNet production shape
+    // scores through the persisted LM index (shared artifact path
+    // per family): the reference count tables train at most once
+    // per corpus state — a rerun, or a run after q325/q332, pays
+    // only the fingerprint scan + the batch probe, the CCNet
+    // production shape
     val scored = graft.text.LmFilter.indexedBigramLogprob(
-      s, EvalEntry.lmIndexPath(dir),
+      s, path,
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
-      "doc_id", "text")
+      "doc_id", "text", smoothing)
     // barrier: the scored table feeds BOTH the band-boundary CDF and
     // the final banding join; the cut pins the shared computation to
     // one materialized slice (measured neutral today — the optimizer
@@ -734,6 +758,7 @@ object SignalsEntry {
     "q261_theil_sen" -> (q261 _),
     "q262_spearman" -> (q262 _),
     "q263_ccnet_buckets" -> (q263 _),
+    "q334_ccnet_kn" -> (q334 _),
     "q264_wilson_ci" -> (q264 _),
     "q265_fixed_width" -> (q265 _),
     "q266_matryoshka" -> (q266 _),
@@ -744,6 +769,41 @@ object SignalsEntry {
     "q271_occ_commit" -> (q271 _),
     "q272_shallow_clone" -> (q272 _),
     "q273_kruskal_wallis" -> (q273 _))
+
+  /** The CCNet tercile oracle over any LM-scoring CTE ending in
+    * `lm_scores(doc_id, n_bigrams, n_unseen, avg_logprob)` — q263
+    * passes the add-one recompute, q334 the Kneser-Ney one; the
+    * banding machinery is shared by construction so the two oracles
+    * cannot drift. */
+  private def ccnetBucketSql(scoreCte: String): String =
+    s"""WITH $scoreCte, sl AS (
+       |  SELECT s.doc_id, s.n_bigrams, s.avg_logprob, d.lang
+       |  FROM lm_scores s JOIN documents d USING (doc_id)
+       |), census AS (
+       |  SELECT lang, avg_logprob AS v, count(*) AS c
+       |  FROM sl GROUP BY 1, 2
+       |), cm AS (
+       |  SELECT lang, v, c,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS nl
+       |  FROM census
+       |), bands AS (
+       |  SELECT lang, v,
+       |    least(CAST(floor((CAST(2 * cum - c AS DOUBLE)
+       |      / CAST(2 * nl AS DOUBLE)) * 3) AS BIGINT), 2) AS band
+       |  FROM cm
+       |), bd AS (
+       |  SELECT sl.lang, sl.n_bigrams, sl.avg_logprob, b.band
+       |  FROM sl JOIN bands b ON sl.lang = b.lang
+       |    AND sl.avg_logprob = b.v
+       |)
+       |SELECT lang,
+       |  CASE WHEN band = 2 THEN 'head' WHEN band = 1 THEN 'middle'
+       |    ELSE 'tail' END AS band,
+       |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT)
+       |    AS sum_bigrams,
+       |  min(avg_logprob) AS min_score, max(avg_logprob) AS max_score
+       |FROM bd GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q247_cidr_match" ->
@@ -1108,35 +1168,10 @@ object SignalsEntry {
          |        * CAST(n * syy - sy * sy AS DOUBLE)), 9)
          |  END AS rho
          |FROM mom ORDER BY event_type""".stripMargin,
-    "q263_ccnet_buckets" ->
-      s"""WITH ${StatsEntry.LmScoreCte}, sl AS (
-         |  SELECT s.doc_id, s.n_bigrams, s.avg_logprob, d.lang
-         |  FROM lm_scores s JOIN documents d USING (doc_id)
-         |), census AS (
-         |  SELECT lang, avg_logprob AS v, count(*) AS c
-         |  FROM sl GROUP BY 1, 2
-         |), cm AS (
-         |  SELECT lang, v, c,
-         |    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
-         |    sum(c) OVER (PARTITION BY lang) AS nl
-         |  FROM census
-         |), bands AS (
-         |  SELECT lang, v,
-         |    least(CAST(floor((CAST(2 * cum - c AS DOUBLE)
-         |      / CAST(2 * nl AS DOUBLE)) * 3) AS BIGINT), 2) AS band
-         |  FROM cm
-         |), bd AS (
-         |  SELECT sl.lang, sl.n_bigrams, sl.avg_logprob, b.band
-         |  FROM sl JOIN bands b ON sl.lang = b.lang
-         |    AND sl.avg_logprob = b.v
-         |)
-         |SELECT lang,
-         |  CASE WHEN band = 2 THEN 'head' WHEN band = 1 THEN 'middle'
-         |    ELSE 'tail' END AS band,
-         |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT)
-         |    AS sum_bigrams,
-         |  min(avg_logprob) AS min_score, max(avg_logprob) AS max_score
-         |FROM bd GROUP BY 1, 2 ORDER BY lang, band""".stripMargin,
+    "q263_ccnet_buckets" -> ccnetBucketSql(StatsEntry.LmScoreCte),
+    // q334: the same tercile machinery over the KN recompute — the
+    // smoothing family end-to-end through the bucket pipeline
+    "q334_ccnet_kn" -> ccnetBucketSql(StatsEntry.LmScoreKnCte),
     "q264_wilson_ci" -> {
       val (rate, lo, hi) = graft.quality.Proportions.wilsonSql()
       s"""WITH a AS (
