@@ -862,6 +862,37 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
+  // q335 — DSIR probe under METADATA-SIZED freshness (ops/
+  // ArtifactIndex.Token via fileToken — VERDICT r10 item 1, the
+  // highest-leverage scale item): q331's fingerprint mode still
+  // rescans the full corpus on every probe to validate the index; at
+  // 100 TB that validation scan dominates the O(batch) probe it
+  // guards. Here the signature is a TOKEN derived from the corpus
+  // directory's file listing (one driver-side FileSystem listing —
+  // no Spark job, no data read; any rewrite/append/compaction bumps
+  // it), so the steady-state probe is O(batch + metadata). Own
+  // artifact path — the q331 fingerprint artifact and this token
+  // artifact must never thrash each other (a mode switch reads as a
+  // signature mismatch by design). Oracle is the full from-scratch
+  // recompute over the batch (every doc ≡ 2 mod 3 — disjoint from
+  // q331's batch, so artifact crosstalk would be visible): index
+  // transparency gated under the cheap freshness signal.
+  // ---------------------------------------------------------------
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dsir
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    Dsir.indexedScore(s,
+        s"target/scratch/dsir_index_tok_${ExtendedEntry.sanitize(dir)}",
+        corpus = docs,
+        target = docs.filter(col("doc_id") % 31 === 7),
+        batch = docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text",
+        freshness = graft.ops.ArtifactIndex.fileToken(
+          s, s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // q166 — k-anonymity / l-diversity audit (quality/Anonymity — the
   // pre-export privacy gate; measures what q55 redaction and q146
   // purge enforce): equivalence classes over the quasi-identifiers
@@ -944,6 +975,7 @@ object TrainEntry {
     "q167_hard_negatives" -> (q167 _),
     "q165_dsir_weights" -> (q165 _),
     "q331_dsir_indexed" -> (q331 _),
+    "q335_dsir_token" -> (q335 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q327_semdedup_probe2" -> (q327 _),
@@ -1081,6 +1113,16 @@ object TrainEntry {
             "SELECT doc_id, text FROM documents",
             "SELECT text FROM documents WHERE doc_id % 31 = 7",
             "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1")}
+         |) z ORDER BY doc_id""".stripMargin,
+    // q335: identical full-recompute contract over the token-signed
+    // probe's (disjoint) batch — the cheap freshness signal must not
+    // change a single scored value
+    "q335_dsir_token" ->
+      s"""SELECT * FROM (
+         |${graft.text.Dsir.sqlBatch(
+            "SELECT doc_id, text FROM documents",
+            "SELECT text FROM documents WHERE doc_id % 31 = 7",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2")}
          |) z ORDER BY doc_id""".stripMargin,
     // q164: gram generation restated exactly as q64/q129's proven
     // chain at k=8 (lowercase, \s+ split, empty filter, distinct
