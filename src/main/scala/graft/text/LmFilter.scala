@@ -147,7 +147,8 @@ object LmFilter {
       reference: DataFrame,
       idCol: String,
       textCol: String,
-      smoothing: Smoothing = AddK(1)): DataFrame = {
+      smoothing: Smoothing = AddK(1),
+      hashKeys: Boolean = false): DataFrame = {
     // barrier: `uni` feeds BOTH the vocabulary scalar and the c_a
     // join — without the cut the reference tokenize+count runs twice
     val uni = graft.plans.Plans.barrier(
@@ -155,7 +156,7 @@ object LmFilter {
         .groupBy("w").agg(count(lit(1)).as("c_a")))
     val bi = reference.select(explode(bigrams(col(textCol))).as("ab"))
       .groupBy("ab").agg(count(lit(1)).as("c_ab"))
-    scoreDocs(docs, idCol, textCol, uni, bi, smoothing)
+    scoreDocs(docs, idCol, textCol, uni, bi, smoothing, hashKeys)
   }
 
   private def toks(c: org.apache.spark.sql.Column) =
@@ -175,10 +176,26 @@ object LmFilter {
     * derives from `uni` (1-row broadcast). The interpolated scorer
     * adds ONE extra keyed join (unigram count of the second token) —
     * the same hash-join shape, still O(batch).
+    *
+    * `hashKeys` is the reconciled gram-key convention (VERDICT r10
+    * item 5, same contract as `ml/Rouge`): false (default, oracle
+    * parity) joins gram TEXT so both engines run identical
+    * semantics; true (production) reduces every join key to an
+    * xxhash64 8-byte value before the shuffle — gram text still
+    * flows through the derivations (the KN continuation tables split
+    * bigram text), only the JOIN keys hash. Collision bound: a
+    * colliding pair of reference grams merges two counts; at 10⁹
+    * distinct grams the expected number of colliding pairs is
+    * ~3·10⁻² corpus-wide (birthday bound n²/2⁶⁵), each shifting one
+    * count by one gram's mass. Spec-pinned equal to text mode on
+    * fixtures for all three smoothing families.
     */
   private def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       uni: DataFrame, bi: DataFrame,
-      smoothing: Smoothing = AddK(1)): DataFrame = {
+      smoothing: Smoothing = AddK(1),
+      hashKeys: Boolean = false): DataFrame = {
+    def key(c: org.apache.spark.sql.Column) =
+      if (hashKeys) xxhash64(c) else c
     val vocab = uni.agg(count(lit(1)).as("v"),
       coalesce(sum(col("c_a")), lit(0L)).as("t"))
     // the KN branch reads the bi table three more times (N1+/N_ctx/B)
@@ -192,8 +209,12 @@ object LmFilter {
     val joined0 = docs
       .select(col(idCol), explode(bigrams(col(textCol))).as("ab"))
       .withColumn("a", split(col("ab"), " ").getItem(0))
-      .join(biEff, Seq("ab"), "left")
-      .join(uni.select(col("w").as("a"), col("c_a")), Seq("a"), "left")
+      .withColumn("abk", key(col("ab")))
+      .withColumn("ak", key(col("a")))
+      .join(biEff.select(key(col("ab")).as("abk"), col("c_ab")),
+        Seq("abk"), "left")
+      .join(uni.select(key(col("w")).as("ak"), col("c_a")),
+        Seq("ak"), "left")
     val (joined, term) = smoothing match {
       case AddK(k) =>
         // exact-long numerator/denominator, then ONE double division
@@ -215,20 +236,23 @@ object LmFilter {
         val puni = (coalesce(col("c_b"), lit(0L)) + lit(1L)).cast("double") /
           (col("t") + col("v")).cast("double")
         val j = joined0
-          .withColumn("b2", split(col("ab"), " ").getItem(1))
-          .join(uni.select(col("w").as("b2"), col("c_a").as("c_b")),
-            Seq("b2"), "left")
+          .withColumn("b2k", key(split(col("ab"), " ").getItem(1)))
+          .join(uni.select(key(col("w")).as("b2k"), col("c_a").as("c_b")),
+            Seq("b2k"), "left")
         (j, F.round(log(lam * pml + (lit(1.0d) - lam) * puni), 6)
           .cast("decimal(28,6)"))
       case KneserNey(dp) =>
         // continuation statistics all derive from the SAME (barrier'd)
         // bi table: N1+(a) distinct continuations per first token,
         // N_ctx(b) distinct left contexts per second token, B the
-        // bigram-type total (1-row broadcast with V)
+        // bigram-type total (1-row broadcast with V). Derivations
+        // split gram TEXT; only the join keys go through key().
         val n1p = biEff.select(split(col("ab"), " ").getItem(0).as("a"))
           .groupBy("a").agg(count(lit(1)).as("n1p"))
+          .select(key(col("a")).as("ak"), col("n1p"))
         val nctx = biEff.select(split(col("ab"), " ").getItem(1).as("b2"))
           .groupBy("b2").agg(count(lit(1)).as("nctx"))
+          .select(key(col("b2")).as("b2k"), col("nctx"))
         val btypes = biEff.agg(count(lit(1)).as("bt"))
         val d = lit(dp.toDouble / 1000.0d)
         val pc = (coalesce(col("nctx"), lit(0L)) + lit(1L)).cast("double") /
@@ -242,9 +266,9 @@ object LmFilter {
               * pc)
           .otherwise(pc)
         val j = joined0
-          .withColumn("b2", split(col("ab"), " ").getItem(1))
-          .join(n1p, Seq("a"), "left")
-          .join(nctx, Seq("b2"), "left")
+          .withColumn("b2k", key(split(col("ab"), " ").getItem(1)))
+          .join(n1p, Seq("ak"), "left")
+          .join(nctx, Seq("b2k"), "left")
           .crossJoin(broadcast(btypes))
         (j, F.round(log(p), 6).cast("decimal(28,6)"))
     }
@@ -325,7 +349,8 @@ object LmFilter {
     */
   def scoreAgainstLmIndex(index: DataFrame, docs: DataFrame,
       idCol: String, textCol: String,
-      expected: Option[Smoothing] = None): DataFrame = {
+      expected: Option[Smoothing] = None,
+      hashKeys: Boolean = false): DataFrame = {
     require(IndexMetaCols.forall(index.columns.contains),
       s"index carries no LM metadata (${IndexMetaCols.mkString("/")}) — " +
         "rebuild it with LmFilter.bigramLmIndex")
@@ -351,7 +376,7 @@ object LmFilter {
       .select(col("g").as("w"), col("c").as("c_a"))
     val bi = index.filter(col("kind") === "bi")
       .select(col("g").as("ab"), col("c").as("c_ab"))
-    scoreDocs(docs, idCol, textCol, uni, bi, smoothing)
+    scoreDocs(docs, idCol, textCol, uni, bi, smoothing, hashKeys)
   }
 
   /** Build-or-reuse the persisted index at `path`, then score: the
@@ -384,7 +409,8 @@ object LmFilter {
       textCol: String,
       smoothing: Smoothing = AddK(1),
       freshness: graft.ops.ArtifactIndex.Freshness =
-        graft.ops.ArtifactIndex.Fingerprint): DataFrame = {
+        graft.ops.ArtifactIndex.Fingerprint,
+      hashKeys: Boolean = false): DataFrame = {
     val sig = graft.ops.ArtifactIndex.signature(freshness, reference, textCol)
     val idx = graft.ops.ArtifactIndex.buildOrReuse(spark, path,
       IndexMetaCols, r =>
@@ -394,6 +420,6 @@ object LmFilter {
         .write.mode("overwrite").parquet(staging)
     }
     scoreAgainstLmIndex(idx, docs, idCol, textCol,
-      expected = Some(smoothing))
+      expected = Some(smoothing), hashKeys = hashKeys)
   }
 }

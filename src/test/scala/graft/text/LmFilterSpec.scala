@@ -59,6 +59,17 @@ class LmFilterSpec extends SparkSpec {
         sorted(LmFilter.bigramLogprob(docsDf, refDf, "doc_id", "text"))
     }
 
+    it("hashed join keys score exactly as text keys, for all three " +
+        "smoothing families (the reconciled gram-key convention)") {
+      for (sm <- Seq[LmFilter.Smoothing](LmFilter.AddK(1),
+          LmFilter.Interpolated(700), LmFilter.KneserNey(750))) {
+        sorted(LmFilter.bigramLogprob(docsDf, refDf, "doc_id", "text",
+          smoothing = sm, hashKeys = true)) shouldBe
+          sorted(LmFilter.bigramLogprob(docsDf, refDf, "doc_id", "text",
+            smoothing = sm))
+      }
+    }
+
     it("rejects an index without metadata or with a foreign model") {
       val bare = LmFilter.bigramLmIndex(refDf, "text")
         .drop("lm_order", "smoothing_k", "ref_rows", "ref_fp")
