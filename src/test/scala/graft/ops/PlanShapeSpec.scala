@@ -111,6 +111,33 @@ class PlanShapeSpec extends SparkSpec {
     scan should include regex "PushedFilters: \\[.*EqualTo\\(kind,bi\\)"
   }
 
+  it("ROUGE index probe reads the persisted counts and never " +
+      "re-tokenizes the reference") {
+    import graft.ml.Rouge
+    val p = "target/scratch/planshape_rouge_index"
+    val pp = new org.apache.hadoop.fs.Path(p)
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("pair_id", "text")
+    Rouge.refCountIndex(ref, "pair_id", "text", n = 2, (2L, 7L))
+      .write.parquet(p)
+    val out = Rouge.scoreAgainstIndex(spark.read.parquet(p),
+      Seq((1L, "alpha beta zeta")).toDF("pair_id", "text"),
+      "pair_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the probe's only text-parsing work is the CANDIDATE leg: the
+    // reference side must come from the parquet artifact (two pruned
+    // scans — match join + totals), with zero reference tokenization
+    plan should include("planshape_rouge_index")
+    // exactly one tokenize chain (the candidate's) in the whole plan:
+    // split(lower(text)) appearing twice would mean the reference is
+    // being re-parsed somewhere
+    val tokenizes = "split\\(lower\\(".r.findAllIn(plan).length
+    tokenizes should be <= 2 // candidate counts are barriered once;
+    // the localCheckpoint may surface the expression in two fragments
+  }
+
   it("interpolated LM probe keeps the scan-level kind split for all " +
       "three count-table legs") {
     import graft.text.LmFilter
