@@ -101,6 +101,38 @@ class PcaPowerSpec extends SparkSpec {
       }
       e.getMessage should include("3000")
     }
+    it("quantization tie values route through the exact HALF_UP rule " +
+        "on both covariance paths") {
+      import org.apache.spark.sql.functions._
+      // doubles whose scaled value y = v*1e6 lands ON or NEXT TO a .5
+      // tie: 5e-7 scales to 0.49999999999999994 (naive floor(y+0.5)
+      // picks 0; Spark round()'s shortest-decimal HALF_UP picks 1 —
+      // the fast path's fallback band must catch it), 2.5e-6 is an
+      // exact positive tie (HALF_UP → 3), -2.5e-6 an exact negative
+      // tie (HALF_UP away from zero → -3, where floor(y+0.5) says -2)
+      val vecs = Seq(
+        Tuple1(Array(0.0000005d, -0.0000005d, 2.5e-6d, -2.5e-6d)),
+        Tuple1(Array(1.5e-6d, 0.0000005d, -1.5e-6d, 2.5e-6d)),
+        Tuple1(Array(1.0d, -0.5d, 0.25d, -0.125d))).toDF("v")
+      def run(exact: Boolean) =
+        PcaPower.topComponent(spark, vecs, "v", iters = 2,
+            exact = Some(exact))
+          .collect().sortBy(_.getAs[Long]("d"))
+          .map(r => (r.getAs[Long]("d"), r.getAs[Double]("loading"),
+            r.getAs[Double]("eig_share")))
+      run(exact = false) shouldBe run(exact = true)
+      // and the moments themselves carry the HALF_UP quantization:
+      // Σx over the first column = round(.5)+round(1.5)+round(1e6)
+      // = 1 + 2 + 1000000 at scale 1e-6
+      val m = vecs.agg(graft.functions.CovMoments.covMoments(col("v"))
+        .as("m")).select("m.s1").collect().head
+        .getSeq[java.math.BigDecimal](0)
+      m.head.movePointRight(6).longValueExact() shouldBe
+        (1L + 2L + 1000000L)
+      // second column: round(-.5) + round(.5) + round(-5e5)
+      m(1).movePointRight(6).longValueExact() shouldBe
+        (-1L + 1L - 500000L)
+    }
     it("splits an isotropic pair evenly in eig_share") {
       // two equal-variance independent dims → share ≈ 0.5
       val vecs = (1 to 64).map { i =>
