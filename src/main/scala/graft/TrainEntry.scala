@@ -652,6 +652,48 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
+  // q336 — per-language BPE fertility (tokens-per-word after
+  // encoding — THE tokenizer-equity metric: a language with high
+  // fertility pays more sequence length per word, so training
+  // mixture and context budgets must account for it). Composes
+  // q143's training (corpus-global merges, driver scalars) with a
+  // per-(lang, word) count table: encoding is the same ONE codegen'd
+  // chained-replace projection (no join, no shuffle), the rollup two
+  // partial-aggregated groupBys, fertility/chars-per-token two
+  // 6dp-rounded divisions over exact integer sums. Oracle extends
+  // the generated training chain with the identical per-lang encode
+  // walk (Bpe.fertilitySql) — the two engines share one merge
+  // sequence by construction.
+  // ---------------------------------------------------------------
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = t(s, dir, "documents")
+    val words = Bpe.wordCounts(docs.select("text"), "text")
+    val merges = Bpe.train(s, words, BpeMerges)
+    val lw = docs
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val toks = size(expr("filter(split(sym, '  '), x -> x != '')"))
+      .cast("long")
+    lw.select(col("lang"), col("cnt"),
+        length(col("word")).cast("long").as("chars"),
+        Bpe.encodedSym(col("word"), merges).as("sym"))
+      .select(col("lang"), col("cnt"), col("chars"), toks.as("toks"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("toks")).as("n_tokens"),
+        sum(col("cnt") * col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------
   // q145 — perceptual near-dup for image assets (multimodal/Phash;
   // the media complement of q23's MinHash): each doc becomes a REAL
   // 8×8 greyscale PNG (zlib IDAT that actually inflates; groups of 5
@@ -976,6 +1018,7 @@ object TrainEntry {
     "q165_dsir_weights" -> (q165 _),
     "q331_dsir_indexed" -> (q331 _),
     "q335_dsir_token" -> (q335 _),
+    "q336_bpe_fertility" -> (q336 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q327_semdedup_probe2" -> (q327 _),
@@ -1248,6 +1291,10 @@ object TrainEntry {
     },
     "q143_bpe_train" -> graft.text.Bpe.trainSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
+    // q336: the generated training chain + the identical per-lang
+    // encode walk — one merge sequence serves both engines
+    "q336_bpe_fertility" -> graft.text.Bpe.fertilitySql(
+      "documents", "text", nMerges = BpeMerges),
     "q144_bpe_census" -> graft.text.Bpe.censusSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges, 30),
     "q150_kmeans_step" ->

@@ -105,17 +105,19 @@ object Bpe {
     out.result()
   }
 
-  /** Encode a word table with a learned merge list: the chained
-    * replaces fold into ONE codegen'd projection (merges are driver
-    * scalars — no join, no shuffle; the corpus-at-inference path).
-    * Returns (cnt, sym) with sym fully merged.
-    */
-  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val sym = merges.foldLeft(symbolize(col("word"))) { (c, m) =>
+  /** The fully-merged symbol string of `word` under a learned merge
+    * list, as a pure Column: the chained replaces fold into ONE
+    * codegen'd projection (merges are driver scalars — no join, no
+    * shuffle; the corpus-at-inference path). */
+  def encodedSym(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(symbolize(word)) { (c, m) =>
       replace(c, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
     }
-    words.select(col("cnt"), sym.as("sym"))
-  }
+
+  /** Encode a word table with a learned merge list; returns
+    * (cnt, sym) with sym fully merged. */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    words.select(col("cnt"), encodedSym(col("word"), merges).as("sym"))
 
   /** Token census after encoding: (token, n) weighted by word
     * frequency — the learned vocabulary's usage distribution.
@@ -184,17 +186,68 @@ object Bpe {
       s"\nSELECT * FROM (\n$finals\n) ORDER BY iter"
   }
 
+  /** The training chain's CTE prefix (everything before the final
+    * merge-table SELECT) — the reusable piece every encode-side
+    * oracle extends. */
+  private def trainChain(wordsCte: String, nMerges: Int): String = {
+    val train = trainSql(wordsCte, nMerges)
+    train.substring(0, train.indexOf("\nSELECT * FROM ("))
+  }
+
   /** Oracle for encode-then-census over the same learned merges:
     * extends the training chain with the final token count.
     */
-  def censusSql(wordsCte: String, nMerges: Int, topK: Int): String = {
-    val train = trainSql(wordsCte, nMerges)
-    val chain = train.substring(0, train.indexOf("\nSELECT * FROM (")) // reuse CTEs
-    s"""$chain
+  def censusSql(wordsCte: String, nMerges: Int, topK: Int): String =
+    s"""${trainChain(wordsCte, nMerges)}
        |SELECT token, CAST(SUM(cnt) AS BIGINT) AS n FROM (
        |  SELECT cnt, unnest(list_filter(string_split(sym, '  '),
        |    x -> x != '')) AS token
        |  FROM w$nMerges)
        |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
+
+  /** Oracle for [[encodedSym]]-based per-language fertility (q336):
+    * the training chain runs on the corpus-global word table exactly
+    * as `train` does; the per-(lang, word) table then walks the SAME
+    * merge scalars (lw0 → lwN mirror the engine's folded replaces,
+    * with trainSql's corpus-exhausted CASE guard), and the closing
+    * rollup is exact-integer sums with two 6dp-rounded divisions.
+    */
+  def fertilitySql(docsTable: String, textCol: String,
+      nMerges: Int): String = {
+    val lwIters = (1 to nMerges).map { k =>
+      s"""lw$k AS MATERIALIZED (SELECT lang, cnt, chars,
+         |  CASE WHEN (SELECT count(*) FROM b$k) = 0 THEN sym
+         |    ELSE replace(sym,
+         |      ' ' || (SELECT lhs FROM b$k) || '  ' || (SELECT rhs FROM b$k) || ' ',
+         |      ' ' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || ' ')
+         |  END AS sym
+         |  FROM lw${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""${trainChain(wordCountsSql(docsTable, textCol), nMerges)},
+       |lw AS MATERIALIZED (
+       |  SELECT lang, word, count(*) AS cnt FROM (
+       |    SELECT lang, unnest(string_split(lower($textCol), ' ')) AS word
+       |    FROM $docsTable)
+       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+       |lw0 AS MATERIALIZED (SELECT lang, cnt,
+       |  CAST(length(word) AS BIGINT) AS chars,
+       |  '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym
+       |  FROM lw),
+       |$lwIters
+       |SELECT lang, n_words, n_tokens, n_chars,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+       |    AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM (
+       |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt * toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(cnt * chars) AS BIGINT) AS n_chars
+       |  FROM (SELECT lang, cnt, chars,
+       |      CAST(len(list_filter(string_split(sym, '  '),
+       |        x -> x != '')) AS BIGINT) AS toks
+       |    FROM lw$nMerges)
+       |  GROUP BY lang)
+       |ORDER BY lang""".stripMargin
   }
 }

@@ -76,4 +76,18 @@ class BpeSpec extends SparkSpec {
       wc shouldBe Map("the" -> 3L, "cat" -> 2L, "dog" -> 1L)
     }
   }
+
+  describe("encodedSym / fertility arithmetic (q336)") {
+    it("counts tokens per word under a known merge list") {
+      // merges: (a,b) then (ab,c) — "abc" fuses to 1 token, "abd"
+      // keeps (ab, d) = 2, "xyz" stays 3 chars
+      val merges = Seq(Merge(1, "a", "b", 9L), Merge(2, "ab", "c", 5L))
+      val m = words(("abc", 1L), ("abd", 1L), ("xyz", 1L))
+        .select(col("word"), Bpe.encodedSym(col("word"), merges).as("sym"))
+        .select(col("word"),
+          size(expr("filter(split(sym, '  '), x -> x != '')")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      m shouldBe Map("abc" -> 1, "abd" -> 2, "xyz" -> 3)
+    }
+  }
 }
