@@ -85,7 +85,8 @@ class BpeSpec extends SparkSpec {
       val m = words(("abc", 1L), ("abd", 1L), ("xyz", 1L))
         .select(col("word"), Bpe.encodedSym(col("word"), merges).as("sym"))
         .select(col("word"),
-          size(expr("filter(split(sym, '  '), x -> x != '')")).as("t"))
+          org.apache.spark.sql.functions.size(
+            expr("filter(split(sym, '  '), x -> x != '')")).as("t"))
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       m shouldBe Map("abc" -> 1, "abd" -> 2, "xyz" -> 3)
     }
