@@ -145,6 +145,27 @@ case class CovMomentsAgg(
     * 2⁶³−1): |x| ≤ 3000 after 6dp quantization. */
   private val KMax = 3000000000L
 
+  /** Worst-case |y − exact·10⁶| of the fast path's y = v·1e6 at the
+    * |x| = KMax·1e-6 domain edge, derived FROM KMax so a future
+    * domain bump re-derives it (ADVICE r11 — the old comment claimed
+    * 1e-9, the true edge bound is ~4.6e-7): one double-product
+    * rounding (≤ ulp(KMax)/2 ≈ 2.4e-7) plus the shortest-decimal
+    * repr error of v itself scaled by 1e6 (≤ ulp(KMax·1e-6)/2·1e6 ≈
+    * 2.3e-7). */
+  private val FastPathErrBound: Double =
+    Math.ulp(KMax.toDouble) / 2 + Math.ulp(KMax * 1e-6) / 2 * 1e6
+
+  /** Tie-boundary guard band (in units of one 1e-6 quantum): y
+    * within TieBand of a .5 boundary defers to the exact BigDecimal
+    * rule. Must strictly exceed [[FastPathErrBound]] or a fast-path
+    * round could disagree with the exact rule OUTSIDE the deferred
+    * band — asserted here so a band shrink or domain bump cannot
+    * silently cross it (today's margin is ~2.2×). */
+  private val TieBand: Double = 1e-6
+  require(TieBand > FastPathErrBound,
+    s"CovMoments tie band $TieBand must exceed the fast-path error " +
+      s"bound $FastPathErrBound derived from KMax=$KMax")
+
   private lazy val elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -168,10 +189,11 @@ case class CovMomentsAgg(
     // the double's SHORTEST-DECIMAL repr). The BigDecimal chain costs
     // ~80ns/element (measured +48% q329 wall at sf1), so the hot path
     // uses primitive floor arithmetic and defers to BigDecimal ONLY
-    // when v·10⁶ lands within 1e-6 of a .5 tie boundary: outside that
-    // band both rules pick the same nearest integer (the decimal-repr
-    // and product errors are < 1e-9 of a unit combined), inside it
-    // the exact rule decides (incl. HALF_UP's away-from-zero ties).
+    // when v·10⁶ lands within TieBand of a .5 tie boundary: outside
+    // that band both rules pick the same nearest integer (combined
+    // decimal-repr + product error ≤ FastPathErrBound < TieBand,
+    // asserted above), inside it the exact rule decides (incl.
+    // HALF_UP's away-from-zero ties).
     val k = new Array[Long](d)
     var maxK = 0L
     var i = 0
@@ -181,7 +203,7 @@ case class CovMomentsAgg(
       val r = Math.floor(y + 0.5d)
       val frac = y - (r - 0.5d)
       val ki =
-        if (frac > 1e-6 && frac < 0.999999d && Math.abs(y) < 4.5e15)
+        if (frac > TieBand && frac < 1.0d - TieBand && Math.abs(y) < 4.5e15)
           r.toLong
         else java.math.BigDecimal.valueOf(v)
           .setScale(6, java.math.RoundingMode.HALF_UP)

@@ -183,6 +183,14 @@ object Rouge {
     * a metadata-sized token; stale/foreign/torn artifacts rebuild
     * via the staged swap. Steady-state probe cost is
     * O(batch + freshness), vs [[rougeN]]'s both-sides recount.
+    *
+    * Unlike the LM/DSIR corpora (unkeyed bags of text), the ROUGE
+    * reference is a KEYED (pair_id, text) table, so Fingerprint mode
+    * signs the PAIR BINDING — xxhash64 over struct(pairCol, textCol)
+    * per row (ADVICE r11): re-assigning pair_ids over the same
+    * reference texts keeps a text-only (count, XOR+SUM) fingerprint
+    * identical and would silently score candidates against the wrong
+    * references; the struct hash changes under any re-keying.
     */
   def indexedRougeN(
       spark: org.apache.spark.sql.SparkSession,
@@ -195,7 +203,10 @@ object Rouge {
       hashKeys: Boolean = false,
       freshness: graft.ops.ArtifactIndex.Freshness =
         graft.ops.ArtifactIndex.Fingerprint): DataFrame = {
-    val sig = graft.ops.ArtifactIndex.signature(freshness, ref, textCol)
+    // the signature corpus is by-name: Token mode never evaluates it
+    val sig = graft.ops.ArtifactIndex.signature(freshness,
+      ref.select(struct(col(pairCol), col(textCol)).as("pair_text")),
+      "pair_text")
     val keys = if (hashKeys) "xxh64" else "text"
     val idx = graft.ops.ArtifactIndex.buildOrReuse(spark, path,
       IndexMetaCols, r =>

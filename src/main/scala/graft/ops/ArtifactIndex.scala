@@ -106,27 +106,39 @@ object ArtifactIndex {
   /** [[Token]] from the FILE LISTING of a raw table directory — the
     * freshness signal for corpora that are plain parquet dirs rather
     * than versioned tables: an order-independent hash of every data
-    * file's (name, length). Resolving it is one filesystem listing —
-    * driver-side metadata, no Spark job, no data read. Any rewrite,
-    * compaction, append, or delete changes the listing and bumps the
-    * token; byte-identical files moved wholesale keep it (a freshness
-    * heuristic, not a content proof — [[Fingerprint]] is the
-    * content-level fallback).
+    * file's (path relative to `dir`, length, modification time).
+    * Resolving it is one filesystem listing — driver-side metadata,
+    * no Spark job, no data read. Any rewrite, compaction, append,
+    * delete, or partition-subdirectory move changes the listing and
+    * bumps the token (ADVICE r11 hardened this: the old (basename,
+    * length) hash missed subdirectory moves — two same-name
+    * same-length files under different partition dirs XOR-cancelled —
+    * and in-place rewrites preserving name+length). Remaining
+    * heuristic gap, inherent to a metadata token: a rewrite that
+    * preserves relative path, length, AND the filesystem's
+    * modification timestamp keeps the token — [[Fingerprint]] is the
+    * content-level fallback. Spurious bumps (a byte-identical
+    * rewrite with a new mtime) only cost one safe rebuild.
     */
   def fileToken(spark: SparkSession, dir: String): Token = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(p).toUri
     var acc = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val s = it.next()
       val name = s.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
+        // relative path, not basename: placement inside partition
+        // subdirectories is part of the identity being signed
+        val rel = rootUri.relativize(s.getPath.toUri).getPath
         // order-independent: XOR of per-file hashes, so listing order
         // (filesystem-dependent) cannot change the token
         acc ^= scala.util.hashing.MurmurHash3.stringHash(
-          s"$name:${s.getLen}").toLong * 0x9e3779b97f4a7c15L
+          s"$rel:${s.getLen}:${s.getModificationTime}").toLong *
+          0x9e3779b97f4a7c15L
       }
     }
     Token(acc)

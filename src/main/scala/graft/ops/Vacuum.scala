@@ -21,18 +21,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Vacuum {
 
-  /** Staging-debris suffixes recognized as vacuum candidates. */
   /** RESERVED warehouse suffixes — `Writer`'s staged-swap (`.staging`,
     * `.old`), `StagedSwap`'s per-invocation tagged variants
     * (`.staging-<tag>` / `.old-<tag>`, 8-hex tag), and `Compaction`'s
     * rewrite temp (`__compact_tmp`) own these names; user tables must
-    * not end with them. For the swap suffixes, eligibility
-    * additionally requires the SIBLING LIVE table to exist (debris
-    * `orders.old` implies a live `orders`): a user directory that
-    * merely happens to be named `*.old` with no sibling is never
-    * swept.
+    * not end with them. These are the suffix STEMS; the AUTHORITATIVE
+    * contract of everything the sweep may delete is [[DebrisNameRe]]
+    * (which also covers the tagged `-<8hex>` variants) — reserved-name
+    * validation must check against that, not just these stems
+    * (ADVICE r11). For the swap suffixes, eligibility additionally
+    * requires the SIBLING LIVE table to exist (debris `orders.old`
+    * implies a live `orders`): a user directory that merely happens
+    * to be named `*.old` with no sibling is never swept.
     */
   val DebrisSuffixes: Seq[String] = Seq(".staging", ".old", "__compact_tmp")
+
+  /** The complete debris-name contract: every directory name the
+    * sweep can EVER consider a candidate matches this (and nothing
+    * else is ever deleted) — `<base>.staging[-<8hex>]`,
+    * `<base>.old[-<8hex>]`, `<base>__compact_tmp`. The sweep itself
+    * dispatches on this same pattern, so the public constant and the
+    * delete behavior cannot drift apart. */
+  val DebrisNameRe: scala.util.matching.Regex =
+    """^.+(\.(?:staging|old)(?:-[0-9a-f]{8})?|__compact_tmp)$""".r
+
   private val SwapRe = """^(.+)\.(staging|old)(-[0-9a-f]{8})?$""".r
 
   final case class Stats(

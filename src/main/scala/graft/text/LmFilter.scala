@@ -183,12 +183,16 @@ object LmFilter {
     * semantics; true (production) reduces every join key to an
     * xxhash64 8-byte value before the shuffle — gram text still
     * flows through the derivations (the KN continuation tables split
-    * bigram text), only the JOIN keys hash. Collision bound: a
-    * colliding pair of reference grams merges two counts; at 10⁹
+    * bigram text), only the JOIN keys hash. Collision failure mode
+    * (ADVICE r11 — it is NOT a count merge here): the uni/bi count
+    * tables are post-groupBy UNIQUE per gram text, so two distinct
+    * reference grams colliding produce two rows under ONE join key,
+    * and the left joins FAN OUT every matching doc gram — inflating
+    * n_bigrams and the logprob sum for affected docs (slightly worse
+    * than merging two counts). Probability is unchanged: at 10⁹
     * distinct grams the expected number of colliding pairs is
-    * ~3·10⁻² corpus-wide (birthday bound n²/2⁶⁵), each shifting one
-    * count by one gram's mass. Spec-pinned equal to text mode on
-    * fixtures for all three smoothing families.
+    * ~3·10⁻² corpus-wide (birthday bound n²/2⁶⁵). Spec-pinned equal
+    * to text mode on fixtures for all three smoothing families.
     */
   private def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
       uni: DataFrame, bi: DataFrame,

@@ -101,6 +101,24 @@ class RougeIndexSpec extends SparkSpec {
         ref2.toDF("pair_id", "text"), "pair_id", "text", n = 2))
     }
 
+    it("fingerprint signs the PAIR BINDING: re-keying the same " +
+        "reference texts rebuilds instead of silently reusing " +
+        "(ADVICE r11)") {
+      val path = fresh("rekey")
+      def run(r: Seq[(Long, String)]) =
+        sorted(Rouge.indexedRougeN(spark, path, r.toDF("pair_id", "text"),
+          cand.toDF("pair_id", "text"), "pair_id", "text", n = 2))
+      val first = run(ref)
+      // permute pair_ids over the SAME text multiset: a text-only
+      // (count, XOR+SUM) fingerprint is identical under this re-keying
+      val texts = ref.map(_._2)
+      val rekeyed = ref.map(_._1).zip(texts.reverse)
+      val second = run(rekeyed)
+      second shouldBe sorted(Rouge.rougeN(cand.toDF("pair_id", "text"),
+        rekeyed.toDF("pair_id", "text"), "pair_id", "text", n = 2))
+      second should not be first
+    }
+
     it("token freshness: a matching token never rescans the reference") {
       val path = fresh("tok")
       val tok = graft.ops.ArtifactIndex.Token(5L)

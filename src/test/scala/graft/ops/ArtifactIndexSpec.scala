@@ -109,6 +109,55 @@ class ArtifactIndexSpec extends SparkSpec {
     }
   }
 
+  describe("ArtifactIndex.fileToken (ADVICE r11 hardening)") {
+    import org.apache.hadoop.fs.Path
+    def fsOf(path: String) = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(fs: org.apache.hadoop.fs.FileSystem, path: String,
+        bytes: Array[Byte], mtime: Long): Unit = {
+      val out = fs.create(new Path(path), true)
+      out.write(bytes); out.close()
+      fs.setTimes(new Path(path), mtime, -1)
+    }
+
+    it("is deterministic and ignores listing order / underscore files") {
+      val dir = fresh("ft_det")
+      val fs = fsOf(dir)
+      put(fs, s"$dir/part-0.txt", "aaaa".getBytes, 1000L)
+      put(fs, s"$dir/part-1.txt", "bbbb".getBytes, 1000L)
+      val t1 = ArtifactIndex.fileToken(spark, dir)
+      put(fs, s"$dir/_SUCCESS", Array.emptyByteArray, 2000L)
+      ArtifactIndex.fileToken(spark, dir) shouldBe t1
+    }
+
+    it("two same-(name, length) files under different subdirectories " +
+        "do not XOR-cancel: the relative path is signed") {
+      val dir = fresh("ft_subdir")
+      val fs = fsOf(dir)
+      put(fs, s"$dir/a/part-0.txt", "xxxx".getBytes, 1000L)
+      put(fs, s"$dir/b/part-0.txt", "xxxx".getBytes, 1000L)
+      // the pre-fix (basename, length) hash cancelled this pair to 0
+      ArtifactIndex.fileToken(spark, dir) should not be
+        ArtifactIndex.Token(0L)
+      // and moving a file between subdirs bumps the token
+      val t1 = ArtifactIndex.fileToken(spark, dir)
+      fs.mkdirs(new Path(s"$dir/c"))
+      fs.rename(new Path(s"$dir/b/part-0.txt"),
+        new Path(s"$dir/c/part-0.txt"))
+      ArtifactIndex.fileToken(spark, dir) should not be t1
+    }
+
+    it("a content rewrite preserving name and length bumps the token " +
+        "via the modification time") {
+      val dir = fresh("ft_rewrite")
+      val fs = fsOf(dir)
+      put(fs, s"$dir/part-0.txt", "aaaa".getBytes, 1000L)
+      val t1 = ArtifactIndex.fileToken(spark, dir)
+      put(fs, s"$dir/part-0.txt", "zzzz".getBytes, 2000L) // same length
+      ArtifactIndex.fileToken(spark, dir) should not be t1
+    }
+  }
+
   describe("ArtifactIndex.latestVersionToken") {
     it("derives the token from the VersionedTable commit log and " +
         "bumps with each commit") {

@@ -42,6 +42,33 @@ class VacuumSpec extends SparkSpec {
     spark.read.parquet(s"$base/live_table").count() shouldBe 3L
   }
 
+  it("DebrisNameRe is the complete reserved-name contract: every " +
+      "sweepable form matches it, live names do not (ADVICE r11)") {
+    val sweepable = Seq("t.staging", "t.old", "t__compact_tmp",
+      "t.staging-deadbeef", "t.old-0123abcd")
+    sweepable.foreach { n =>
+      withClue(n) { Vacuum.DebrisNameRe.matches(n) shouldBe true }
+    }
+    Seq("t", "t.stagingx", "t.old-xyz", "t.old-deadbee", "staging",
+      "t.parquet").foreach { n =>
+      withClue(n) { Vacuum.DebrisNameRe.matches(n) shouldBe false }
+    }
+    // the untagged stems stay listed in DebrisSuffixes
+    Vacuum.DebrisSuffixes.foreach(s =>
+      Vacuum.DebrisNameRe.matches("t" + s) shouldBe true)
+    // and the sweep actually deletes a tagged form (retention 0)
+    val base = "target/scratch/vacuum_spec_re"
+    val fs = fsOf(base)
+    fs.delete(new Path(base), true)
+    Seq(1).toDF("x").write.parquet(s"$base/t")
+    Seq(1).toDF("x").write.parquet(s"$base/t.old-0123abcd")
+    val now = 1000000000000L
+    fs.setTimes(new Path(s"$base/t.old-0123abcd"), now - 1L, -1)
+    Vacuum.vacuum(spark, base, 0L, now).nDeleted shouldBe 1
+    fs.exists(new Path(s"$base/t.old-0123abcd")) shouldBe false
+    fs.exists(new Path(s"$base/t")) shouldBe true
+  }
+
   it("retention 0 sweeps all debris; an empty root is a no-op") {
     val base = "target/scratch/vacuum_spec2"
     val fs = fsOf(base)
