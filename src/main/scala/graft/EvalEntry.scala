@@ -972,9 +972,9 @@ object EvalEntry {
   // CCNet-style LM filtering — the q234 model's count tables land in
   // parquet with self-describing metadata + a reference fingerprint,
   // and scoring batches pay O(batch + one fingerprint scan); a rerun
-  // (or q263, which shares this artifact path) reuses the index
-  // without retraining. Oracle is q234's full recompute — index
-  // transparency is exactly what's being gated.
+  // reuses the index without retraining. Oracle is q234's full
+  // recompute — index transparency is exactly what's being gated.
+  // q263 probes a token-signed twin at lmTokIndexPath since r12.
   // ---------------------------------------------------------------
   private def q325(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -984,19 +984,30 @@ object EvalEntry {
       .orderBy("doc_id")
   }
 
-  /** The shared on-disk LM-index artifact: q325 gates it, q263
-    * probes it (and either builds it if absent/stale — the
-    * fingerprint check makes order irrelevant).
-    */
+  /** The fingerprint-signed LM-index artifact q325 gates (the
+    * fresh-path index-transparency contract). Until r11 q263 shared
+    * this path, paying a fingerprint corpus scan per probe; since
+    * r12 (VERDICT r11 item 1) the CCNet registry probes run
+    * token-signed twins at [[lmTokIndexPath]]/[[lmKnTokIndexPath]] —
+    * one artifact path per freshness mode, so the modes never
+    * thrash each other. */
   private[graft] def lmIndexPath(dir: String): String =
     s"target/scratch/lm_index_${sanitize(dir)}"
 
-  /** The KN-family artifact path — q332 gates it, q334 probes it
-    * (the q325/q263 sharing precedent applied to the Kneser-Ney
-    * family; a family switch must never thrash the add-one index,
-    * which lives at [[lmIndexPath]]). */
+  /** The KN-family artifact path — q332 gates it (fingerprint
+    * mode); a family switch must never thrash the add-one index,
+    * which lives at [[lmIndexPath]]. */
   private[graft] def lmKnIndexPath(dir: String): String =
     s"target/scratch/lm_index_kn_${sanitize(dir)}"
+
+  /** Token-signed twin of [[lmIndexPath]] — q263's steady-state
+    * CCNet probe (no corpus scan; fileToken freshness). */
+  private[graft] def lmTokIndexPath(dir: String): String =
+    s"target/scratch/lm_index_tok_${sanitize(dir)}"
+
+  /** Token-signed twin of [[lmKnIndexPath]] — q334's KN probe. */
+  private[graft] def lmKnTokIndexPath(dir: String): String =
+    s"target/scratch/lm_index_kn_tok_${sanitize(dir)}"
 
   // ---------------------------------------------------------------
   // q330 — interpolated (Jelinek-Mercer) bigram LM scoring
@@ -1087,18 +1098,27 @@ object EvalEntry {
   // reference corpus is never re-tokenized. Oracle is the full
   // recompute over the batch's pairs (index transparency, q331's
   // contract). Batch = every third candidate, so the probe is
-  // visibly O(batch), not O(corpus).
+  // visibly O(batch), not O(corpus). Since r12 (VERDICT r11 item 1)
+  // the freshness signal is METADATA-SIZED: an ArtifactIndex
+  // fileToken over the documents dir (one driver-side listing, no
+  // Spark job), so the steady-state probe never scans the reference
+  // corpus at all — the q335 pattern adopted by the ROUGE registry
+  // path. Own artifact path per freshness mode (a mode switch reads
+  // as a signature mismatch by design and must not thrash a
+  // fingerprint-signed artifact).
   // ---------------------------------------------------------------
   private def q333(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     ml.Rouge.indexedRougeN(s,
-        s"target/scratch/rouge_index_${sanitize(dir)}",
+        s"target/scratch/rouge_index_tok_${sanitize(dir)}",
         docs.filter(pmod(col("doc_id"), lit(2)) === 0)
           .withColumn("pair_id", expr("doc_id div 2")),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1 &&
             pmod(col("doc_id"), lit(3)) === 1)
           .withColumn("pair_id", expr("(doc_id - 1) div 2")),
-        "pair_id", "text", n = 2)
+        "pair_id", "text", n = 2,
+        freshness = graft.ops.ArtifactIndex.fileToken(
+          s, s"$dir/documents.parquet"))
       .orderBy("pair_id")
   }
 

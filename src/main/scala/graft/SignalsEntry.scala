@@ -425,8 +425,9 @@ object SignalsEntry {
   // no global sort); ties share a band by construction.
   // ---------------------------------------------------------------
   private def q263(s: SparkSession, dir: String): DataFrame =
-    ccnetBuckets(s, dir, EvalEntry.lmIndexPath(dir),
-      graft.text.LmFilter.AddK(1))
+    ccnetBuckets(s, dir, EvalEntry.lmTokIndexPath(dir),
+      graft.text.LmFilter.AddK(1),
+      graft.ops.ArtifactIndex.fileToken(s, s"$dir/documents.parquet"))
 
   // ---------------------------------------------------------------
   // q334 — CCNet buckets driven by the Kneser-Ney scorer
@@ -439,26 +440,33 @@ object SignalsEntry {
   // rebuilds its own index, never thrashes q263's add-one one).
   // ---------------------------------------------------------------
   private def q334(s: SparkSession, dir: String): DataFrame =
-    ccnetBuckets(s, dir, EvalEntry.lmKnIndexPath(dir),
-      graft.text.LmFilter.KneserNey(StatsEntry.KnDiscountPermille))
+    ccnetBuckets(s, dir, EvalEntry.lmKnTokIndexPath(dir),
+      graft.text.LmFilter.KneserNey(StatsEntry.KnDiscountPermille),
+      graft.ops.ArtifactIndex.fileToken(s, s"$dir/documents.parquet"))
 
   /** The shared CCNet bucketing pipeline: score the odd-doc batch
     * through the persisted LM index at `path` (building it if
     * absent/stale — the metadata dispatch makes the smoothing family
-    * a parameter), then tercile per language. */
+    * a parameter), then tercile per language. Since r12 (VERDICT r11
+    * item 1) both registry callers pass METADATA-SIZED Token
+    * freshness (fileToken over the documents dir), so a steady-state
+    * CCNet probe never scans the reference corpus — the q335 pattern
+    * adopted end-to-end; the fingerprint-signed q325/q332 artifacts
+    * live on their own paths and are never thrashed. */
   private def ccnetBuckets(s: SparkSession, dir: String, path: String,
-      smoothing: graft.text.LmFilter.Smoothing): DataFrame = {
+      smoothing: graft.text.LmFilter.Smoothing,
+      freshness: graft.ops.ArtifactIndex.Freshness =
+        graft.ops.ArtifactIndex.Fingerprint): DataFrame = {
     val docs = t(s, dir, "documents")
-    // scores through the persisted LM index (shared artifact path
-    // per family): the reference count tables train at most once
-    // per corpus state — a rerun, or a run after q325/q332, pays
-    // only the fingerprint scan + the batch probe, the CCNet
-    // production shape
+    // scores through the persisted LM index: the reference count
+    // tables train at most once per corpus state — a rerun pays only
+    // the freshness check + the batch probe, the CCNet production
+    // shape (Token mode: the check is two longs, no corpus scan)
     val scored = graft.text.LmFilter.indexedBigramLogprob(
       s, path,
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
-      "doc_id", "text", smoothing)
+      "doc_id", "text", smoothing, freshness = freshness)
     // barrier: the scored table feeds BOTH the band-boundary CDF and
     // the final banding join; the cut pins the shared computation to
     // one materialized slice (measured neutral today — the optimizer
