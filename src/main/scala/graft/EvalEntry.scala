@@ -1122,7 +1122,38 @@ object EvalEntry {
       .orderBy("pair_id")
   }
 
+  // ---------------------------------------------------------------
+  // q337 — the ROUGE PRODUCTION mode end-to-end (VERDICT r11 item
+  // 4): xxhash64 8-byte gram keys through the persisted reference
+  // count table under Token freshness — the exact shuffle/join shape
+  // a 100 TB eval loop runs (hashed keys remove the string-shuffle
+  // tax, ~8% on the sf1 probe leg; BASELINE r11), previously only
+  // spec-pinned equal to text mode. The ORACLE is the text-mode full
+  // recompute: collision-free at fixture scale by construction
+  // (xxh64 birthday bound), so any divergence — a key-encoding
+  // mismatch between candidate and index sides, a metadata dispatch
+  // bug, a stale artifact — breaks parity. Own artifact path
+  // (rouge_keys metadata differs from q333's text-keyed index; the
+  // two must never thrash). Batch = candidates ≡ 2 mod 3, disjoint
+  // from q333's ≡ 1 batch, so crosstalk would be visible.
+  // ---------------------------------------------------------------
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ml.Rouge.indexedRougeN(s,
+        s"target/scratch/rouge_index_xxh_${sanitize(dir)}",
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .withColumn("pair_id", expr("doc_id div 2")),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+            pmod(col("doc_id"), lit(3)) === 2)
+          .withColumn("pair_id", expr("(doc_id - 1) div 2")),
+        "pair_id", "text", n = 2, hashKeys = true,
+        freshness = graft.ops.ArtifactIndex.fileToken(
+          s, s"$dir/documents.parquet"))
+      .orderBy("pair_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_rouge_hashed" -> (q337 _),
     "q333_rouge_indexed" -> (q333 _),
     "q325_lm_index" -> (q325 _),
     "q329_pca_wide" -> (q329 _),
@@ -1684,6 +1715,18 @@ object EvalEntry {
       s"""WITH cand AS (
          |  SELECT (doc_id - 1) // 2 AS pair_id, text FROM documents
          |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 1
+         |), refr AS (
+         |  SELECT doc_id // 2 AS pair_id, text FROM documents
+         |  WHERE doc_id % 2 = 0
+         |), ${ml.Rouge.rougeNSql(n = 2)}
+         |SELECT pair_id, n_cand, n_ref, n_match, precision, recall, f1
+         |FROM rouge_out ORDER BY pair_id""".stripMargin,
+    // q337: the TEXT-mode full recompute gates the xxh64-keyed
+    // production path — key encoding must be semantics-invisible
+    "q337_rouge_hashed" ->
+      s"""WITH cand AS (
+         |  SELECT (doc_id - 1) // 2 AS pair_id, text FROM documents
+         |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 2
          |), refr AS (
          |  SELECT doc_id // 2 AS pair_id, text FROM documents
          |  WHERE doc_id % 2 = 0
