@@ -694,6 +694,31 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
+  // q338 — BATCHED BPE training driver-gated on real data (VERDICT
+  // r11 item 2: the production-vocab path — text/Bpe.trainBatched
+  // commits a whole symbol-disjoint, threat-bounded batch of merges
+  // per pair-count pass, so a 30k-merge tokenizer costs
+  // O(hundreds–thousands) of jobs instead of 30k; the accept rule's
+  // serial-equality proof lives at trainBatched's scaladoc and is
+  // spec-pinned on divergence-engineered fixtures). Here the REAL
+  // corpus word distribution runs 48 merges batched while the
+  // ORACLE walks the 48-stage SERIAL CTE chain (Bpe.trainSql) — any
+  // batch that serial would not have picked, in any position,
+  // breaks parity. 6× q143's merge depth, so batching is actually
+  // exercised (multiple multi-merge passes at sf0.01+).
+  // ---------------------------------------------------------------
+  private val BpeBatchedMerges = 48
+
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val words = Bpe.wordCounts(
+      t(s, dir, "documents").select("text"), "text")
+    val merges = Bpe.trainBatched(s, words, BpeBatchedMerges)
+    s.createDataFrame(merges).select("iter", "lhs", "rhs", "cnt")
+      .orderBy("iter")
+  }
+
+  // ---------------------------------------------------------------
   // q145 — perceptual near-dup for image assets (multimodal/Phash;
   // the media complement of q23's MinHash): each doc becomes a REAL
   // 8×8 greyscale PNG (zlib IDAT that actually inflates; groups of 5
@@ -1019,6 +1044,7 @@ object TrainEntry {
     "q331_dsir_indexed" -> (q331 _),
     "q335_dsir_token" -> (q335 _),
     "q336_bpe_fertility" -> (q336 _),
+    "q338_bpe_batched" -> (q338 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q327_semdedup_probe2" -> (q327 _),
@@ -1291,6 +1317,11 @@ object TrainEntry {
     },
     "q143_bpe_train" -> graft.text.Bpe.trainSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges),
+    // q338: the SERIAL 48-stage chain gates the batched trainer —
+    // batching must be scheduling-only, invisible in the merge list
+    "q338_bpe_batched" -> graft.text.Bpe.trainSql(
+      graft.text.Bpe.wordCountsSql("documents", "text"),
+      BpeBatchedMerges),
     // q336: the generated training chain + the identical per-lang
     // encode walk — one merge sequence serves both engines
     "q336_bpe_fertility" -> graft.text.Bpe.fertilitySql(

@@ -19,7 +19,11 @@ import org.apache.spark.storage.StorageLevel
   * driver scalar, the same pattern as PageRank's node count) → a
   * codegen'd string replace over the word table. Lineage is cut by
   * re-persisting the word table each round (predecessor unpersisted),
-  * so N merges never build an N-deep replay chain.
+  * so N merges never build an N-deep replay chain. At PRODUCTION
+  * vocabulary sizes (30k merges) use [[trainBatched]] — one
+  * pair-count pass commits a whole provably-serial-equal batch of
+  * symbol-disjoint merges — and [[applyMerges]]'s chunked encode,
+  * which bounds any single projection's replace depth.
   *
   * Exactness: symbol sequences are strings with TWO-space
   * separators, padded two spaces each end ("  c  a  t  "). A merge
@@ -68,10 +72,15 @@ object Bpe {
     * chain stays lazy on top of the persisted base and is re-folded
     * into the next round's scan (replaces are codegen'd projections —
     * replaying k of them is cheaper than materializing each round).
-    * Every `checkpointInterval` rounds the chain is cut with a
-    * persist + count barrier (PageRank's pattern), so a
-    * production-sized merge count (30k) never builds an unbounded
-    * plan while short runs stay barrier-free.
+    * Every `checkpointInterval` rounds the chain is cut with an
+    * EAGER localCheckpoint — unlike persist() (which only short-
+    * circuits RDD recompute), the checkpoint replaces the LOGICAL
+    * plan with a LogicalRDD, so a production-sized merge count (30k)
+    * never builds an unbounded Project chain. The distinction is
+    * load-bearing: a persist-only cut left the analyzed plan (and
+    * every AQE explain-string of it) growing one Project per merge,
+    * which OOMed the driver near merge ~900 at 100k vocab
+    * (BpeBench, r12) while the executors were perfectly healthy.
     */
   def train(spark: SparkSession, words: DataFrame, nMerges: Int,
       checkpointInterval: Int = 16): Seq[Merge] = {
@@ -80,7 +89,7 @@ object Bpe {
       s"checkpointInterval must be >= 1, got $checkpointInterval")
     var cur = words.select(col("cnt"), symbolize(col("word")).as("sym"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var lastPersisted = cur
+    val base = cur
     val out = Seq.newBuilder[Merge]
     var stop = false
     for (k <- 1 to nMerges if !stop) {
@@ -94,30 +103,190 @@ object Bpe {
         cur = cur.withColumn("sym",
           replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
         if (k % checkpointInterval == 0 && k < nMerges) {
-          cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-          cur.count() // materialize before dropping the predecessor
-          lastPersisted.unpersist()
-          lastPersisted = cur
+          // materializes the chunk AND truncates the logical plan;
+          // superseded checkpoint blocks are reclaimed by the
+          // ContextCleaner once the old frame is unreferenced
+          cur = cur.localCheckpoint(eager = true)
+          base.unpersist() // the persisted base is no longer read
         }
       }
     }
-    lastPersisted.unpersist()
+    base.unpersist()
     out.result()
+  }
+
+  /** Pass/batch telemetry from [[trainBatchedStats]]. */
+  final case class BatchTrainStats(
+      merges: Seq[Merge], passes: Int, largestBatch: Int)
+
+  /** Batched variant of [[train]] for PRODUCTION vocabulary sizes
+    * (VERDICT r11 item 2): one pair-count pass safely commits MANY
+    * merges, so a 30k-merge tokenizer costs O(hundreds–thousands) of
+    * Spark jobs instead of 30k. Returns EXACTLY [[train]]'s merge
+    * sequence — batching is a pure scheduling optimization,
+    * spec-pinned equal on fixtures engineered to diverge under
+    * naive top-B batching, and driver-gated on real data by q338.
+    *
+    * Why the accepted batch IS serial's next |batch| picks, in
+    * order — scan the snapshot's pair counts in serial tie-order
+    * (c DESC, lhs, rhs), greedily accepting pairs SYMBOL-DISJOINT
+    * from every prior accept:
+    *  1. a merge never changes the count of a pair disjoint from it
+    *     (counts move only through occurrences sharing a position,
+    *     and only pairs sharing a symbol can overlap), so every
+    *     accepted pair's snapshot count stays EXACT while earlier
+    *     batch merges apply;
+    *  2. a merge only CREATES pairs containing its fused symbol,
+    *     and each new pair (x, ab) / (ab, y) occurs at most as
+    *     often as the snapshot flank pair (x, a) / (b, y) it grew
+    *     from — always a pair SHARING a symbol with the accept set;
+    *  3. so serial's argmax after i accepted merges is accept i+1,
+    *     PROVIDED each accepted count is STRICTLY above every
+    *     sharing pair's count (those bound both the decayed old
+    *     pairs and the never-materialized new pairs — strictness
+    *     means new-pair NAMES can never matter in a tie) and above
+    *     the scan horizon (unscanned pairs bound unseen flanks at
+    *     `tailBound`).
+    * The sharing bound is computed to a FIXPOINT (a sharing pair
+    * scanned after an accept can tie its count; truncating the
+    * batch shrinks the sharing set, which can only lower the
+    * bound), and when nothing clears it the pass degenerates to
+    * serial's single argmax — correctness never depends on batch
+    * size. Worst case (all counts tied) every pass commits one
+    * merge, exactly [[train]]'s cost.
+    */
+  def trainBatched(spark: SparkSession, words: DataFrame, nMerges: Int,
+      scanWidth: Int = 4096, checkpointInterval: Int = 64): Seq[Merge] =
+    trainBatchedStats(spark, words, nMerges, scanWidth,
+      checkpointInterval).merges
+
+  /** [[trainBatched]] plus pass/batch-size telemetry (the
+    * tools/BpeBench readout). */
+  def trainBatchedStats(spark: SparkSession, words: DataFrame,
+      nMerges: Int, scanWidth: Int = 4096,
+      checkpointInterval: Int = 64): BatchTrainStats = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(scanWidth >= 1, s"scanWidth must be >= 1, got $scanWidth")
+    require(checkpointInterval >= 1,
+      s"checkpointInterval must be >= 1, got $checkpointInterval")
+    final case class P(l: String, r: String, c: Long)
+    var cur = words.select(col("cnt"), symbolize(col("word")).as("sym"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = cur
+    var sinceCkpt = 0
+    var passes = 0
+    var largestBatch = 0
+    val out = Seq.newBuilder[Merge]
+    var k = 0
+    var stop = false
+    while (k < nMerges && !stop) {
+      val top = pairCounts(cur)
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(scanWidth).collect()
+      passes += 1
+      if (top.isEmpty) stop = true // corpus exhausted (all words fused)
+      else {
+        val scanned =
+          top.map(r => P(r.getString(0), r.getString(1), r.getLong(2)))
+        // pairs beyond the scan horizon have count <= tailBound; a
+        // fully-scanned table has no horizon
+        val tailBound =
+          if (top.length < scanWidth) 0L else scanned.last.c
+        // greedy symbol-disjoint prefix under the running threat
+        var used = Set.empty[String]
+        var threat = tailBound
+        var halted = false
+        val greedy = Vector.newBuilder[P]
+        for (p <- scanned if !halted) {
+          if (used(p.l) || used(p.r)) threat = math.max(threat, p.c)
+          else if (p.c > threat) { greedy += p; used = used + p.l + p.r }
+          else halted = true
+        }
+        var batch = greedy.result()
+        // fixpoint vs late ties: a sharing pair scanned AFTER an
+        // accept can tie its count — every accept must STRICTLY
+        // dominate every sharing pair anywhere in the snapshot
+        var stable = false
+        while (!stable) {
+          val u = batch.iterator.flatMap(p => Iterator(p.l, p.r)).toSet
+          val keys = batch.map(p => (p.l, p.r)).toSet
+          val th = scanned.iterator
+            .filter(p => !keys((p.l, p.r)) && (u(p.l) || u(p.r)))
+            .map(_.c).foldLeft(tailBound)(math.max)
+          val kept = batch.takeWhile(_.c > th)
+          stable = kept.length == batch.length
+          batch = kept
+        }
+        // nothing cleared the bound: fall back to serial's argmax
+        // (always correct — it is the global maximum by tie-order)
+        if (batch.isEmpty) batch = Vector(scanned.head)
+        val commit = batch.take(nMerges - k)
+        commit.foreach { p =>
+          k += 1
+          out += Merge(k, p.l, p.r, p.c)
+        }
+        if (commit.length > largestBatch) largestBatch = commit.length
+        // one folded projection applies the whole batch — replaces
+        // run left-to-right in merge order, exactly serial's writes
+        cur = commit.foldLeft(cur) { (df, p) =>
+          df.withColumn("sym",
+            replace(col("sym"), lit(s" ${p.l}  ${p.r} "),
+              lit(s" ${p.l}${p.r} ")))
+        }
+        sinceCkpt += commit.length
+        if (sinceCkpt >= checkpointInterval && k < nMerges) {
+          // eager localCheckpoint: materializes AND truncates the
+          // logical plan (see [[train]] — persist alone lets the
+          // Project chain grow one node per merge until the driver
+          // OOMs building plan strings)
+          cur = cur.localCheckpoint(eager = true)
+          base.unpersist()
+          sinceCkpt = 0
+        }
+      }
+    }
+    base.unpersist()
+    BatchTrainStats(out.result(), passes, largestBatch)
   }
 
   /** The fully-merged symbol string of `word` under a learned merge
     * list, as a pure Column: the chained replaces fold into ONE
     * codegen'd projection (merges are driver scalars — no join, no
-    * shuffle; the corpus-at-inference path). */
+    * shuffle; the corpus-at-inference path). For production merge
+    * counts prefer [[applyMerges]], which bounds the depth of any
+    * single projection — a 30k-replace expression tree is
+    * codegen-hostile (method splitting, then interpreted fallback). */
   def encodedSym(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(symbolize(word)) { (c, m) =>
       replace(c, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
     }
 
   /** Encode a word table with a learned merge list; returns
-    * (cnt, sym) with sym fully merged. */
-  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
-    words.select(col("cnt"), encodedSym(col("word"), merges).as("sym"))
+    * (cnt, sym) with sym fully merged. Merge lists longer than
+    * `chunkSize` apply in bounded-depth groups with a plan barrier
+    * between chunks (lazy localCheckpoint — [[graft.plans.Plans
+    * .barrier]]), so no single projection folds more than
+    * `chunkSize` replaces: without the cut Catalyst collapses
+    * chained projections back into one unbounded expression tree
+    * (VERDICT r11 item 2's encode-depth ceiling). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge],
+      chunkSize: Int = 512): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    if (merges.lengthCompare(chunkSize) <= 0)
+      words.select(col("cnt"), encodedSym(col("word"), merges).as("sym"))
+    else {
+      var cur = words.select(col("cnt"),
+        symbolize(col("word")).as("sym"))
+      merges.grouped(chunkSize).foreach { g =>
+        val folded = g.foldLeft(col("sym")) { (c, m) =>
+          replace(c, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
+        }
+        cur = graft.plans.Plans.barrier(
+          cur.select(col("cnt"), folded.as("sym")))
+      }
+      cur
+    }
+  }
 
   /** Token census after encoding: (token, n) weighted by word
     * frequency — the learned vocabulary's usage distribution.

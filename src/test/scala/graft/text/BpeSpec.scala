@@ -52,6 +52,90 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  describe("trainBatched (production-vocab path, VERDICT r11 item 2)") {
+    def pin(w: Seq[(String, Long)], n: Int, scans: Seq[Int] = Seq(4096)): Unit = {
+      val serial = Bpe.train(spark, w.toDF("word", "cnt"), n)
+      for (sw <- scans)
+        withClue(s"scanWidth=$sw nMerges=$n words=$w: ") {
+          Bpe.trainBatched(spark, w.toDF("word", "cnt"), n,
+            scanWidth = sw) shouldBe serial
+        }
+    }
+
+    it("equals serial where naive top-B batching diverges: a merge " +
+        "spawns a new pair that outranks the next disjoint candidate") {
+      // snapshot: (m,n):6, (n,z):5, (p,q):5 — naive disjoint top-2
+      // batches [(m,n),(p,q)], but serial's second pick is the NEW
+      // pair (mn,z):5 ('mn' < 'p'); the threat rule must stop the
+      // batch at (n,z)
+      pin(Seq(("mnz", 5L), ("mn", 1L), ("pq", 5L)), 4)
+    }
+
+    it("equals serial when a sharing pair TIES an accepted candidate " +
+        "later in scan order (the fixpoint truncation case)") {
+      // snapshot: (m,n):6, then at count 5: (gh,q):5 before (n,z):5
+      // ('gh' < 'n') — greedy accepts (gh,q) before seeing the tie
+      // threat; the fixpoint must truncate it
+      pin(Seq(("mnz", 5L), ("mn", 1L), ("ghq", 5L)), 4)
+    }
+
+    it("equals serial on tie-heavy and chain-merge fixtures") {
+      pin(Seq(("ab", 2L), ("cd", 2L), ("ef", 2L)), 3)
+      pin(Seq(("abc", 2L)), 3)
+      pin(Seq(("abab", 2L), ("cdcd", 2L)), 6)
+      pin(Seq(("aaa", 1L), ("aaaa", 1L)), 4)
+    }
+
+    it("equals serial under a tiny scan horizon (tailBound + " +
+        "single-merge fallback paths)") {
+      pin(Seq(("mnz", 5L), ("mn", 1L), ("pq", 5L), ("rs", 5L),
+        ("tu", 4L), ("vw", 3L)), 6, scans = Seq(1, 2, 3))
+    }
+
+    it("equals serial on seeded pseudo-random corpora") {
+      val rnd = new scala.util.Random(42)
+      for (trial <- 1 to 2) {
+        val alpha = "abcde"
+        val w = (1 to 30).map { _ =>
+          val len = 1 + rnd.nextInt(6)
+          (Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString,
+            (1 + rnd.nextInt(5)).toLong)
+        }.distinct
+        withClue(s"trial $trial: ") {
+          pin(w, 12, scans = Seq(3, 4096))
+        }
+      }
+    }
+
+    it("reports pass telemetry: batching takes fewer passes than " +
+        "merges on a spread-count fixture") {
+      val w = Seq(("ab", 9L), ("cd", 8L), ("ef", 7L), ("gh", 6L),
+        ("ij", 5L), ("kl", 4L))
+      val st = Bpe.trainBatchedStats(spark, w.toDF("word", "cnt"), 6)
+      st.merges shouldBe Bpe.train(spark, w.toDF("word", "cnt"), 6)
+      st.passes should be < 6
+      st.largestBatch should be > 1
+    }
+  }
+
+  describe("applyMerges chunked encode (bounded projection depth)") {
+    it("chunked equals single-projection encode, including chains " +
+        "that cross chunk boundaries") {
+      val w = words(("abab", 2L), ("abcabc", 3L), ("dede", 1L),
+        ("aabb", 2L))
+      val m = Bpe.train(spark, w, nMerges = 7)
+      m.length should be > 3 // the fixture must actually exercise chunks
+      val full = Bpe.applyMerges(w, m)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      for (chunk <- Seq(1, 2, 3))
+        withClue(s"chunkSize=$chunk: ") {
+          Bpe.applyMerges(w, m, chunkSize = chunk)
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+            .sorted shouldBe full
+        }
+    }
+  }
+
   describe("applyMerges + tokenCensus") {
     it("encodes with the learned vocabulary and weights by word count") {
       val w = words(("ab", 3L), ("abc", 2L), ("d", 7L))

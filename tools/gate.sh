@@ -62,3 +62,16 @@ assert not d.get("failed"), f"bench failures: {d['failed']}"
 print(f"gate OK: {len(d['queries'])} queries, total {d['value']:.1f}s "
       f"(min of {d.get('runs', 1)} runs)")
 EOF
+
+# optional stage 5 (default on — VERDICT r11 item 5): regenerate the
+# steady-state probe table (BASELINE.md's probe story) per round
+# instead of hand-run windows. SPARK_GRAFT_GATE_PROBE=0 skips it; a
+# probe failure fails the gate (it is part of the shipped artifact).
+if [ "${SPARK_GRAFT_GATE_PROBE:-1}" = "1" ]; then
+  echo "[gate 5/5] steady-state probe bench @ $SF_BENCH"
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    sbt -batch "runMain graft.tools.ProbeBench" 2>&1 \
+    | grep '\[probebench\]' | tee "$OUT/probebench.txt"
+  [ -s "$OUT/probebench.txt" ] || {
+    echo "gate FAILED: ProbeBench produced no rows" >&2; exit 1; }
+fi
