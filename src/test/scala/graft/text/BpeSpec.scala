@@ -107,6 +107,18 @@ class BpeSpec extends SparkSpec {
       }
     }
 
+    it("equals serial on a larger seeded corpus deep into merge " +
+        "exhaustion (50 words, 25 merges, narrow + wide scans)") {
+      val rnd = new scala.util.Random(7)
+      val alpha = "abcdefg"
+      val w = (1 to 50).map { _ =>
+        val len = 2 + rnd.nextInt(7)
+        (Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString,
+          (1 + rnd.nextInt(9)).toLong)
+      }.distinct
+      pin(w, 25, scans = Seq(5, 4096))
+    }
+
     it("reports pass telemetry: batching takes fewer passes than " +
         "merges on a spread-count fixture") {
       val w = Seq(("ab", 9L), ("cd", 8L), ("ef", 7L), ("gh", 6L),
