@@ -154,6 +154,20 @@ object Bpe {
     * serial's single argmax — correctness never depends on batch
     * size. Worst case (all counts tied) every pass commits one
     * merge, exactly [[train]]'s cost.
+    *
+    * STRING-CONFLATION GUARD: facts 1–3 reason about symbols as
+    * strings, and a merge whose fused string EQUALS an
+    * already-existing symbol would alias the two — an "old" pair on
+    * that symbol could then GAIN count from the merge, outside the
+    * threat bound. Under this engine's fixed global merge order and
+    * greedy left-to-right replace we believe every fusion string has
+    * a unique derivation (the creating pair's adjacencies are fully
+    * consumed at its merge, and an adjacency of two OLD symbols can
+    * never re-form), making the case unreachable — but the guard is
+    * O(1) and exact because the driver holds the complete merge
+    * history: a pass ends its batch at any accept whose fused string
+    * matches a prior fusion, falling back to serial pacing right
+    * where the proof would thin.
     */
   def trainBatched(spark: SparkSession, words: DataFrame, nMerges: Int,
       scanWidth: Int = 4096, checkpointInterval: Int = 64): Seq[Merge] =
@@ -173,6 +187,10 @@ object Bpe {
     var cur = words.select(col("cnt"), symbolize(col("word")).as("sym"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = cur
+    // every multi-char symbol in play is the fusion of a COMMITTED
+    // merge (training starts from single chars), so this set is the
+    // complete alphabet-of-fusions for the conflation guard
+    val knownFusions = scala.collection.mutable.HashSet.empty[String]
     var sinceCkpt = 0
     var passes = 0
     var largestBatch = 0
@@ -196,10 +214,20 @@ object Bpe {
         var used = Set.empty[String]
         var threat = tailBound
         var halted = false
+        val batchFused = scala.collection.mutable.HashSet.empty[String]
         val greedy = Vector.newBuilder[P]
         for (p <- scanned if !halted) {
           if (used(p.l) || used(p.r)) threat = math.max(threat, p.c)
-          else if (p.c > threat) { greedy += p; used = used + p.l + p.r }
+          else if (p.c > threat) {
+            greedy += p; used = used + p.l + p.r
+            // conflation guard (see scaladoc): a fusion aliasing an
+            // existing symbol ends the batch HERE — this accept's
+            // own snapshot count is still exact, nothing after it
+            // may rely on post-merge counts
+            val fused = p.l + p.r
+            if (knownFusions.contains(fused) || !batchFused.add(fused))
+              halted = true
+          }
           else halted = true
         }
         var batch = greedy.result()
@@ -224,6 +252,7 @@ object Bpe {
         commit.foreach { p =>
           k += 1
           out += Merge(k, p.l, p.r, p.c)
+          knownFusions += p.l + p.r
         }
         if (commit.length > largestBatch) largestBatch = commit.length
         // one folded projection applies the whole batch — replaces
