@@ -174,6 +174,60 @@ object Bpe {
     trainBatchedStats(spark, words, nMerges, scanWidth,
       checkpointInterval).merges
 
+  /** One pass's batch selection — the entire accept rule (greedy
+    * symbol-disjoint scan under the running threat, the late-tie
+    * FIXPOINT, the string-conflation guard, and the serial-argmax
+    * fallback) as a PURE function of the scanned snapshot, so the
+    * logic the serial-equality proof hangs on is property-testable
+    * against an in-memory serial simulator at thousands of random
+    * corpora per second (BpeSpec), not just at Spark-job granularity.
+    * `scanned` must be the snapshot's pair counts in serial tie-order
+    * (c DESC, lhs, rhs), truncated to the scan width; `tailBound` is
+    * the count bound on unscanned pairs (0 when fully scanned);
+    * `knownFusion` answers whether a fused string already names an
+    * existing symbol (the committed-merge history).
+    */
+  private[text] def selectBatch(
+      scanned: IndexedSeq[(String, String, Long)],
+      tailBound: Long,
+      knownFusion: String => Boolean): Vector[(String, String, Long)] = {
+    var used = Set.empty[String]
+    var threat = tailBound
+    var halted = false
+    val batchFused = scala.collection.mutable.HashSet.empty[String]
+    val greedy = Vector.newBuilder[(String, String, Long)]
+    for (p @ (l, r, c) <- scanned.iterator if !halted) {
+      if (used(l) || used(r)) threat = math.max(threat, c)
+      else if (c > threat) {
+        greedy += p; used = used + l + r
+        // conflation guard (see trainBatched scaladoc): a fusion
+        // aliasing an existing symbol ends the batch HERE — this
+        // accept's own snapshot count is still exact, nothing after
+        // it may rely on post-merge counts
+        val fused = l + r
+        if (knownFusion(fused) || !batchFused.add(fused)) halted = true
+      } else halted = true
+    }
+    var batch = greedy.result()
+    // fixpoint vs late ties: a sharing pair scanned AFTER an accept
+    // can tie its count — every accept must STRICTLY dominate every
+    // sharing pair anywhere in the snapshot
+    var stable = false
+    while (!stable) {
+      val u = batch.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val keys = batch.map(p => (p._1, p._2)).toSet
+      val th = scanned.iterator
+        .filter(p => !keys((p._1, p._2)) && (u(p._1) || u(p._2)))
+        .map(_._3).foldLeft(tailBound)(math.max)
+      val kept = batch.takeWhile(_._3 > th)
+      stable = kept.length == batch.length
+      batch = kept
+    }
+    // nothing cleared the bound: fall back to serial's argmax
+    // (always correct — it is the global maximum by tie-order)
+    if (batch.isEmpty) Vector(scanned.head) else batch
+  }
+
   /** [[trainBatched]] plus pass/batch-size telemetry (the
     * tools/BpeBench readout). */
   def trainBatchedStats(spark: SparkSession, words: DataFrame,
@@ -183,7 +237,6 @@ object Bpe {
     require(scanWidth >= 1, s"scanWidth must be >= 1, got $scanWidth")
     require(checkpointInterval >= 1,
       s"checkpointInterval must be >= 1, got $checkpointInterval")
-    final case class P(l: String, r: String, c: Long)
     var cur = words.select(col("cnt"), symbolize(col("word")).as("sym"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = cur
@@ -204,63 +257,25 @@ object Bpe {
       passes += 1
       if (top.isEmpty) stop = true // corpus exhausted (all words fused)
       else {
-        val scanned =
-          top.map(r => P(r.getString(0), r.getString(1), r.getLong(2)))
+        val scanned = top.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2))).toIndexedSeq
         // pairs beyond the scan horizon have count <= tailBound; a
         // fully-scanned table has no horizon
         val tailBound =
-          if (top.length < scanWidth) 0L else scanned.last.c
-        // greedy symbol-disjoint prefix under the running threat
-        var used = Set.empty[String]
-        var threat = tailBound
-        var halted = false
-        val batchFused = scala.collection.mutable.HashSet.empty[String]
-        val greedy = Vector.newBuilder[P]
-        for (p <- scanned if !halted) {
-          if (used(p.l) || used(p.r)) threat = math.max(threat, p.c)
-          else if (p.c > threat) {
-            greedy += p; used = used + p.l + p.r
-            // conflation guard (see scaladoc): a fusion aliasing an
-            // existing symbol ends the batch HERE — this accept's
-            // own snapshot count is still exact, nothing after it
-            // may rely on post-merge counts
-            val fused = p.l + p.r
-            if (knownFusions.contains(fused) || !batchFused.add(fused))
-              halted = true
-          }
-          else halted = true
-        }
-        var batch = greedy.result()
-        // fixpoint vs late ties: a sharing pair scanned AFTER an
-        // accept can tie its count — every accept must STRICTLY
-        // dominate every sharing pair anywhere in the snapshot
-        var stable = false
-        while (!stable) {
-          val u = batch.iterator.flatMap(p => Iterator(p.l, p.r)).toSet
-          val keys = batch.map(p => (p.l, p.r)).toSet
-          val th = scanned.iterator
-            .filter(p => !keys((p.l, p.r)) && (u(p.l) || u(p.r)))
-            .map(_.c).foldLeft(tailBound)(math.max)
-          val kept = batch.takeWhile(_.c > th)
-          stable = kept.length == batch.length
-          batch = kept
-        }
-        // nothing cleared the bound: fall back to serial's argmax
-        // (always correct — it is the global maximum by tie-order)
-        if (batch.isEmpty) batch = Vector(scanned.head)
+          if (top.length < scanWidth) 0L else scanned.last._3
+        val batch = selectBatch(scanned, tailBound, knownFusions)
         val commit = batch.take(nMerges - k)
-        commit.foreach { p =>
+        commit.foreach { case (l, r, c) =>
           k += 1
-          out += Merge(k, p.l, p.r, p.c)
-          knownFusions += p.l + p.r
+          out += Merge(k, l, r, c)
+          knownFusions += l + r
         }
         if (commit.length > largestBatch) largestBatch = commit.length
         // one folded projection applies the whole batch — replaces
         // run left-to-right in merge order, exactly serial's writes
-        cur = commit.foldLeft(cur) { (df, p) =>
+        cur = commit.foldLeft(cur) { case (df, (l, r, _)) =>
           df.withColumn("sym",
-            replace(col("sym"), lit(s" ${p.l}  ${p.r} "),
-              lit(s" ${p.l}${p.r} ")))
+            replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
         }
         sinceCkpt += commit.length
         if (sinceCkpt >= checkpointInterval && k < nMerges) {
