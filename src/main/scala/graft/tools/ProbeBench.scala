@@ -127,6 +127,16 @@ object ProbeBench {
           "text", n = 2, hashKeys = hk, freshness = token).count()
       }
     }
+    // fingerprint-mode probe: same persisted counts but each probe
+    // pays the (pair_id, text)-binding reference scan — the leg the
+    // Token rows above remove (the delta IS the freshness cost)
+    val pfp = s"target/scratch/probe_rouge_fp_$tag"
+    graft.ml.Rouge.indexedRougeN(spark, pfp, refs, cand, "pair_id",
+      "text", n = 2).count()
+    minOf3("rouge_probe_fingerprint") {
+      graft.ml.Rouge.indexedRougeN(spark, pfp, refs, cand, "pair_id",
+        "text", n = 2).count()
+    }
     }
     spark.stop()
   }
