@@ -73,14 +73,18 @@ object Vacuum {
     val names = entries.map(_.getPath.getName).toSet
     val candidates = entries.filter { e =>
       val name = e.getPath.getName
-      name match {
+      // DebrisNameRe IS the dispatch (ADVICE r12): a name that fails
+      // the public contract is never a candidate — including the
+      // baseless edge `__compact_tmp` itself, which endsWith would
+      // have accepted. SwapRe only derives the swap-base afterwards.
+      DebrisNameRe.pattern.matcher(name).matches() && (name match {
         // swap debris only when the live table it was staged for is
         // present — protects a user dir that merely matches the suffix.
         // sweepOrphans extends eligibility to sibling-less debris (the
         // dropped-table leak documented above).
         case SwapRe(base, _, _) => sweepOrphans || names.contains(base)
-        case _ => name.endsWith("__compact_tmp")
-      }
+        case _ => true // <base>__compact_tmp with a non-empty base
+      })
     }
     val cutoff = now - retentionMs
     var deleted = 0

@@ -69,6 +69,22 @@ class VacuumSpec extends SparkSpec {
     fs.exists(new Path(s"$base/t")) shouldBe true
   }
 
+  it("a baseless `__compact_tmp` entry is NOT a candidate — the " +
+      "sweep dispatches on DebrisNameRe itself (ADVICE r12)") {
+    val base = "target/scratch/vacuum_spec_baseless"
+    val fs = fsOf(base)
+    fs.delete(new Path(base), true)
+    // the name IS the reserved suffix with no base: DebrisNameRe
+    // requires `.+` before it, so this must never be swept
+    Seq(1).toDF("x").write.parquet(s"$base/__compact_tmp")
+    val now = 1000000000000L
+    fs.setTimes(new Path(s"$base/__compact_tmp"), now - 7200 * 1000L, -1)
+    Vacuum.DebrisNameRe.matches("__compact_tmp") shouldBe false
+    val st = Vacuum.vacuum(spark, base, 0L, now)
+    st.nCandidates shouldBe 0
+    fs.exists(new Path(s"$base/__compact_tmp")) shouldBe true
+  }
+
   it("retention 0 sweeps all debris; an empty root is a no-op") {
     val base = "target/scratch/vacuum_spec2"
     val fs = fsOf(base)

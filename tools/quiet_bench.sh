@@ -32,10 +32,27 @@ for attempt in $(seq 1 20); do
     if python3 tools/check_sentinel.py /tmp/hunt_post.json; then
       if python3 - "$OUT/bench.json" /tmp/hunt_bench.json <<'PYQ'
 import json, sys, os
-new = json.load(open(sys.argv[2]))["value"]
-old = json.load(open(sys.argv[1]))["value"] if os.path.exists(sys.argv[1]) else 1e18
-print(f"[hunt] verified total {new:.1f}s vs existing {old:.1f}s")
-sys.exit(0 if new < old else 4)
+cand = json.load(open(sys.argv[2]))
+# a candidate with ANY failed query is invalid, never comparable:
+# Bench excludes failures from the headline total, so a crashing run
+# reports a LOWER total and would clobber a valid artifact (ADVICE
+# r12 medium — gate.sh stage 4 asserts this, the hunter must too)
+if cand.get("failed"):
+    print(f"[hunt] candidate has FAILED queries {cand['failed']} — rejected")
+    sys.exit(5)
+new = cand["value"]
+if not os.path.exists(sys.argv[1]):
+    print(f"[hunt] verified total {new:.1f}s, no existing artifact")
+    sys.exit(0)
+old = json.load(open(sys.argv[1]))
+# differing query counts mean the registry changed since the existing
+# artifact: totals are incomparable, the stale artifact yields
+if len(cand.get("queries", {})) != len(old.get("queries", {})):
+    print(f"[hunt] query count {len(cand.get('queries', {}))} vs stale "
+          f"{len(old.get('queries', {}))} — replacing stale artifact")
+    sys.exit(0)
+print(f"[hunt] verified total {new:.1f}s vs existing {old['value']:.1f}s")
+sys.exit(0 if new < old["value"] else 4)
 PYQ
       then
         cp /tmp/hunt_bench.json "$OUT/bench.json"
