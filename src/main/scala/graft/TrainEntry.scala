@@ -694,18 +694,20 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
-  // q338 — BATCHED BPE training driver-gated on real data (VERDICT
-  // r11 item 2: the production-vocab path — text/Bpe.trainBatched
-  // commits a whole symbol-disjoint, threat-bounded batch of merges
-  // per pair-count pass, so a 30k-merge tokenizer costs
-  // O(hundreds–thousands) of jobs instead of 30k; the accept rule's
-  // serial-equality proof lives at trainBatched's scaladoc and is
-  // spec-pinned on divergence-engineered fixtures). Here the REAL
-  // corpus word distribution runs 48 merges batched while the
-  // ORACLE walks the 48-stage SERIAL CTE chain (Bpe.trainSql) — any
-  // batch that serial would not have picked, in any position,
-  // breaks parity. 6× q143's merge depth, so batching is actually
-  // exercised (multiple multi-merge passes at sf0.01+).
+  // q338 — PRODUCTION BPE training entry point driver-gated on real
+  // data (VERDICT r11 item 2 + r12 item 2): text/Bpe.trainAuto
+  // dispatches on the vocabulary size — the (word, cnt) table is
+  // Zipf-bounded (millions of rows at ANY corpus scale), so below
+  // the collect threshold the serial merge loop runs DRIVER-RESIDENT
+  // with incremental pair-count updates (classic-trainer shape, 30k
+  // merges in minutes — Bpe.trainDriver), and above it the
+  // distributed symbol-disjoint batched path takes over
+  // (Bpe.trainBatched, serial-equality proof at its scaladoc). Both
+  // paths are property-pinned identical to serial (BpeSpec /
+  // BpeBatchPropertySpec); HERE the in-memory path runs 48 merges on
+  // the real corpus word distribution while the ORACLE walks the
+  // 48-stage SERIAL CTE chain (Bpe.trainSql) — any pick serial would
+  // not have made, in any position, breaks parity.
   // ---------------------------------------------------------------
   private val BpeBatchedMerges = 48
 
@@ -713,7 +715,7 @@ object TrainEntry {
     import graft.text.Bpe
     val words = Bpe.wordCounts(
       t(s, dir, "documents").select("text"), "text")
-    val merges = Bpe.trainBatched(s, words, BpeBatchedMerges)
+    val merges = Bpe.trainAuto(s, words, BpeBatchedMerges)
     s.createDataFrame(merges).select("iter", "lhs", "rhs", "cnt")
       .orderBy("iter")
   }

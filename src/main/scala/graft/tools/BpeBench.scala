@@ -16,7 +16,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * SPARK_GRAFT_BPE_MODE=batched skips the serial leg (at 30k merges
   * serial is the thing being replaced, not a baseline worth
-  * waiting for).
+  * waiting for); MODE=driver measures ONLY the driver-resident
+  * in-memory trainer (the trainAuto fast path — the 30k-merges-in-
+  * minutes row, VERDICT r12 item 2).
   *
   * SPARK_GRAFT_BPE_VOCAB=<N> swaps the corpus word table for a
   * DETERMINISTIC synthetic Zipf vocabulary of N distinct words
@@ -64,11 +66,28 @@ object BpeBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // driver-resident exact path (VERDICT r12 item 2): collect the
+    // vocabulary-sized table once, serial merge loop in memory
+    val (driverMerges, tDriver) = time {
+      val collected = words
+        .select(org.apache.spark.sql.functions.col("word"),
+          org.apache.spark.sql.functions.col("cnt").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      Bpe.trainDriver(collected, nMerges)
+    }
+    println(f"[bpebench] driver   ${tDriver}%.1fs merges=${driverMerges.size}")
+
+    if (mode == "driver") { spark.stop(); return }
+
     val (st, tBatched) =
       time(Bpe.trainBatchedStats(spark, words, nMerges))
     println(f"[bpebench] batched  ${tBatched}%.1fs merges=${st.merges.size} " +
       s"passes=${st.passes} largestBatch=${st.largestBatch} " +
-      f"avgBatch=${st.merges.size.toDouble / st.passes}%.1f")
+      f"avgBatch=${st.merges.size.toDouble / st.passes}%.1f " +
+      f"vsDriver=${tBatched / tDriver}%.0fx")
+    require(driverMerges == st.merges,
+      "driver-resident merge sequence diverged from batched — " +
+        "trainDriver is broken")
 
     if (mode != "batched") {
       val (serial, tSerial) = time(Bpe.train(spark, words, nMerges))

@@ -152,4 +152,54 @@ class BpeBatchPropertySpec extends AnyFunSpec with Matchers {
       batched(ws, 8, 1) shouldBe serial(ws, 8)
     }
   }
+
+  describe("trainDriver serial-equality property (the driver-" +
+      "resident exact trainer, VERDICT r12 item 2)") {
+
+    /** trainDriver's picks as simulator triples (iter dropped after
+      * checking it is the contiguous 1..n the contract promises). */
+    def driver(ws: Seq[Word], nMerges: Int): Vector[Pair] = {
+      val merges = Bpe.trainDriver(
+        ws.map { case (s, c) => (s.mkString, c) }.toIndexedSeq, nMerges)
+      merges.map(_.iter) shouldBe (1 to merges.length)
+      merges.iterator.map(m => (m.lhs, m.rhs, m.cnt)).toVector
+    }
+
+    it("trainDriver == serial on 600+ seeded random corpora to " +
+        "exhaustion (same family as the selectBatch property)") {
+      val rnd = new scala.util.Random(202608162L)
+      var trials = 0
+      for {
+        alpha <- Seq("ab", "abc", "abcde")
+        nWords <- Seq(3, 8, 20)
+        _ <- 1 to 70
+      } {
+        val ws = corpus(rnd, alpha, nWords, maxLen = 8)
+        trials += 1
+        withClue(s"alpha=$alpha nWords=$nWords words=$ws: ") {
+          driver(ws, 64) shouldBe serial(ws, 64)
+        }
+      }
+      trials should be >= 600
+    }
+
+    it("trainDriver == serial on the repeated-letter / conflation-" +
+        "adjacent fixtures (where pair counts can INCREASE)") {
+      for (ws <- Seq(
+        Seq((Vector.fill(7)("a"), 3L), (Vector.fill(4)("a"), 2L)),
+        Seq((Vector.fill(6)("a"), 1L), (Vector("a", "b", "a", "a"), 5L),
+          (Vector.fill(5)("b"), 2L)),
+        Seq((Vector("a", "a", "b", "b", "a", "a"), 4L),
+          (Vector("b", "a", "a", "b"), 4L))))
+        withClue(s"words=$ws: ") { driver(ws, 64) shouldBe serial(ws, 64) }
+    }
+
+    it("codepointSyms splits by codepoint, not UTF-16 unit (mirrors " +
+        "symbolize's '(.)' regex on supplementary chars)") {
+      Bpe.codepointSyms("cat") shouldBe Array("c", "a", "t")
+      Bpe.codepointSyms("a𝄞b") shouldBe // a 𝄞 b
+        Array("a", "𝄞", "b")
+      Bpe.codepointSyms("") shouldBe Array.empty[String]
+    }
+  }
 }

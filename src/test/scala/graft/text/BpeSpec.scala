@@ -130,6 +130,31 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  describe("trainAuto / trainDriver (driver-resident exact path, " +
+      "VERDICT r12 item 2)") {
+    it("trainDriver equals Spark train on the divergence fixtures") {
+      for (w <- Seq(
+        Seq(("mnz", 5L), ("mn", 1L), ("pq", 5L)),
+        Seq(("mnz", 5L), ("mn", 1L), ("ghq", 5L)),
+        Seq(("ab", 2L), ("cd", 2L), ("ef", 2L)),
+        Seq(("abab", 2L), ("cdcd", 2L)),
+        Seq(("aaa", 1L), ("aaaa", 1L))))
+        withClue(s"words=$w: ") {
+          Bpe.trainDriver(w.toIndexedSeq, 8) shouldBe
+            Bpe.train(spark, w.toDF("word", "cnt"), 8)
+        }
+    }
+
+    it("trainAuto picks the collected path by default and the " +
+        "distributed path under a zero threshold — same merges") {
+      val w = Seq(("mnz", 5L), ("mn", 1L), ("pq", 5L), ("abab", 3L))
+      val serial = Bpe.train(spark, w.toDF("word", "cnt"), 6)
+      Bpe.trainAuto(spark, w.toDF("word", "cnt"), 6) shouldBe serial
+      Bpe.trainAuto(spark, w.toDF("word", "cnt"), 6,
+        collectThreshold = 0L) shouldBe serial
+    }
+  }
+
   describe("applyMerges chunked encode (bounded projection depth)") {
     it("chunked equals single-projection encode, including chains " +
         "that cross chunk boundaries") {
