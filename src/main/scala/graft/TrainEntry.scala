@@ -721,6 +721,88 @@ object TrainEntry {
   }
 
   // ---------------------------------------------------------------
+  // q339/q340 — BYTE-LEVEL BPE (VERDICT r12 item 3: the word-level
+  // family's ^[a-z]+$ domain silently drops punctuation / digits /
+  // Unicode; production tokenizers are byte-level precisely so no
+  // input is out-of-alphabet). The corpus text is augmented with a
+  // deterministic mixed-Unicode+punctuation tail (accents, CJK,
+  // Cyrillic, case, currency — ByteExtras, the shared-constant
+  // discipline: the SAME Scala Seq emits the Spark lits and the
+  // oracle CASE); every token is mapped byte-by-byte through the
+  // GPT-2-style byte alphabet (Bpe.byteMapWord — codegen'd hex +
+  // literal-map, no UDF; the corpus-sized pass counts RAW tokens,
+  // only the vocabulary maps), and the UNCHANGED two-space merge
+  // machinery trains on it. Oracles: the serial CTE chain over
+  // byteWordCountsSql (q339) and the per-lang byte fertility walk
+  // (q340) — mapped words are identical strings in both engines.
+  // ---------------------------------------------------------------
+  private val ByteExtras = Seq(
+    "héllo, wörld!", "¿qué tal? ¡bien!", "日本語のテキスト。",
+    "naïve—café… 42%", "тест данных №5", "it's <MiXeD> CaSe;",
+    "100,000.00 €")
+
+  private def mixedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"), lit(" "),
+        element_at(array(ByteExtras.map(lit): _*),
+          (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+
+  private def mixedDocsRel: String = {
+    val cases = ByteExtras.zipWithIndex.map { case (s, i) =>
+      s"WHEN $i THEN '${s.replace("'", "''")}'"
+    }.mkString("\n    ")
+    s"""(SELECT doc_id, lang,
+       |  text || ' ' || CASE CAST(doc_id % 7 AS INT)
+       |    $cases END AS text
+       |  FROM documents)""".stripMargin
+  }
+
+  private val BpeByteMerges = 24
+  private val BpeByteFertMerges = 12
+
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val words = Bpe.byteWordCounts(
+      mixedDocs(t(s, dir, "documents")), "text")
+    val merges = Bpe.trainAuto(s, words, BpeByteMerges)
+    s.createDataFrame(merges).select("iter", "lhs", "rhs", "cnt")
+      .orderBy("iter")
+  }
+
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = mixedDocs(t(s, dir, "documents"))
+    val words = Bpe.byteWordCounts(docs, "text")
+    val merges = Bpe.trainAuto(s, words, BpeByteFertMerges)
+    // per-(lang, word) byte-mapped counts: raw tokens counted first,
+    // only the per-lang vocabulary maps (q340's lw mirror)
+    val lw = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("raw"))
+      .filter(col("raw") =!= "")
+      .groupBy("lang", "raw").agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), Bpe.byteMapWord(col("raw")).as("word"),
+        col("cnt"))
+    val toks = size(expr("filter(split(sym, '  '), x -> x != '')"))
+      .cast("long")
+    // chars = mapped length = UTF-8 BYTE count (one char per byte) —
+    // the byte-level chars-per-token convention
+    lw.select(col("lang"), col("cnt"),
+        length(col("word")).cast("long").as("chars"),
+        Bpe.encodedSym(col("word"), merges).as("sym"))
+      .select(col("lang"), col("cnt"), col("chars"), toks.as("toks"))
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("toks")).as("n_tokens"),
+        sum(col("cnt") * col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------
   // q145 — perceptual near-dup for image assets (multimodal/Phash;
   // the media complement of q23's MinHash): each doc becomes a REAL
   // 8×8 greyscale PNG (zlib IDAT that actually inflates; groups of 5
@@ -1047,6 +1129,8 @@ object TrainEntry {
     "q335_dsir_token" -> (q335 _),
     "q336_bpe_fertility" -> (q336 _),
     "q338_bpe_batched" -> (q338 _),
+    "q339_bpe_bytes" -> (q339 _),
+    "q340_byte_fertility" -> (q340 _),
     "q164_substring_report" -> (q164 _),
     "q163_semdedup" -> (q163 _),
     "q327_semdedup_probe2" -> (q327 _),
@@ -1328,6 +1412,14 @@ object TrainEntry {
     // encode walk — one merge sequence serves both engines
     "q336_bpe_fertility" -> graft.text.Bpe.fertilitySql(
       "documents", "text", nMerges = BpeMerges),
+    // q339/q340: byte-level — the serial chain over the byte-mapped
+    // vocabulary (the 256-row VALUES map is generated from the SAME
+    // Scala byteAlphabet the Spark plan embeds)
+    "q339_bpe_bytes" -> graft.text.Bpe.trainSql(
+      graft.text.Bpe.byteWordCountsSql(mixedDocsRel, "text"),
+      BpeByteMerges),
+    "q340_byte_fertility" -> graft.text.Bpe.byteFertilitySql(
+      mixedDocsRel, "text", nMerges = BpeByteFertMerges),
     "q144_bpe_census" -> graft.text.Bpe.censusSql(
       graft.text.Bpe.wordCountsSql("documents", "text"), BpeMerges, 30),
     "q150_kmeans_step" ->

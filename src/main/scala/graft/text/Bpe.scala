@@ -519,6 +519,91 @@ object Bpe {
     }
   }
 
+  // ----------------------------------------------------------------
+  // Byte-level alphabet (VERDICT r12 item 3): production tokenizers
+  // are byte-level precisely so NO input is out-of-alphabet. The
+  // GPT-2 byte-to-unicode trick maps each of the 256 byte values to
+  // a distinct PRINTABLE BMP codepoint — visible ASCII and most of
+  // Latin-1 keep themselves, everything else (control bytes, SPACE,
+  // 0x7F–0xA0, 0xAD) shifts to 0x100+n — so a byte-mapped word never
+  // contains the space separator and the whole two-space replace
+  // machinery (train/trainBatched/trainDriver/applyMerges and the
+  // generated DuckDB oracle) carries over UNCHANGED. Reference shape:
+  // GPT-2's bytes_to_unicode (Radford et al. 2019, public encoder.py
+  // semantics re-derived here).
+  // ----------------------------------------------------------------
+
+  /** byteAlphabet(b) = the mapped char for byte value b (0–255).
+    * Injective; no entry is a space or a surrogate (max codepoint
+    * 0x100 + 67 = 0x143), so byte-mapped words are safe under BOTH
+    * engines' binary string order and the two-space separator. */
+  val byteAlphabet: IndexedSeq[String] = {
+    val keep = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { val c = (0x100 + n).toChar.toString; n += 1; c }
+    }
+  }
+
+  /** Literal (hex-byte → mapped char) map shared by every use — the
+    * [[graft.ops.Cidr]] shared-constant discipline: computed once in
+    * Scala, embedded as literals in both engines. Keys are UPPERCASE
+    * two-hex-digit strings, matching both engines' `hex()`. */
+  private lazy val byteMapLit: Column = map(
+    byteAlphabet.zipWithIndex.flatMap { case (ch, b) =>
+      Seq(lit(f"$b%02X"), lit(ch))
+    }: _*)
+
+  /** `word`'s UTF-8 bytes mapped through [[byteAlphabet]], as a pure
+    * codegen'd Column (no UDF): hex the UTF-8 encoding, split into
+    * 2-hex-digit bytes, map each through the literal table, rejoin.
+    * Injective, so it commutes with groupBy — callers count RAW
+    * words first and map only the vocabulary-sized distinct table.
+    */
+  def byteMapWord(word: Column): Column =
+    concat_ws("", transform(
+      regexp_extract_all(hex(encode(word, "UTF-8")), lit("(..)"), lit(1)),
+      x => element_at(byteMapLit, x)))
+
+  /** Byte-level (word, cnt) table: split on single space, keep CASE
+    * and every non-empty token (punctuation, digits, any Unicode —
+    * nothing is out-of-alphabet, unlike [[wordCounts]]'s ^[a-z]+$
+    * domain), count RAW tokens first (the one corpus-sized pass),
+    * then byte-map only the distinct vocabulary. */
+  def byteWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("raw"))
+      .filter(col("raw") =!= "")
+      .groupBy("raw").agg(count(lit(1)).as("cnt"))
+      .select(byteMapWord(col("raw")).as("word"), col("cnt"))
+
+  /** The byte map as a DuckDB VALUES relation body `(hx, ch)` —
+    * generated from [[byteAlphabet]] so the two engines cannot
+    * drift. */
+  private def byteMapValuesSql: String =
+    byteAlphabet.zipWithIndex.map { case (ch, b) =>
+      s"('${"%02X".format(b)}', '${ch.replace("'", "''")}')"
+    }.mkString(", ")
+
+  /** DuckDB restatement of [[byteWordCounts]] over `docsRel`
+    * (a table name or parenthesized subquery with `$textCol`):
+    * raw-count first, then per-byte map via the lateral
+    * UNNEST(generate_series) + VALUES-join (pairCountsSql's lateral
+    * pattern), string_agg ordered by byte position. */
+  def byteWordCountsSql(docsRel: String, textCol: String): String =
+    s"""SELECT string_agg(m.ch, '' ORDER BY p.i) AS word,
+       |    any_value(r.cnt) AS cnt
+       |  FROM (SELECT raw, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |          SELECT unnest(string_split($textCol, ' ')) AS raw
+       |          FROM $docsRel)
+       |        WHERE raw != '' GROUP BY raw) r,
+       |    UNNEST(generate_series(1,
+       |      CAST(octet_length(encode(r.raw)) AS BIGINT))) AS p(i)
+       |  JOIN (VALUES $byteMapValuesSql) m(hx, ch)
+       |    ON m.hx = substring(hex(encode(r.raw)),
+       |      CAST(p.i * 2 - 1 AS INT), 2)
+       |  GROUP BY r.raw""".stripMargin
+
   /** Token census after encoding: (token, n) weighted by word
     * frequency — the learned vocabulary's usage distribution.
     */
@@ -613,6 +698,43 @@ object Bpe {
     * rollup is exact-integer sums with two 6dp-rounded divisions.
     */
   def fertilitySql(docsTable: String, textCol: String,
+      nMerges: Int): String =
+    fertilityFromLw(
+      wordCountsSql(docsTable, textCol),
+      s"""SELECT lang, word, count(*) AS cnt FROM (
+         |    SELECT lang, unnest(string_split(lower($textCol), ' ')) AS word
+         |    FROM $docsTable)
+         |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2""".stripMargin,
+      nMerges)
+
+  /** Byte-level twin of [[fertilitySql]]: merges train on
+    * [[byteWordCountsSql]]'s vocabulary and the per-(lang, word)
+    * walk runs on byte-mapped words — `chars` is then the UTF-8
+    * BYTE count (one mapped char per byte), the byte-level
+    * chars-per-token convention. */
+  def byteFertilitySql(docsRel: String, textCol: String,
+      nMerges: Int): String =
+    fertilityFromLw(
+      byteWordCountsSql(docsRel, textCol),
+      s"""SELECT string_agg(m.ch, '' ORDER BY p.i) AS word,
+         |    any_value(r.lang) AS lang, any_value(r.cnt) AS cnt
+         |  FROM (SELECT lang, raw, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |          SELECT lang, unnest(string_split($textCol, ' ')) AS raw
+         |          FROM $docsRel)
+         |        WHERE raw != '' GROUP BY lang, raw) r,
+         |    UNNEST(generate_series(1,
+         |      CAST(octet_length(encode(r.raw)) AS BIGINT))) AS p(i)
+         |  JOIN (VALUES $byteMapValuesSql) m(hx, ch)
+         |    ON m.hx = substring(hex(encode(r.raw)),
+         |      CAST(p.i * 2 - 1 AS INT), 2)
+         |  GROUP BY r.lang, r.raw""".stripMargin,
+      nMerges)
+
+  /** Shared fertility-oracle chain: the training CTEs over
+    * `wordsCte`, a per-(lang, word) table from `lwCte` (must yield
+    * lw(lang, word, cnt)), the same merge-scalar walk over it, and
+    * the closing exact-integer rollup. */
+  private def fertilityFromLw(wordsCte: String, lwCte: String,
       nMerges: Int): String = {
     val lwIters = (1 to nMerges).map { k =>
       s"""lw$k AS MATERIALIZED (SELECT lang, cnt, chars,
@@ -623,12 +745,9 @@ object Bpe {
          |  END AS sym
          |  FROM lw${k - 1})""".stripMargin
     }.mkString(",\n")
-    s"""${trainChain(wordCountsSql(docsTable, textCol), nMerges)},
+    s"""${trainChain(wordsCte, nMerges)},
        |lw AS MATERIALIZED (
-       |  SELECT lang, word, count(*) AS cnt FROM (
-       |    SELECT lang, unnest(string_split(lower($textCol), ' ')) AS word
-       |    FROM $docsTable)
-       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+       |  $lwCte),
        |lw0 AS MATERIALIZED (SELECT lang, cnt,
        |  CAST(length(word) AS BIGINT) AS chars,
        |  '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym

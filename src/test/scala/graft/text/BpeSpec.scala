@@ -198,6 +198,60 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  describe("byte-level alphabet (q339/q340, VERDICT r12 item 3)") {
+    it("byteAlphabet is a 256-entry injection with no space, no " +
+        "separator collision, and no surrogate") {
+      Bpe.byteAlphabet.length shouldBe 256
+      Bpe.byteAlphabet.distinct.length shouldBe 256
+      Bpe.byteAlphabet.foreach { ch =>
+        ch.length shouldBe 1
+        ch should not be " "
+        Character.isSurrogate(ch.charAt(0)) shouldBe false
+      }
+      // visible ASCII keeps itself (the GPT-2 convention)
+      Bpe.byteAlphabet('a'.toInt) shouldBe "a"
+      Bpe.byteAlphabet('!'.toInt) shouldBe "!"
+      // space and control bytes shift into 0x100+
+      Bpe.byteAlphabet(0x20).charAt(0).toInt should be >= 0x100
+      Bpe.byteAlphabet(0x00).charAt(0).toInt should be >= 0x100
+    }
+
+    it("byteMapWord maps UTF-8 bytes 1:1 — ASCII stays itself, " +
+        "multi-byte codepoints expand to one char per byte") {
+      val r = Seq("Ab!", "é", "日").toDF("w")
+        .select(Bpe.byteMapWord(col("w"))).collect().map(_.getString(0))
+      r(0) shouldBe "Ab!"
+      r(1).length shouldBe 2 // é = 2 UTF-8 bytes
+      r(2).length shouldBe 3 // 日 = 3 UTF-8 bytes
+      // and the mapping is the alphabet applied per byte
+      val bytesOfE = "é".getBytes("UTF-8").map(b =>
+        Bpe.byteAlphabet(b & 0xff)).mkString
+      r(1) shouldBe bytesOfE
+    }
+
+    it("byteWordCounts keeps case and punctuation and counts " +
+        "raw-token multiplicity") {
+      val docs = Seq("The cat! the 42", "The  日本").toDF("text")
+      val wc = Bpe.byteWordCounts(docs, "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      wc("The") shouldBe 2L
+      wc("cat!") shouldBe 1L
+      wc("42") shouldBe 1L
+      wc("the") shouldBe 1L
+      wc.keySet.exists(_.length == 6) shouldBe true // 日本 = 6 bytes
+      wc.values.sum shouldBe 6L // the double space yields no empty token
+    }
+
+    it("training over byte-mapped words uses the unchanged merge " +
+        "machinery (driver == Spark train)") {
+      val docs = Seq("ab ab ab! é é", "ab é日").toDF("text")
+      val words = Bpe.byteWordCounts(docs, "text")
+      val serial = Bpe.train(spark, words, 6)
+      Bpe.trainAuto(spark, words, 6) shouldBe serial
+      serial should not be empty
+    }
+  }
+
   describe("encodedSym / fertility arithmetic (q336)") {
     it("counts tokens per word under a known merge list") {
       // merges: (a,b) then (ab,c) — "abc" fuses to 1 token, "abd"
