@@ -18,6 +18,66 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Exclusive prefix sum of `n_eq` over distinct-score rows in
+    * score order, WITHOUT an unpartitioned data-sized window — the
+    * Packing.tokenOffsets / SurrogateKeys two-phase range-bucket
+    * shape (VERDICT r12 item 4: with CONTINUOUS model scores,
+    * distinct-scores ≈ n and a global `Window.orderBy` funnels the
+    * whole input into one reducer; registry fixtures hid it because
+    * their score domains are small):
+    *
+    *   1. rows bucket by fixed-width ranges of the score (bounds
+    *      from one min/max agg — 2 driver scalars). ANY assignment
+    *      monotone in the score yields the identical prefix sums, so
+    *      IEEE rounding in the bucket arithmetic is semantics-free;
+    *      floor((s−lo)/width) is monotone because subtraction and
+    *      division by a positive constant are monotone in IEEE.
+    *   2. per-(partition-cols, bucket) sums prefix-scan into base
+    *      offsets — a window over a METADATA-sized table (≤ nBuckets
+    *      rows per partition key), broadcast back when unkeyed;
+    *   3. cum_before = base + intra-bucket exclusive sum, a window
+    *      PARTITIONED by (partCols, bucket) — every task sees one
+    *      bucket's distinct scores, never the whole domain.
+    *
+    * Null scores keep Spark's nulls-first asc order via bucket −1.
+    * `desc = true` flips both scans (liftTable's descending ranks).
+    * Bit-identical to the naive global window (the oracles restate
+    * exactly that; EvalSpec pins an all-distinct continuous domain).
+    */
+  private def bucketedCumBefore(byScore: DataFrame, partCols: Seq[String],
+      desc: Boolean, nBuckets: Int = 256): DataFrame = {
+    val sd = col("s").cast("double")
+    val stats = byScore.agg(min(sd).as("lo"), max(sd).as("hi")).head()
+    val (lo, hi) =
+      if (stats.isNullAt(0)) (0.0, 0.0)
+      else (stats.getDouble(0), stats.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / nBuckets else 1.0
+    val bucket = when(sd.isNull, lit(-1L)).otherwise(
+      least(greatest(floor((sd - lit(lo)) / lit(width)), lit(0L)),
+        lit(nBuckets - 1L)))
+    val bucketed = byScore.withColumn("__rb", bucket)
+    val bCol = if (desc) col("__rb").desc else col("__rb").asc
+    val sCol = if (desc) col("s").desc else col("s").asc
+    val offs = bucketed
+      .groupBy((partCols.map(col) :+ col("__rb")): _*)
+      .agg(sum(col("n_eq")).as("__rn"))
+      .withColumn("__rbase",
+        coalesce(sum(col("__rn")).over(Window.partitionBy(
+          partCols.map(col): _*).orderBy(bCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__rn")
+    val joined =
+      if (partCols.isEmpty)
+        bucketed.join(broadcast(offs), Seq("__rb"))
+      else bucketed.join(offs, partCols :+ "__rb")
+    val intra = Window.partitionBy((partCols :+ "__rb").map(col): _*)
+      .orderBy(sCol).rowsBetween(Window.unboundedPreceding, -1)
+    joined
+      .withColumn("cum_before",
+        col("__rbase") + coalesce(sum(col("n_eq")).over(intra), lit(0L)))
+      .drop("__rb", "__rbase")
+  }
+
   /** Per-stratum ROC AUC of `scoreCol` against binary `labelCol`
     * (1 = positive), computed from tie-corrected midranks — the
     * Mann-Whitney identity AUC = U₁/(n₁·n₀), never a sorted sweep
@@ -31,9 +91,13 @@ object Eval {
     *
     * Scale shape: rows collapse to (stratum, score, label) counts
     * FIRST (a partial-aggregable groupBy — the 100 TB input shrinks
-    * to distinct scores per stratum before any window), then one
-    * per-stratum cumulative window over distinct scores. No global
-    * sort, no per-row window.
+    * to distinct scores per stratum before any window), then the
+    * cumulative count runs BUCKETED two-phase ([[bucketedCumBefore]]
+    * — VERDICT r12 item 4): with continuous scores, distinct ≈ n and
+    * a per-stratum `Window.orderBy` would funnel each stratum
+    * through one reducer; the range-bucket split keeps every task on
+    * one bucket's scores. No global sort, no per-row window, no
+    * data-sized window partition.
     */
   def rocAuc(
       df: DataFrame,
@@ -44,9 +108,7 @@ object Eval {
       .groupBy(col(stratumCol).as("g"), col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_eq"),
         sum(col(labelCol).cast("long")).as("n_pos_eq"))
-    val w = Window.partitionBy("g").orderBy("s")
-    val ranked = byScore.withColumn("cum_before",
-      coalesce(sum(col("n_eq")).over(w) - col("n_eq"), lit(0L)))
+    val ranked = bucketedCumBefore(byScore, Seq("g"), desc = false)
     // doubled midrank shared by every row tied at this score
     val r2 = col("cum_before") * 2 + col("n_eq") + 1
     ranked
@@ -106,9 +168,10 @@ object Eval {
     * Ties share a midrank, so they share a bin — no ntile
     * row-order sensitivity.
     *
-    * Scale shape: same distinct-score compression as [[rocAuc]]:
-    * one groupBy + one per-stratum window over DISTINCT scores, then
-    * a bins-sized rollup.
+    * Scale shape: same distinct-score compression as [[rocAuc]],
+    * then the BUCKETED two-phase cumulative count
+    * ([[bucketedCumBefore]]) and a broadcast 1-row total — no
+    * unpartitioned window anywhere — then a bins-sized rollup.
     */
   def reliability(
       df: DataFrame,
@@ -120,12 +183,9 @@ object Eval {
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_eq"),
         sum(col(labelCol).cast("long")).as("n_pos_eq"))
-    val w = Window.orderBy("s")
-    val n = Window.partitionBy()
-    val ranked = byScore
-      .withColumn("cum_before",
-        coalesce(sum(col("n_eq")).over(w) - col("n_eq"), lit(0L)))
-      .withColumn("n_tot", sum(col("n_eq")).over(n))
+    val ranked = bucketedCumBefore(byScore, Seq.empty, desc = false)
+      .crossJoin(broadcast(
+        byScore.agg(sum(col("n_eq")).as("n_tot"))))
       .withColumn("pred_mu",
         floor(((col("cum_before") * 2 + col("n_eq")) * 1000000L)
           .cast("double") / (col("n_tot") * 2).cast("double"))
@@ -199,9 +259,11 @@ object Eval {
     * = (n_pos_d·n) / (n_d·P) and capture = cum_pos/P are single
     * exact-int divisions rounded 9 dp.
     *
-    * Scale shape: distinct-score compression first, one descending
-    * cumulative window over distinct scores, one bins-sized rollup +
-    * one bins-sized cumulative window.
+    * Scale shape: distinct-score compression first, then the
+    * BUCKETED two-phase DESCENDING cumulative count
+    * ([[bucketedCumBefore]] with desc = true) and a broadcast 1-row
+    * totals join; the only remaining `Window.orderBy` frames are
+    * bins-sized (≤ `bins` rows — genuinely bounded).
     */
   def liftTable(
       df: DataFrame,
@@ -213,13 +275,10 @@ object Eval {
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_eq"),
         sum(col(labelCol).cast("long")).as("n_pos_eq"))
-    val w = Window.orderBy(col("s").desc)
-    val all = Window.partitionBy()
-    val ranked = byScore
-      .withColumn("cum_before",
-        coalesce(sum(col("n_eq")).over(w) - col("n_eq"), lit(0L)))
-      .withColumn("n_tot", sum(col("n_eq")).over(all))
-      .withColumn("p_tot", sum(col("n_pos_eq")).over(all))
+    val ranked = bucketedCumBefore(byScore, Seq.empty, desc = true)
+      .crossJoin(broadcast(
+        byScore.agg(sum(col("n_eq")).as("n_tot"),
+          sum(col("n_pos_eq")).as("p_tot"))))
       .withColumn("decile",
         least(floor((col("cum_before") * bins).cast("double") /
           col("n_tot").cast("double")).cast("long"), lit(bins - 1L)))
