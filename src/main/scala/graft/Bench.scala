@@ -77,6 +77,21 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $out failed: $e") }
+    // and APPEND to the committed history log (VERDICT r12 items 1/5:
+    // artifacts at fixed paths get overwritten — the r12 official
+    // 300.1s per-query JSON was lost that way; an append-only record
+    // stamped with wall-clock + target path survives every later run)
+    try {
+      val stamped = line.dropRight(1) +
+        s""","ts":"${java.time.Instant.now()}","out":"$out"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.jsonl"), stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] append bench_history.jsonl failed: $e")
+    }
     spark.stop()
   }
 }
