@@ -29,10 +29,12 @@ object TopMovers {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(sum(when(isB, 0L).otherwise(1L)).as("n_a"),
         sum(when(isB, 1L).otherwise(0L)).as("n_b"))
-    val all = Window.partitionBy()
+    // totals via a broadcast 1-row aggregate (exchange-reused with
+    // the counts groupBy), not an unpartitioned full-frame window
+    // over the key census (r13 sweep)
     val shared = counts
-      .withColumn("ta", sum(col("n_a")).over(all))
-      .withColumn("tb", sum(col("n_b")).over(all))
+      .crossJoin(broadcast(counts.agg(sum(col("n_a")).as("ta"),
+        sum(col("n_b")).as("tb"))))
       .withColumn("share_a", round(col("n_a").cast("double") /
         col("ta").cast("double"), 9))
       .withColumn("share_b", round(col("n_b").cast("double") /
@@ -40,9 +42,10 @@ object TopMovers {
       .withColumn("delta", round(col("n_b").cast("double") /
         col("tb").cast("double") - col("n_a").cast("double") /
         col("ta").cast("double"), 9))
-    val byMove = Window.orderBy(abs(col("delta")).desc, col("key"))
-    shared.withColumn("rk", row_number().over(byMove))
-      .filter(col("rk") <= k)
+    // top-k via orderBy+limit = TakeOrdered, never a global
+    // row_number sort of every key through one reducer; the
+    // (|delta| DESC, key) key is a total order, identical kept set
+    shared.orderBy(abs(col("delta")).desc, col("key")).limit(k)
       .select("key", "n_a", "n_b", "share_a", "share_b", "delta")
   }
 

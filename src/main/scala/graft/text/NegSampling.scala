@@ -37,10 +37,14 @@ object NegSampling {
         round(sqrt(sqrt((col("f") * col("f") * col("f"))
           .cast("double"))), 6).cast("decimal(24,6)"))
     val total = freq.agg(sum(col("weight")).as("w_all"))
-    val byF = Window.orderBy(col("f").desc, col("token"))
-    freq.crossJoin(broadcast(total))
-      .withColumn("rn", row_number().over(byF))
-      .filter(col("rn") <= k)
+    // top-k via orderBy+limit = TakeOrdered (distributed per-partition
+    // top-k + driver merge), NOT a row_number window — a global
+    // row_number sorts the whole Zipf vocabulary in ONE reducer to
+    // keep k rows (r13 sweep; SkewReport.topKeys' pattern). The
+    // (f DESC, token) key is a total order, so the kept set is
+    // identical.
+    freq.orderBy(col("f").desc, col("token")).limit(k)
+      .crossJoin(broadcast(total))
       .select(col("token"), col("f"),
         col("weight").cast("double").as("weight"),
         round(col("weight").cast("double") /
