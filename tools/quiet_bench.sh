@@ -59,12 +59,14 @@ PYQ
         cp /tmp/hunt_pre.json "$OUT/sentinel_pre.json"
         cp /tmp/hunt_post.json "$OUT/sentinel_post.json"
         echo "[hunt] SUCCESS — official artifact replaced (improved)"
-        # q66 isolated re-pin in the same verified window
+        # watch-set isolated re-pin in the same verified window
+        # (SPARK_GRAFT_HUNT_WATCH overrides; r13 set: q66 + the two
+        # +19% window movers q120/q74)
         SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-          SPARK_GRAFT_BENCH_ONLY=q66_stream_stream_join \
-          SPARK_GRAFT_BENCH_OUT=/tmp/hunt_q66.json \
-          sbt -batch "runMain graft.Bench" > /tmp/hunt_q66.log 2>&1
-        python3 -c "import json; print('[hunt] q66 isolated min:', json.load(open('/tmp/hunt_q66.json'))['queries'])"
+          SPARK_GRAFT_BENCH_ONLY="${SPARK_GRAFT_HUNT_WATCH:-q66_stream_stream_join,q120_split_neardup,q74_quantile_profile}" \
+          SPARK_GRAFT_BENCH_OUT=/tmp/hunt_watch.json \
+          sbt -batch "runMain graft.Bench" > /tmp/hunt_watch.log 2>&1
+        python3 -c "import json; print('[hunt] watch-set isolated mins:', json.load(open('/tmp/hunt_watch.json'))['queries'])"
       else
         echo "[hunt] verified but NOT better — keeping existing artifact"
       fi
