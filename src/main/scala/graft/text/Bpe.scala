@@ -161,6 +161,29 @@ object Bpe {
     out.result()
   }
 
+  /** Codepoint-order string compare — equal to UTF-8 byte order and
+    * therefore to BOTH engines' binary collation (Spark UTF8String,
+    * DuckDB default). Java's `String.compareTo` compares UTF-16 code
+    * units, which diverges when a supplementary codepoint (surrogate
+    * pair, ≥ U+10000) meets a char in U+E000..U+FFFF: the surrogate
+    * unit sorts LOW though the codepoint is HIGHER. Neither library
+    * word source emits such symbols (wordCounts is [a-z]+,
+    * byteWordCounts maps into ≤ U+0143), but [[trainDriver]] is a
+    * public API and its tie order must match [[train]] on ANY input.
+    */
+  private[text] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Greedy left-to-right non-overlapping fuse of adjacent (l, r) —
     * the token-sequence statement of the two-space string replace
     * (pinned equivalent by BpeSpec's 'aaa' case: " l  r " keeps one
@@ -222,8 +245,10 @@ object Bpe {
           val c = java.lang.Long.compare(b.c, a.c) // count DESC
           if (c != 0) c
           else {
-            val l = a.lhs.compareTo(b.lhs) // then (lhs, rhs) ASC
-            if (l != 0) l else a.rhs.compareTo(b.rhs)
+            // (lhs, rhs) ASC in CODEPOINT order — the engines' binary
+            // collation, not Java's UTF-16 unit order (see cpCompare)
+            val l = cpCompare(a.lhs, b.lhs)
+            if (l != 0) l else cpCompare(a.rhs, b.rhs)
           }
         }
       })
@@ -576,6 +601,26 @@ object Bpe {
       .filter(col("raw") =!= "")
       .groupBy("raw").agg(count(lit(1)).as("cnt"))
       .select(byteMapWord(col("raw")).as("word"), col("cnt"))
+
+  /** Inverse of [[byteMapWord]] for reading byte-level tokens back
+    * as text (merge-table debugging, vocab export): each mapped char
+    * returns to its byte, the byte string decodes as UTF-8. A token
+    * whose merges split a multi-byte codepoint mid-sequence decodes
+    * its torn edge to U+FFFD replacement chars — inherent to
+    * byte-level vocabularies (GPT-2 tooling does the same), stated
+    * rather than hidden. Codegen'd: char → hex via the inverse
+    * literal map, concat, unhex, bytes-as-string cast (lenient,
+    * unlike `decode` which RAISES on malformed UTF-8 in Spark 4),
+    * then make_valid_utf8 pins the torn edges to U+FFFD. */
+  def byteUnmap(token: Column): Column =
+    make_valid_utf8(unhex(concat_ws("", transform(
+      regexp_extract_all(token, lit("(.)"), lit(1)),
+      x => element_at(byteUnmapLit, x)))).cast("string"))
+
+  private lazy val byteUnmapLit: Column = map(
+    byteAlphabet.zipWithIndex.flatMap { case (ch, b) =>
+      Seq(lit(ch), lit(f"$b%02X"))
+    }: _*)
 
   /** The byte map as a DuckDB VALUES relation body `(hx, ch)` —
     * generated from [[byteAlphabet]] so the two engines cannot

@@ -194,6 +194,21 @@ class BpeBatchPropertySpec extends AnyFunSpec with Matchers {
         withClue(s"words=$ws: ") { driver(ws, 64) shouldBe serial(ws, 64) }
     }
 
+    it("cpCompare orders by codepoint (UTF-8/binary collation), " +
+        "diverging from Java compareTo exactly where it must") {
+      // U+E000 vs U+1F600 (surrogate pair): codepoint order says
+      // E000 < 1F600; Java's UTF-16 unit order says the opposite
+      val pua = "\uE000"
+      val emoji = new String(Character.toChars(0x1F600))
+      Bpe.cpCompare(pua, emoji) should be < 0
+      pua.compareTo(emoji) should be > 0 // the divergence being fixed
+      // agreement with compareTo on BMP-only strings
+      for ((a, b) <- Seq(("ab", "ab"), ("a", "ab"), ("ab", "a"),
+        ("abc", "abd"), ("", "a"), ("ż", "z")))
+        Integer.signum(Bpe.cpCompare(a, b)) shouldBe
+          Integer.signum(a.compareTo(b))
+    }
+
     it("codepointSyms splits by codepoint, not UTF-16 unit (mirrors " +
         "symbolize's '(.)' regex on supplementary chars)") {
       Bpe.codepointSyms("cat") shouldBe Array("c", "a", "t")

@@ -242,6 +242,19 @@ class BpeSpec extends SparkSpec {
       wc.values.sum shouldBe 6L // the double space yields no empty token
     }
 
+    it("byteUnmap inverts byteMapWord, and a torn multi-byte edge " +
+        "decodes to replacement chars (stated behavior)") {
+      val words = Seq("Ab!", "héllo", "日本", "x y".replace(" ", " "))
+      val r = words.toDF("w")
+        .select(Bpe.byteUnmap(Bpe.byteMapWord(col("w"))))
+        .collect().map(_.getString(0))
+      r shouldBe words.toArray
+      // a token holding only the FIRST byte of é is a torn edge
+      val torn = Bpe.byteAlphabet("é".getBytes("UTF-8")(0) & 0xff)
+      Seq(torn).toDF("t").select(Bpe.byteUnmap(col("t")))
+        .collect().head.getString(0) shouldBe "�"
+    }
+
     it("training over byte-mapped words uses the unchanged merge " +
         "machinery (driver == Spark train)") {
       val docs = Seq("ab ab ab! é é", "ab é日").toDF("text")
