@@ -69,7 +69,19 @@ object Eval {
     val joined =
       if (partCols.isEmpty)
         bucketed.join(broadcast(offs), Seq("__rb"))
-      else bucketed.join(offs, partCols :+ "__rb")
+      else {
+        // NULL-SAFE join on the partition keys: a null stratum is a
+        // legitimate group (the old window treated null as a
+        // partition value) — a plain equi-join would silently drop
+        // its rows. Offs columns are renamed to keep the output
+        // schema identical after the join.
+        val keys = partCols :+ "__rb"
+        val o = keys.foldLeft(offs)((d, c) =>
+          d.withColumnRenamed(c, "__o_" + c))
+        val cond = keys.map(c => col(c) <=> col("__o_" + c))
+          .reduce(_ && _)
+        bucketed.join(o, cond).drop(keys.map("__o_" + _): _*)
+      }
     val intra = Window.partitionBy((partCols :+ "__rb").map(col): _*)
       .orderBy(sCol).rowsBetween(Window.unboundedPreceding, -1)
     joined

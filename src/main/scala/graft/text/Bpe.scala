@@ -611,7 +611,10 @@ object Bpe {
     * rather than hidden. Codegen'd: char → hex via the inverse
     * literal map, concat, unhex, bytes-as-string cast (lenient,
     * unlike `decode` which RAISES on malformed UTF-8 in Spark 4),
-    * then make_valid_utf8 pins the torn edges to U+FFFD. */
+    * then make_valid_utf8 pins the torn edges to U+FFFD. Defined on
+    * alphabet strings (everything [[byteMapWord]] and the merge
+    * machinery emit); chars outside [[byteAlphabet]] have no byte
+    * and are skipped by the null-ignoring concat. */
   def byteUnmap(token: Column): Column =
     make_valid_utf8(unhex(concat_ws("", transform(
       regexp_extract_all(token, lit("(.)"), lit(1)),

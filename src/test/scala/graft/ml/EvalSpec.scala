@@ -116,6 +116,19 @@ class EvalSpec extends SparkSpec {
       }
     }
 
+    it("a NULL stratum is a kept group (the bucketed join must be " +
+        "null-safe, matching the old window's null partition)") {
+      val df = Seq((Some("g"), 10L, 1L), (Some("g"), 1L, 0L),
+        (None, 9L, 1L), (None, 2L, 0L), (None, 7L, 1L))
+        .toDF("g", "s", "y")
+      val out = Eval.rocAuc(df, "g", "s", "y").collect()
+      out.length shouldBe 2
+      val nullRow = out.find(_.isNullAt(0)).get
+      nullRow.getAs[Long]("n_pos") shouldBe 2L
+      nullRow.getAs[Long]("n_neg") shouldBe 1L
+      nullRow.getAs[Double]("auc") shouldBe 1.0 // both pos above the neg
+    }
+
     it("reliability equals the serial distinct-score walk") {
       val bins = 10
       val df = scrambled.toDF("s", "y")
