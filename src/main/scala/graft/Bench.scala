@@ -82,8 +82,11 @@ object Bench {
     // 300.1s per-query JSON was lost that way; an append-only record
     // stamped with wall-clock + target path survives every later run)
     try {
+      // the out path is user-controlled — JSON-escape it so one odd
+      // path can't corrupt the machine-readable history
+      val outEsc = out.replace("\\", "\\\\").replace("\"", "\\\"")
       val stamped = line.dropRight(1) +
-        s""","ts":"${java.time.Instant.now()}","out":"$out"}"""
+        s""","ts":"${java.time.Instant.now()}","out":"$outEsc"}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_history.jsonl"), stamped + "\n",
         java.nio.file.StandardOpenOption.CREATE,

@@ -39,23 +39,32 @@ object Eval {
     *      PARTITIONED by (partCols, bucket) — every task sees one
     *      bucket's distinct scores, never the whole domain.
     *
-    * Null scores keep Spark's nulls-first asc order via bucket −1.
-    * `desc = true` flips both scans (liftTable's descending ranks).
+    * Null scores keep Spark's nulls-first asc order via bucket −1;
+    * NaN scores (which BOTH engines order GREATER than every finite
+    * value) route to the LAST bucket explicitly — the arithmetic
+    * floor((NaN−lo)/w) would land them in bucket 0, corrupting every
+    * later prefix — and NaN is excluded from the bounds aggregate so
+    * finite widths stay finite. `desc = true` flips both scans
+    * (liftTable's descending ranks). The bounds ride a broadcast
+    * 1-row crossJoin (RankTransform.cdf's shape), so building the
+    * plan stays LAZY — no job fires until the caller executes.
     * Bit-identical to the naive global window (the oracles restate
     * exactly that; EvalSpec pins an all-distinct continuous domain).
     */
   private def bucketedCumBefore(byScore: DataFrame, partCols: Seq[String],
       desc: Boolean, nBuckets: Int = 256): DataFrame = {
     val sd = col("s").cast("double")
-    val stats = byScore.agg(min(sd).as("lo"), max(sd).as("hi")).head()
-    val (lo, hi) =
-      if (stats.isNullAt(0)) (0.0, 0.0)
-      else (stats.getDouble(0), stats.getDouble(1))
-    val width = if (hi > lo) (hi - lo) / nBuckets else 1.0
-    val bucket = when(sd.isNull, lit(-1L)).otherwise(
-      least(greatest(floor((sd - lit(lo)) / lit(width)), lit(0L)),
+    val sdFin = when(isnan(sd), lit(null)).otherwise(sd)
+    val bounds = byScore.agg(min(sdFin).as("__lo"), max(sdFin).as("__hi"))
+    val width = when(col("__hi") > col("__lo"),
+      (col("__hi") - col("__lo")) / nBuckets).otherwise(lit(1.0))
+    val bucket = when(sd.isNull, lit(-1L))
+      .when(isnan(sd), lit(nBuckets - 1L))
+      .otherwise(least(greatest(
+        floor((sd - coalesce(col("__lo"), lit(0.0))) / width), lit(0L)),
         lit(nBuckets - 1L)))
-    val bucketed = byScore.withColumn("__rb", bucket)
+    val bucketed = byScore.crossJoin(broadcast(bounds))
+      .withColumn("__rb", bucket).drop("__lo", "__hi")
     val bCol = if (desc) col("__rb").desc else col("__rb").asc
     val sCol = if (desc) col("s").desc else col("s").asc
     val offs = bucketed

@@ -139,10 +139,16 @@ object Bpe {
       checkpointInterval: Int = 64): Seq[Merge] = {
     require(collectThreshold >= 0,
       s"collectThreshold must be >= 0, got $collectThreshold")
-    if (words.count() <= collectThreshold)
+    // ONE bounded job decides AND fetches: collect threshold+1 rows —
+    // if the limit wasn't hit the table is the whole vocabulary and
+    // we already hold it; a separate count() would run the full
+    // aggregation twice (r13 self-review)
+    val sample = words.select(col("word"), col("cnt").cast("long"))
+      .limit((collectThreshold + 1).min(Int.MaxValue.toLong).toInt)
+      .collect()
+    if (sample.length <= collectThreshold)
       trainDriver(
-        words.select(col("word"), col("cnt").cast("long")).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq,
+        sample.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq,
         nMerges)
     else trainBatched(spark, words, nMerges, scanWidth, checkpointInterval)
   }
@@ -232,6 +238,13 @@ object Bpe {
   def trainDriver(words: IndexedSeq[(String, Long)], nMerges: Int)
       : Seq[Merge] = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    // positive counts are the contract (wordCounts/byteWordCounts
+    // can only emit them): a zero-count word would hold adjacencies
+    // that the count map legitimately drops at zero, breaking the
+    // index invariants — and serial train() would happily ELECT a
+    // count-0 pair, which is semantically meaningless. Fail loudly.
+    require(words.forall(_._2 > 0L),
+      "trainDriver requires strictly positive word counts")
     import scala.collection.mutable
     val wsyms = new Array[Array[String]](words.length)
     val cnts = new Array[Long](words.length)
@@ -294,7 +307,7 @@ object Bpe {
             var j = 0
             while (j < old.length - 1) {
               val p = (old(j), old(j + 1))
-              counts.update(p, counts(p) - c)
+              counts.update(p, counts.getOrElse(p, 0L) - c)
               changed += p
               j += 1
             }

@@ -129,6 +129,21 @@ class EvalSpec extends SparkSpec {
       nullRow.getAs[Double]("auc") shouldBe 1.0 // both pos above the neg
     }
 
+    it("NaN scores rank GREATEST (both engines' sort order), not " +
+        "bucket 0 — the arithmetic floor would misplace them") {
+      // pos scores: NaN (ranks above everything) — a perfect ranker
+      val df = Seq(("g", 0.0, 0L), ("g", 10.0, 0L),
+        ("g", Double.NaN, 1L)).toDF("g", "s", "y")
+      val r = Eval.rocAuc(df, "g", "s", "y").collect().head
+      r.getAs[Double]("auc") shouldBe 1.0
+      // and mixed finite+NaN at multi-bucket scale stays exact:
+      // NaNs are the ONLY positives → they hold the top midranks
+      val big = ((0 until 500).map(i => ("g", i.toDouble, 0L)) ++
+        (0 until 5).map(_ => ("g", Double.NaN, 1L))).toDF("g", "s", "y")
+      Eval.rocAuc(big, "g", "s", "y").collect()
+        .head.getAs[Double]("auc") shouldBe 1.0
+    }
+
     it("reliability equals the serial distinct-score walk") {
       val bins = 10
       val df = scrambled.toDF("s", "y")
