@@ -744,15 +744,18 @@ object TrainEntry {
   private def mixedDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       concat(col("text"), lit(" "),
+        // pmod, not %: a negative doc_id under % would index from the
+        // END of the array while the oracle CASE yields NULL (ADVICE
+        // r13) — pmod and the oracle's ((x%7)+7)%7 agree on all inputs
         element_at(array(ByteExtras.map(lit): _*),
-          (col("doc_id") % 7 + 1).cast("int"))).as("text"))
+          (pmod(col("doc_id"), lit(7)) + 1).cast("int"))).as("text"))
 
   private def mixedDocsRel: String = {
     val cases = ByteExtras.zipWithIndex.map { case (s, i) =>
       s"WHEN $i THEN '${s.replace("'", "''")}'"
     }.mkString("\n    ")
     s"""(SELECT doc_id, lang,
-       |  text || ' ' || CASE CAST(doc_id % 7 AS INT)
+       |  text || ' ' || CASE CAST(((doc_id % 7) + 7) % 7 AS INT)
        |    $cases END AS text
        |  FROM documents)""".stripMargin
   }

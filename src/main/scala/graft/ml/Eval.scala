@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
 object Eval {
 
   /** Exclusive prefix sum of `n_eq` over distinct-score rows in
-    * score order, WITHOUT an unpartitioned data-sized window — the
+    * score order, WITHOUT an unpartitioned data-sized window — since
+    * r14 a thin wrapper over the consolidated
+    * [[graft.ops.PrefixSum]] (VERDICT r13 item 1), which owns the
+    * bucket routing and the two-phase scan this doc describes — the
     * Packing.tokenOffsets / SurrogateKeys two-phase range-bucket
     * shape (VERDICT r12 item 4: with CONTINUOUS model scores,
     * distinct-scores ≈ n and a global `Window.orderBy` funnels the
@@ -53,50 +56,25 @@ object Eval {
     */
   private def bucketedCumBefore(byScore: DataFrame, partCols: Seq[String],
       desc: Boolean, nBuckets: Int = 256): DataFrame = {
-    val sd = col("s").cast("double")
-    val sdFin = when(isnan(sd), lit(null)).otherwise(sd)
-    val bounds = byScore.agg(min(sdFin).as("__lo"), max(sdFin).as("__hi"))
-    val width = when(col("__hi") > col("__lo"),
-      (col("__hi") - col("__lo")) / nBuckets).otherwise(lit(1.0))
-    val bucket = when(sd.isNull, lit(-1L))
-      .when(isnan(sd), lit(nBuckets - 1L))
-      .otherwise(least(greatest(
-        floor((sd - coalesce(col("__lo"), lit(0.0))) / width), lit(0L)),
-        lit(nBuckets - 1L)))
-    val bucketed = byScore.crossJoin(broadcast(bounds))
-      .withColumn("__rb", bucket).drop("__lo", "__hi")
-    val bCol = if (desc) col("__rb").desc else col("__rb").asc
+    val bucketed = graft.ops.PrefixSum.rangeBucket(
+      byScore, col("s"), nBuckets, "__rb")
     val sCol = if (desc) col("s").desc else col("s").asc
-    val offs = bucketed
-      .groupBy((partCols.map(col) :+ col("__rb")): _*)
-      .agg(sum(col("n_eq")).as("__rn"))
-      .withColumn("__rbase",
-        coalesce(sum(col("__rn")).over(Window.partitionBy(
-          partCols.map(col): _*).orderBy(bCol)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__rn")
-    val joined =
-      if (partCols.isEmpty)
-        bucketed.join(broadcast(offs), Seq("__rb"))
-      else {
-        // NULL-SAFE join on the partition keys: a null stratum is a
-        // legitimate group (the old window treated null as a
-        // partition value) — a plain equi-join would silently drop
-        // its rows. Offs columns are renamed to keep the output
-        // schema identical after the join.
-        val keys = partCols :+ "__rb"
-        val o = keys.foldLeft(offs)((d, c) =>
-          d.withColumnRenamed(c, "__o_" + c))
-        val cond = keys.map(c => col(c) <=> col("__o_" + c))
-          .reduce(_ && _)
-        bucketed.join(o, cond).drop(keys.map("__o_" + _): _*)
-      }
-    val intra = Window.partitionBy((partCols :+ "__rb").map(col): _*)
-      .orderBy(sCol).rowsBetween(Window.unboundedPreceding, -1)
-    joined
-      .withColumn("cum_before",
-        col("__rbase") + coalesce(sum(col("n_eq")).over(intra), lit(0L)))
-      .drop("__rb", "__rbase")
+    graft.ops.PrefixSum.cumBefore(bucketed, partCols, "__rb",
+        bucketDesc = desc, Seq(sCol), Seq((col("n_eq"), "cum_before")))
+      .drop("__rb")
+  }
+
+  /** The bucketed scan buckets by `cast(score as double)` but orders
+    * within buckets by the RAW score — for a non-numeric column the
+    * two orders can disagree ("10" < "9" as string) and silently
+    * change results vs the naive global window (ADVICE r13). Numeric
+    * scores are the contract; fail loudly at the entry point. */
+  private def requireNumericScore(df: DataFrame, scoreCol: String): Unit = {
+    val dt = df.schema(scoreCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"score column '$scoreCol' must be numeric, found $dt: the " +
+        "range-bucketed rank scan orders raw scores but buckets their " +
+        "double cast, and the two orders must agree")
   }
 
   /** Per-stratum ROC AUC of `scoreCol` against binary `labelCol`
@@ -125,6 +103,7 @@ object Eval {
       stratumCol: String,
       scoreCol: String,
       labelCol: String): DataFrame = {
+    requireNumericScore(df, scoreCol)
     val byScore = df
       .groupBy(col(stratumCol).as("g"), col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_eq"),
@@ -200,6 +179,7 @@ object Eval {
       labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins >= 2: $bins")
+    requireNumericScore(df, scoreCol)
     val byScore = df
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_eq"),
@@ -292,6 +272,7 @@ object Eval {
       labelCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins >= 2: $bins")
+    requireNumericScore(df, scoreCol)
     val byScore = df
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("n_eq"),

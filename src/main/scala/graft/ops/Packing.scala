@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-sequence packing — the GPT-style "concatenate the corpus
@@ -53,21 +52,13 @@ object Packing {
           "non-numeric for a row; offsets would be corrupted"))))
     val bucketed = rows.withColumn("_bucket",
       ((ord - lit(lo)) / lit(width)).cast("long"))
-    // per-bucket sums: <= nBuckets rows to the driver — scalars, not data
-    val sums = bucketed.groupBy("_bucket")
-      .agg(sum(col(tokensCol)).cast("long").as("_bsum"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val bases = sums.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (b, s)) => (b, acc + s)
-    }.init.zip(sums).map { case ((_, base), (b, _)) => (b, base) }
-    val baseDf = df.sparkSession.createDataFrame(bases.toSeq)
-      .toDF("_bucket", "_base")
-    val intra = Window.partitionBy("_bucket").orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(baseDf), "_bucket")
-      .withColumn("offset",
-        col("_base") + coalesce(sum(col(tokensCol)).over(intra), lit(0L)))
-      .drop("_bucket", "_base")
+    // the two-phase scan is the consolidated graft.ops.PrefixSum
+    // (VERDICT r13 item 1) — per-bucket sums prefix into broadcast
+    // base offsets, intra-bucket running sums stay bucket-partitioned
+    PrefixSum.cumBefore(bucketed, Seq.empty, "_bucket",
+        bucketDesc = false, Seq(col(orderCol).asc),
+        Seq((col(tokensCol).cast("long"), "offset")))
+      .drop("_bucket")
   }
 
   /** Explode each doc into the training sequences it lands in:

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dense surrogate-key assignment — the warehouse identity column
@@ -38,16 +37,13 @@ object SurrogateKeys {
     require(keyCols.nonEmpty, "need at least one key column")
     val d = df.select(keyCols.map(col): _*).distinct()
       .withColumn("__sk_b", bucket)
-    val offs = d.groupBy("__sk_b").agg(count(lit(1)).as("__sk_n"))
-      .withColumn("__sk_off",
-        coalesce(sum(col("__sk_n")).over(Window.orderBy("__sk_b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__sk_n")
-    val ranked = d.withColumn("__sk_rn",
-      row_number().over(Window.partitionBy("__sk_b")
-        .orderBy(keyCols.map(col): _*)))
-    ranked.join(broadcast(offs), "__sk_b")
-      .select((lit(base) + col("__sk_off") + col("__sk_rn") - 1)
+    // rank = exclusive prefix COUNT over the (bucket, keyCols) total
+    // order — the consolidated graft.ops.PrefixSum two-phase scan
+    // (VERDICT r13 item 1): id = base + count-before, bit-identical
+    // to base + bucket offset + intra row_number − 1
+    PrefixSum.cumBefore(d, Seq.empty, "__sk_b", bucketDesc = false,
+        keyCols.map(col(_).asc), Seq((lit(1L), "__sk_cb")))
+      .select((lit(base) + col("__sk_cb"))
         .as("surrogate_id") +: keyCols.map(col): _*)
   }
 }

@@ -139,12 +139,18 @@ object Bpe {
       checkpointInterval: Int = 64): Seq[Merge] = {
     require(collectThreshold >= 0,
       s"collectThreshold must be >= 0, got $collectThreshold")
+    // the decision needs limit(threshold+1) to be a FAITHFUL probe: at
+    // threshold >= Int.MaxValue the limit would clamp and the <= check
+    // below could accept a TRUNCATED vocabulary (ADVICE r13) — and a
+    // threshold that large defeats the bounded-driver contract anyway
+    require(collectThreshold < Int.MaxValue,
+      s"collectThreshold must be < Int.MaxValue, got $collectThreshold")
     // ONE bounded job decides AND fetches: collect threshold+1 rows —
     // if the limit wasn't hit the table is the whole vocabulary and
     // we already hold it; a separate count() would run the full
     // aggregation twice (r13 self-review)
     val sample = words.select(col("word"), col("cnt").cast("long"))
-      .limit((collectThreshold + 1).min(Int.MaxValue.toLong).toInt)
+      .limit(collectThreshold.toInt + 1)
       .collect()
     if (sample.length <= collectThreshold)
       trainDriver(

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vocabulary coverage curve — "how much of the corpus does a top-K
@@ -14,9 +13,17 @@ import org.apache.spark.sql.functions._
   * TYPES (vocabulary-sized, never per-token rows); each cutoff's
   * coverage is one exact-int division rounded 9 dp.
   *
-  * Scale shape: one explode+count pass (partial-aggregable), one
-  * vocabulary-sized window, one |cutoffs|-sized conditional rollup
-  * exploded through literals (the q279 shape).
+  * Scale shape: one explode+count pass (partial-aggregable); the
+  * rank and the cumulative sum run the consolidated two-phase
+  * range-bucket scan ([[graft.ops.PrefixSum]] — VERDICT r13 item 1:
+  * "vocabulary-sized" is Zipf-sublinear but NOT bounded; a 100 TB
+  * web corpus carries 10⁸–10⁹ distinct types, and the previous
+  * unpartitioned `Window.orderBy` funneled all of them through one
+  * reducer). Frequency is the monotone bucket key (equal f can never
+  * straddle buckets, so the (f DESC, token) order is bucket-
+  * consistent); both prefix sums ride ONE scan; then a
+  * |cutoffs|-sized conditional rollup exploded through literals (the
+  * q279 shape).
   */
 object VocabCoverage {
 
@@ -30,10 +37,15 @@ object VocabCoverage {
     require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted)
     val freq = docs.select(explode(toks(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("f"))
-    val w = Window.orderBy(col("f").desc, col("token"))
-    val ranked = freq
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cum", sum(col("f")).over(w))
+    val bucketed = graft.ops.PrefixSum.rangeBucket(
+      freq, col("f"), 256, "__vb")
+    val ranked = graft.ops.PrefixSum.cumBefore(bucketed, Seq.empty,
+        "__vb", bucketDesc = true,
+        Seq(col("f").desc, col("token").asc),
+        Seq((lit(1L), "__rn0"), (col("f"), "__cum0")))
+      .withColumn("rn", col("__rn0") + 1)
+      .withColumn("cum", col("__cum0") + col("f"))
+      .drop("__vb", "__rn0", "__cum0")
     val aggs = count(lit(1)).as("n_vocab") +:
       sum(col("f")).as("total_occ") +:
       cutoffs.flatMap { k =>
