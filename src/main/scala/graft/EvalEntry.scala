@@ -1009,6 +1009,41 @@ object EvalEntry {
   private[graft] def lmKnTokIndexPath(dir: String): String =
     s"target/scratch/lm_index_kn_tok_${sanitize(dir)}"
 
+  /** The ORDER-3 KN artifact path (token-signed) — q341 gates it;
+    * q342's CCNet twin probes the same artifact (same order, same
+    * family, same freshness mode — one model, two consumers). An
+    * order switch must never thrash the order-2 artifacts above. */
+  private[graft] def lm3TokIndexPath(dir: String): String =
+    s"target/scratch/lm_index_kn3_tok_${sanitize(dir)}"
+
+  // ---------------------------------------------------------------
+  // q341 — ORDER-3 Kneser-Ney LM scoring through the persisted-index
+  // family (VERDICT r13 item 2: the LM-quality family was bigram-
+  // only — a bigram KN separates fluent from non-fluent but ranks
+  // weakly WITHIN fluent text, the regime the CCNet tercile split
+  // operates in; CCNet's KenLM reference is a 5-gram KN). The
+  // artifact format was order-agnostic by design: lm_order=3 +
+  // kind='tri' rows, scorer dispatched from metadata
+  // (text/LmFilter.trigramLogprob — the standard three-level
+  // interpolated-KN chain with strict continuation counts at the
+  // middle level). Token freshness (fileToken): the steady-state
+  // probe compares two longs and never scans the reference corpus —
+  // O(batch + metadata), the q335 production shape. Oracle is the
+  // full from-scratch KN-3 recompute (LmScoreKn3Cte), degenerate
+  // backoffs restated exactly.
+  // ---------------------------------------------------------------
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    graft.text.LmFilter.indexedTrigramLogprob(s, lm3TokIndexPath(dir),
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        smoothing = graft.text.LmFilter.KneserNey(
+          StatsEntry.KnDiscountPermille),
+        freshness = graft.ops.ArtifactIndex.fileToken(
+          s, s"$dir/documents.parquet"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------
   // q330 — interpolated (Jelinek-Mercer) bigram LM scoring
   // (text/LmFilter.Interpolated): the same persisted-index
@@ -1153,6 +1188,7 @@ object EvalEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_lm_kn3" -> (q341 _),
     "q337_rouge_hashed" -> (q337 _),
     "q333_rouge_indexed" -> (q333 _),
     "q325_lm_index" -> (q325 _),
@@ -1315,6 +1351,10 @@ object EvalEntry {
     "q332_lm_kneser_ney" ->
       s"""WITH ${StatsEntry.LmScoreKnCte}
          |SELECT doc_id, n_bigrams, n_unseen, avg_logprob
+         |FROM lm_scores ORDER BY doc_id""".stripMargin,
+    "q341_lm_kn3" ->
+      s"""WITH ${StatsEntry.LmScoreKn3Cte}
+         |SELECT doc_id, n_trigrams, n_unseen, avg_logprob
          |FROM lm_scores ORDER BY doc_id""".stripMargin,
     "q321_median_ci" ->
       s"""WITH pv AS (

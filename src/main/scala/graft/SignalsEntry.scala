@@ -444,6 +444,28 @@ object SignalsEntry {
       graft.text.LmFilter.KneserNey(StatsEntry.KnDiscountPermille),
       graft.ops.ArtifactIndex.fileToken(s, s"$dir/documents.parquet"))
 
+  // ---------------------------------------------------------------
+  // q342 — CCNet buckets driven by the ORDER-3 Kneser-Ney scorer
+  // (VERDICT r13 item 2's stretch twin: the tercile split operating
+  // in the regime where order 3 actually matters — ranking WITHIN
+  // fluent text). Identical terciles-per-language machinery
+  // (ccnetBand), scored through the SAME token-signed KN-3 artifact
+  // q341 gates (one model, two consumers — the probe never scans the
+  // reference corpus).
+  // ---------------------------------------------------------------
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.text.LmFilter.indexedTrigramLogprob(
+      s, EvalEntry.lm3TokIndexPath(dir),
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+      "doc_id", "text",
+      graft.text.LmFilter.KneserNey(StatsEntry.KnDiscountPermille),
+      freshness = graft.ops.ArtifactIndex.fileToken(
+        s, s"$dir/documents.parquet"))
+    ccnetBand(docs, scored, "n_trigrams", "sum_trigrams")
+  }
+
   /** The shared CCNet bucketing pipeline: score the odd-doc batch
     * through the persisted LM index at `path` (building it if
     * absent/stale — the metadata dispatch makes the smoothing family
@@ -467,6 +489,16 @@ object SignalsEntry {
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
       docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
       "doc_id", "text", smoothing, freshness = freshness)
+    ccnetBand(docs, scored, "n_bigrams", "sum_bigrams")
+  }
+
+  /** The scorer-agnostic tercile machinery behind q263/q334/q342:
+    * join language, band per-language on the mid-rank CDF, roll up.
+    * `gramCol`/`sumCol` name the scorer's gram-count column and its
+    * rolled-up alias (n_bigrams for the order-2 scorers, n_trigrams
+    * for KN-3). */
+  private def ccnetBand(docs: DataFrame, scored: DataFrame,
+      gramCol: String, sumCol: String): DataFrame = {
     // barrier: the scored table feeds BOTH the band-boundary CDF and
     // the final banding join; the cut pins the shared computation to
     // one materialized slice (measured neutral today — the optimizer
@@ -488,7 +520,7 @@ object SignalsEntry {
     banded.groupBy(col("lang"),
         when(col("band") === 2, "head").when(col("band") === 1, "middle")
           .otherwise("tail").as("band"))
-      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("sum_bigrams"),
+      .agg(count(lit(1)).as("n_docs"), sum(gramCol).as(sumCol),
         min("avg_logprob").as("min_score"),
         max("avg_logprob").as("max_score"))
       .orderBy("lang", "band")
@@ -767,6 +799,7 @@ object SignalsEntry {
     "q262_spearman" -> (q262 _),
     "q263_ccnet_buckets" -> (q263 _),
     "q334_ccnet_kn" -> (q334 _),
+    "q342_ccnet_kn3" -> (q342 _),
     "q264_wilson_ci" -> (q264 _),
     "q265_fixed_width" -> (q265 _),
     "q266_matryoshka" -> (q266 _),
@@ -779,13 +812,15 @@ object SignalsEntry {
     "q273_kruskal_wallis" -> (q273 _))
 
   /** The CCNet tercile oracle over any LM-scoring CTE ending in
-    * `lm_scores(doc_id, n_bigrams, n_unseen, avg_logprob)` — q263
-    * passes the add-one recompute, q334 the Kneser-Ney one; the
-    * banding machinery is shared by construction so the two oracles
-    * cannot drift. */
-  private def ccnetBucketSql(scoreCte: String): String =
+    * `lm_scores(doc_id, <gramCol>, n_unseen, avg_logprob)` — q263
+    * passes the add-one recompute, q334 the Kneser-Ney one, q342 the
+    * order-3 KN one (gramCol = n_trigrams); the banding machinery is
+    * shared by construction so the oracles cannot drift. */
+  private def ccnetBucketSql(scoreCte: String,
+      gramCol: String = "n_bigrams",
+      sumCol: String = "sum_bigrams"): String =
     s"""WITH $scoreCte, sl AS (
-       |  SELECT s.doc_id, s.n_bigrams, s.avg_logprob, d.lang
+       |  SELECT s.doc_id, s.$gramCol, s.avg_logprob, d.lang
        |  FROM lm_scores s JOIN documents d USING (doc_id)
        |), census AS (
        |  SELECT lang, avg_logprob AS v, count(*) AS c
@@ -801,15 +836,15 @@ object SignalsEntry {
        |      / CAST(2 * nl AS DOUBLE)) * 3) AS BIGINT), 2) AS band
        |  FROM cm
        |), bd AS (
-       |  SELECT sl.lang, sl.n_bigrams, sl.avg_logprob, b.band
+       |  SELECT sl.lang, sl.$gramCol, sl.avg_logprob, b.band
        |  FROM sl JOIN bands b ON sl.lang = b.lang
        |    AND sl.avg_logprob = b.v
        |)
        |SELECT lang,
        |  CASE WHEN band = 2 THEN 'head' WHEN band = 1 THEN 'middle'
        |    ELSE 'tail' END AS band,
-       |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT)
-       |    AS sum_bigrams,
+       |  count(*) AS n_docs, CAST(sum($gramCol) AS BIGINT)
+       |    AS $sumCol,
        |  min(avg_logprob) AS min_score, max(avg_logprob) AS max_score
        |FROM bd GROUP BY 1, 2 ORDER BY lang, band""".stripMargin
 
@@ -1180,6 +1215,8 @@ object SignalsEntry {
     // q334: the same tercile machinery over the KN recompute — the
     // smoothing family end-to-end through the bucket pipeline
     "q334_ccnet_kn" -> ccnetBucketSql(StatsEntry.LmScoreKnCte),
+    "q342_ccnet_kn3" -> ccnetBucketSql(StatsEntry.LmScoreKn3Cte,
+      gramCol = "n_trigrams", sumCol = "sum_trigrams"),
     "q264_wilson_ci" -> {
       val (rate, lo, hi) = graft.quality.Proportions.wilsonSql()
       s"""WITH a AS (

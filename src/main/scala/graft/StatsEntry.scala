@@ -562,6 +562,115 @@ object StatsEntry {
        |)""".stripMargin
   }
 
+  /** q341's oracle: the ORDER-3 interpolated Kneser-Ney full
+    * recompute — [[LmScoreKnCte]]'s corpus split, scored with the
+    * three-level chain LmFilter.trigramLogprob executes:
+    *   P₃(c|ab) = max(c_abc−D,0)/c_ab + (D·n1p3(ab)/c_ab)·P₂(c|b)
+    *   P₂(c|b)  = max(nctx3(bc)−D,0)/nmid(b)
+    *              + (D·n1pmid(b)/nmid(b))·P_cont(c)
+    *   P_cont(c) = (nctx2(c)+1)/(B+V)
+    * with the degenerate backoffs (c_ab=0 or n1p3=0 → P₂; nmid=0 →
+    * P_cont) restated exactly, every double composed in the
+    * identical association order as the Spark chain. Ends in
+    * `lm_scores(doc_id, n_trigrams, n_unseen, avg_logprob)`.
+    */
+  private[graft] val LmScoreKn3Cte: String = {
+    val d = s"($KnDiscountPermille / 1000.0)"
+    val pcSql =
+      s"""CAST(COALESCE(nc2.nctx2, 0) + 1 AS DOUBLE)
+         |          / CAST(bt + v AS DOUBLE)""".stripMargin
+    val p2Sql =
+      s"""CASE WHEN COALESCE(m.nmid, 0) > 0
+         |        THEN greatest(CAST(COALESCE(nc3.nctx3, 0) AS DOUBLE)
+         |              - $d, 0)
+         |            / CAST(m.nmid AS DOUBLE)
+         |          + ((($d) * CAST(m.n1pmid AS DOUBLE))
+         |              / CAST(m.nmid AS DOUBLE))
+         |            * ($pcSql)
+         |        ELSE $pcSql
+         |      END""".stripMargin
+    s"""toksall AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> x <> '') AS t
+       |  FROM documents
+       |), ref AS (SELECT * FROM toksall WHERE doc_id % 2 = 0),
+       |tgt AS (SELECT * FROM toksall WHERE doc_id % 2 = 1),
+       |uni AS (
+       |  SELECT w, count(*) AS c_a FROM
+       |    (SELECT unnest(t) AS w FROM ref) GROUP BY w
+       |), refbi AS (
+       |  SELECT ab, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |      i -> t[i] || ' ' || t[i+1])) AS ab
+       |    FROM ref WHERE len(t) >= 2) GROUP BY ab
+       |), reftri AS (
+       |  SELECT abc, count(*) AS c_abc FROM (
+       |    SELECT unnest(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS abc
+       |    FROM ref WHERE len(t) >= 3) GROUP BY abc
+       |), triparts AS (
+       |  SELECT string_split(abc, ' ')[1] || ' ' ||
+       |      string_split(abc, ' ')[2] AS ab,
+       |    string_split(abc, ' ')[2] || ' ' ||
+       |      string_split(abc, ' ')[3] AS bc,
+       |    string_split(abc, ' ')[2] AS b
+       |  FROM reftri
+       |), n1p3 AS (
+       |  SELECT ab, count(*) AS n1p3 FROM triparts GROUP BY ab
+       |), nctx3 AS (
+       |  SELECT bc, count(*) AS nctx3 FROM triparts GROUP BY bc
+       |), mid AS (
+       |  SELECT b, count(*) AS nmid, count(DISTINCT bc) AS n1pmid
+       |  FROM triparts GROUP BY b
+       |), nctx2 AS (
+       |  SELECT string_split(ab, ' ')[2] AS c2, count(*) AS nctx2
+       |  FROM refbi GROUP BY 1
+       |), vv AS (
+       |  SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS v,
+       |         CAST((SELECT count(*) FROM refbi) AS BIGINT) AS bt
+       |), db AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS abc
+       |  FROM tgt WHERE len(t) >= 3
+       |), j AS (
+       |  SELECT d.doc_id,
+       |    string_split(d.abc, ' ')[1] || ' ' ||
+       |      string_split(d.abc, ' ')[2] AS ab,
+       |    string_split(d.abc, ' ')[2] || ' ' ||
+       |      string_split(d.abc, ' ')[3] AS bc,
+       |    string_split(d.abc, ' ')[2] AS b,
+       |    string_split(d.abc, ' ')[3] AS c2, r.c_abc
+       |  FROM db d LEFT JOIN reftri r USING (abc)
+       |), terms AS (
+       |  SELECT j.doc_id, j.c_abc,
+       |    CAST(round(ln(
+       |      CASE WHEN COALESCE(rb.c_ab, 0) > 0
+       |          AND COALESCE(n3.n1p3, 0) > 0
+       |        THEN greatest(CAST(COALESCE(j.c_abc, 0) AS DOUBLE)
+       |              - $d, 0)
+       |            / CAST(rb.c_ab AS DOUBLE)
+       |          + ((($d) * CAST(n3.n1p3 AS DOUBLE))
+       |              / CAST(rb.c_ab AS DOUBLE))
+       |            * ($p2Sql)
+       |        ELSE $p2Sql
+       |      END), 6) AS DECIMAL(28,6)) AS term
+       |  FROM j LEFT JOIN refbi rb ON j.ab = rb.ab
+       |    LEFT JOIN n1p3 n3 ON j.ab = n3.ab
+       |    LEFT JOIN nctx3 nc3 ON j.bc = nc3.bc
+       |    LEFT JOIN mid m ON j.b = m.b
+       |    LEFT JOIN nctx2 nc2 ON j.c2 = nc2.c2
+       |    CROSS JOIN vv
+       |), lm_scores AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       |    CAST(count(*) FILTER (WHERE c_abc IS NULL) AS BIGINT)
+       |      AS n_unseen,
+       |    round(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |      AS avg_logprob
+       |  FROM terms GROUP BY doc_id
+       |)""".stripMargin
+  }
+
   private[graft] val DailyCte =
     """daily0 AS (
       |  SELECT event_type AS g, epoch_ns(ts) // 1000000 // 86400000 AS day,

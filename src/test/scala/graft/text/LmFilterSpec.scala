@@ -302,6 +302,112 @@ class LmFilterSpec extends SparkSpec {
     }
   }
 
+  describe("LmFilter order-3 Kneser-Ney") {
+    import org.apache.spark.sql.functions._
+    import LmFilter.KneserNey
+    // ref 'a b c a b d': uni {a:2,b:2,c:1,d:1} → V=4; bigrams
+    // {a b:2, b c:1, c a:1, b d:1} → B=4; trigrams {a b c, b c a,
+    // c a b, a b d} (each ×1). Continuations: n1p3(a b)=2,
+    // nctx3(b c)=1, nmid(b)=2, n1pmid(b)=2, nctx2(c)=1.
+    val refDf = Seq("a b c a b d").map(Tuple1(_)).toDF("text")
+
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toList
+    def ln6(p: Double): Double = BigDecimal(math.log(p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    it("matches the hand-computed three-level chain (D = 0.5)") {
+      // doc 'a b c': P_cont(c) = (1+1)/(4+4) = 0.25;
+      // P2(c|b) = max(1−.5,0)/2 + (.5·2/2)·0.25 = 0.375;
+      // P3 = max(1−.5,0)/2 + (.5·2/2)·0.375 = 0.4375
+      val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val got = LmFilter.trigramLogprob(docs, refDf, "doc_id", "text",
+        KneserNey(500)).collect().head
+      got.getAs[Long]("n_trigrams") shouldBe 1L
+      got.getAs[Long]("n_unseen") shouldBe 0L
+      got.getAs[Double]("avg_logprob") shouldBe ln6(0.4375)
+    }
+
+    it("degenerate contexts back off level by level") {
+      val docs = Seq(
+        (1L, "z b c"), // prefix 'z b' unseen → P2(c|b) = 0.375
+        (2L, "a d c"), // prefix unseen AND mid 'd' never a trigram
+                       // middle → P_cont(c) = 0.25
+        (3L, "b d x")) // bigram 'b d' EXISTS (doc-final) but has no
+                       // trigram continuation → n1p3=0 → P2(x|d) →
+                       // nmid(d)=0 → P_cont(x) = (0+1)/8
+        .toDF("doc_id", "text")
+      val got = LmFilter.trigramLogprob(docs, refDf, "doc_id", "text",
+          KneserNey(500))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_unseen"), r.getAs[Double]("avg_logprob"))))
+        .toMap
+      got(1L) shouldBe ((1L, ln6(0.375)))
+      got(2L) shouldBe ((1L, ln6(0.25)))
+      got(3L) shouldBe ((1L, ln6(0.125)))
+    }
+
+    it("documents with fewer than 3 tokens drop (score undefined)") {
+      val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+      LmFilter.trigramLogprob(docs, refDf, "doc_id", "text",
+        KneserNey(500)).select("doc_id").as[Long].collect()
+        .toSeq shouldBe Seq(2L)
+    }
+
+    it("the persisted order-3 index scores identically to the fresh " +
+        "recompute, text AND hashed join keys") {
+      val ref = Seq("a b c a b d e", "c a b e d").map(Tuple1(_))
+        .toDF("text")
+      val docs = Seq((1L, "a b c d"), (2L, "e c a b"), (3L, "z q a b c"))
+        .toDF("doc_id", "text")
+      val fresh = sorted(LmFilter.trigramLogprob(docs, ref,
+        "doc_id", "text", KneserNey(750)))
+      val idx = LmFilter.trigramLmIndex(ref, "text", KneserNey(750))
+      sorted(LmFilter.scoreAgainstLmIndex(idx, docs,
+        "doc_id", "text")) shouldBe fresh
+      sorted(LmFilter.trigramLogprob(docs, ref, "doc_id", "text",
+        KneserNey(750), hashKeys = true)) shouldBe fresh
+    }
+
+    it("order-3 metadata dispatches and cross-order probes fail " +
+        "loudly") {
+      val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val idx3 = LmFilter.trigramLmIndex(refDf, "text", KneserNey(500))
+      // caller pinning the wrong family fails
+      an[IllegalArgumentException] should be thrownBy
+        LmFilter.scoreAgainstLmIndex(idx3, docs, "doc_id", "text",
+          expected = Some(LmFilter.AddK(1)))
+      // an order-3 artifact claiming a non-KN family is rejected
+      val foreign = idx3.withColumn("smoothing_k", lit(1))
+      an[IllegalArgumentException] should be thrownBy
+        LmFilter.scoreAgainstLmIndex(foreign, docs, "doc_id", "text")
+    }
+
+    it("build-or-reuse on its own path: reuse, then rebuild on a " +
+        "changed reference") {
+      val path = "target/scratch/lmfilter_spec_kn3_idx"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+      val first = sorted(LmFilter.indexedTrigramLogprob(
+        spark, path, refDf, docs, "doc_id", "text", KneserNey(500)))
+      first shouldBe sorted(LmFilter.trigramLogprob(docs, refDf,
+        "doc_id", "text", KneserNey(500)))
+      val t1 = fs.getFileStatus(p).getModificationTime
+      sorted(LmFilter.indexedTrigramLogprob(
+        spark, path, refDf, docs, "doc_id", "text",
+        KneserNey(500))) shouldBe first
+      fs.getFileStatus(p).getModificationTime shouldBe t1
+      val ref2 = Seq("x y z x y w").map(Tuple1(_)).toDF("text")
+      sorted(LmFilter.indexedTrigramLogprob(
+        spark, path, ref2, docs, "doc_id", "text",
+        KneserNey(500))) shouldBe
+        sorted(LmFilter.trigramLogprob(docs, ref2, "doc_id", "text",
+          KneserNey(500)))
+    }
+  }
+
   private def round9(d: Double): Double =
     BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
