@@ -99,6 +99,31 @@ object EvalEntry {
         "event_type", "treat", "post", "value")
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------
+  // q343 — ROC AUC on a CONTINUOUS score domain at corpus
+  // cardinality (VERDICT r13 item 6: q275/q276/q284's fixtures carry
+  // small integer score domains — exactly the regime that HID the
+  // single-reducer rank funnel until r13; this entry driver-gates
+  // the bucketed two-phase path in its production regime, distinct
+  // scores ≈ rows, not just EvalSpec's 3000-score pin). Score =
+  // value-cents scaled plus a mix30 jitter fraction: all-integer
+  // arithmetic to ONE closing double division, so both engines
+  // derive identical doubles and essentially every event carries a
+  // distinct score.
+  // ---------------------------------------------------------------
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("event_type").as("g"),
+      (((col("value").cast("decimal(18,2)") * 100).cast("long") *
+        lit(1000000L) +
+        pmod(Sampling.mix30(col("event_id")), lit(1000000L)))
+        .cast("double") / lit(1.0e8)).as("score"),
+      pmod(col("user_id"), lit(2)).cast("long").as("label01"))
+    Eval.rocAuc(ev, "g", "score", "label01")
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+  }
+
   // q279 grid: every 50 chars across the n_chars support (48..553
   // at all SFs) — shared Scala constant, embedded in the oracle
   private val StumpGrid: Seq[Long] = (50L to 550L by 50L)
@@ -1189,6 +1214,7 @@ object EvalEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q341_lm_kn3" -> (q341 _),
+    "q343_roc_auc_continuous" -> (q343 _),
     "q337_rouge_hashed" -> (q337 _),
     "q333_rouge_indexed" -> (q333 _),
     "q325_lm_index" -> (q325 _),
@@ -1271,6 +1297,19 @@ object EvalEntry {
          |${Eval.rocAucSql("rel")}
          |SELECT g AS source, n_pos, n_neg, auc
          |FROM auc_out ORDER BY source""".stripMargin,
+    "q343_roc_auc_continuous" ->
+      s"""WITH rel AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |        * 1000000
+         |      + (${Sampling.mix30Sql("event_id")}) % 1000000
+         |      AS DOUBLE) / 1e8 AS s,
+         |    CAST(user_id % 2 AS BIGINT) AS label01
+         |  FROM events
+         |),
+         |${Eval.rocAucSql("rel")}
+         |SELECT g AS event_type, n_pos, n_neg, auc
+         |FROM auc_out ORDER BY event_type""".stripMargin,
     "q276_calibration" ->
       s"""WITH lab AS ($DocLabeled),
          |rel AS (SELECT n_chars AS s, label01 FROM lab),

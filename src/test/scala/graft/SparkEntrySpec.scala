@@ -12,10 +12,10 @@ class SparkEntrySpec extends SparkSpec {
       val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
       orphans shouldBe empty
     }
-    it("covers the full SURVEY inventory (q01..q342, contiguous)") {
-      SparkEntry.queries.size shouldBe 342
+    it("covers the full SURVEY inventory (q01..q343, contiguous)") {
+      SparkEntry.queries.size shouldBe 343
       val nums = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
-      nums shouldBe (1 to 342).map(i => f"q$i%02d").toSet
+      nums shouldBe (1 to 343).map(i => f"q$i%02d").toSet
     }
     it("every registered query carries a DuckDB oracle") {
       // the rows-only set is EMPTY since r11: q329_pca_wide gained a
