@@ -27,6 +27,16 @@ import org.apache.spark.storage.StorageLevel
   * ≥1k merges, while the merge loop's operand is precisely the
   * vocabulary-sized word table — so the synthetic table IS the
   * production shape being measured.
+  *
+  * SPARK_GRAFT_BPE_VOCAB=bytes:<N> builds the BYTE-LEVEL variant
+  * (VERDICT r13 item 3 — the one BPE cell not yet measured): raw
+  * words drawn from a mixed ASCII/accented/CJK/Cyrillic/currency
+  * character pool, mapped through [[graft.text.Bpe.byteMapWord]]
+  * (multi-byte codepoints fan out 2–3 alphabet chars per char, so
+  * the byte alphabet GROWS word lengths — the case most likely to
+  * push a real corpus past trainAuto's 2M driver threshold). In
+  * driver mode it also prints the MEASURED driver-heap cost of the
+  * collected vocabulary (the datum that sizes the threshold).
   */
 object BpeBench {
   def main(args: Array[String]): Unit = {
@@ -48,7 +58,28 @@ object BpeBench {
       Bpe.wordCounts(
         graft.sources.Tables.load(spark, sfDir, "documents")
           .select("text"), "text")
-    else
+    else if (vocabSpec.startsWith("bytes:")) {
+      // mixed-script pool: ASCII letters + accented/CJK/Cyrillic/
+      // currency chars whose UTF-8 encodings are 2–3 bytes — the
+      // byte alphabet maps each BYTE to one char, so these words
+      // grow 1.5–2x under byteMapWord (the production distinct-word
+      // growth the 2M threshold must absorb)
+      val pool = (('a' to 'z').map(_.toString) ++
+        Seq("é", "ö", "ñ", "ü", "中", "文", "の", "語", "б", "д",
+          "ж", "я", "€", "¥", "—", "…")).map(s => s"'$s'")
+      val raw = spark.range(vocabSpec.stripPrefix("bytes:").toLong)
+        .selectExpr(
+          s"concat_ws('', transform(sequence(0, cast(id % 9 + 3 as int)), " +
+            s"j -> element_at(array(${pool.mkString(",")}), " +
+            s"cast(pmod(shiftright(xxhash64(id), j * 5), ${pool.size}) " +
+            s"as int) + 1))) AS raw",
+          "cast(1000000 / (id + 1) as bigint) + 1 AS cnt")
+      raw.select(Bpe.byteMapWord(
+          org.apache.spark.sql.functions.col("raw")).as("word"),
+          org.apache.spark.sql.functions.col("cnt"))
+        .groupBy("word").agg(
+          org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    } else
       spark.range(vocabSpec.toLong).selectExpr(
         "concat_ws('', transform(sequence(0, cast(id % 9 + 3 as int)), " +
           "j -> chr(97 + pmod(shiftright(xxhash64(id), j * 5), 26)))) " +
@@ -68,14 +99,31 @@ object BpeBench {
 
     // driver-resident exact path (VERDICT r12 item 2): collect the
     // vocabulary-sized table once, serial merge loop in memory
+    def usedHeap(): Long = {
+      val rt = Runtime.getRuntime
+      System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(200)
+      rt.totalMemory() - rt.freeMemory()
+    }
+    val heap0 = usedHeap()
+    var collectedRef: IndexedSeq[(String, Long)] = null
     val (driverMerges, tDriver) = time {
       val collected = words
         .select(org.apache.spark.sql.functions.col("word"),
           org.apache.spark.sql.functions.col("cnt").cast("long"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      collectedRef = collected
       Bpe.trainDriver(collected, nMerges)
     }
-    println(f"[bpebench] driver   ${tDriver}%.1fs merges=${driverMerges.size}")
+    // the threshold-sizing datum (VERDICT r13 item 3): retained heap
+    // of the collected vocabulary itself (measured while the array is
+    // still referenced; the trainer's working state is released)
+    val heap1 = usedHeap()
+    val nW = collectedRef.length
+    val sumLen = collectedRef.iterator.map(_._1.length.toLong).sum
+    println(f"[bpebench] driver   ${tDriver}%.1fs merges=${driverMerges.size} " +
+      f"heapDelta=${(heap1 - heap0) / 1e6}%.0fMB words=$nW " +
+      f"sumChars=$sumLen (${(heap1 - heap0).toDouble / math.max(nW, 1)}%.0fB/word)")
+    collectedRef = null
 
     if (mode == "driver") { spark.stop(); return }
 

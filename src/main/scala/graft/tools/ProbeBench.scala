@@ -72,6 +72,24 @@ object ProbeBench {
     }
     }
 
+    // ---- ORDER-3 KN family (q341 shape) — fresh recompute vs the
+    //      token-signed persisted probe (r14: the probe must stay
+    //      O(batch + metadata) like its order-2 siblings) -----------
+    if (fam("lm3")) {
+    val kn3 = graft.text.LmFilter.KneserNey(750)
+    minOf3("lm3_fresh") {
+      graft.text.LmFilter.trigramLogprob(odds, evens,
+        "doc_id", "text", kn3).count()
+    }
+    val lm3TokPath = s"target/scratch/probe_lm3_tok_$tag"
+    graft.text.LmFilter.indexedTrigramLogprob(spark, lm3TokPath, evens,
+      odds, "doc_id", "text", kn3, freshness = token).count()
+    minOf3("lm3_probe_token") {
+      graft.text.LmFilter.indexedTrigramLogprob(spark, lm3TokPath, evens,
+        odds, "doc_id", "text", kn3, freshness = token).count()
+    }
+    }
+
     // ---- DSIR family (q331 shape: full corpus, 1/3 batch) ---------
     if (fam("dsir")) {
     val target1 = docs.filter(col("doc_id") % 31 === 7)
