@@ -130,12 +130,12 @@ object Bpe {
     * DuckDB CTE oracle end-to-end.
     *
     * The collect here is a sanctioned bounded-driver-data one: at the
-    * default threshold 2M (word, cnt) rows ≈ low hundreds of MB on a
+    * default threshold 8M (word, cnt) rows ≈ under 1 GB on a
     * driver sized for a 1000-executor cluster, and the threshold
     * check is a count, never a fetch.
     */
   def trainAuto(spark: SparkSession, words: DataFrame, nMerges: Int,
-      collectThreshold: Long = 2000000L, scanWidth: Int = 4096,
+      collectThreshold: Long = 8000000L, scanWidth: Int = 4096,
       checkpointInterval: Int = 64): Seq[Merge] = {
     require(collectThreshold >= 0,
       s"collectThreshold must be >= 0, got $collectThreshold")

@@ -34,7 +34,7 @@ import org.apache.spark.storage.StorageLevel
   * character pool, mapped through [[graft.text.Bpe.byteMapWord]]
   * (multi-byte codepoints fan out 2–3 alphabet chars per char, so
   * the byte alphabet GROWS word lengths — the case most likely to
-  * push a real corpus past trainAuto's 2M driver threshold). In
+  * push a real corpus past trainAuto's driver threshold). In
   * driver mode it also prints the MEASURED driver-heap cost of the
   * collected vocabulary (the datum that sizes the threshold).
   */
@@ -63,7 +63,7 @@ object BpeBench {
       // currency chars whose UTF-8 encodings are 2–3 bytes — the
       // byte alphabet maps each BYTE to one char, so these words
       // grow 1.5–2x under byteMapWord (the production distinct-word
-      // growth the 2M threshold must absorb)
+      // growth the driver threshold must absorb)
       val pool = (('a' to 'z').map(_.toString) ++
         Seq("é", "ö", "ñ", "ü", "中", "文", "の", "語", "б", "д",
           "ж", "я", "€", "¥", "—", "…")).map(s => s"'$s'")
