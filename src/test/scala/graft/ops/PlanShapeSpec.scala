@@ -32,15 +32,24 @@ class PlanShapeSpec extends SparkSpec {
     out.toSeq
   }
 
-  it("Packing never plans a global (empty-partition-key) window") {
+  it("Packing's data-sized window is bucket-partitioned; its only " +
+      "global window runs on the buckets-sized census") {
     val df = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("id", "tok")
     val out = Packing.packSpans(df, "id", "tok", blockSize = 64L)
     out.collect()
     val windows = nodes(out.queryExecution.executedPlan)
       .collect { case w: WindowExec => w }
     windows should not be empty
-    // every window partitions by the bucket column — none is global
-    windows.foreach(_.partitionSpec should not be empty)
+    // since r14 the offs prefix-scan (previously a driver collect)
+    // is a PLAN-side window over the per-bucket aggregate — global
+    // but metadata-sized (<= nBuckets rows), the SurrogateKeys
+    // shape; the row-carrying window stays bucket-partitioned
+    val (global, keyed) = windows.partition(_.partitionSpec.isEmpty)
+    keyed should not be empty
+    global.foreach { g =>
+      nodes(g).count(_.getClass.getSimpleName
+        .contains("HashAggregate")) should be >= 1
+    }
   }
 
   it("mixtureByTokens keeps the sampled side shuffle-free") {
