@@ -274,12 +274,15 @@ object PlatformEntry {
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(rootPath, true)
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    // fragmented ingest: 8 batch appends × repartition(4) = 32 files
-    (0 until 8).foreach { b =>
-      Dedup.minhashIndex(docs.filter(pmod(col("doc_id"), lit(8)) === b),
-          "doc_id", "text")
-        .repartition(4).write.mode("append").parquet(idxDir)
-    }
+    // fragmented ingest fixture: the same 32-file layout the r13
+    // 8-appends-×-repartition(4) loop produced, built in ONE write
+    // job (r14, guide §1.2 — minhashIndex is row-wise, so the index
+    // of the union IS the union of the per-batch indexes; 8 serial
+    // corpus scans + 8 write commits collapse into one). What the
+    // query gates — probe equality across OPTIMIZE, the compact
+    // file-count drop, the vacuum verdict — is unchanged.
+    Dedup.minhashIndex(docs, "doc_id", "text")
+      .repartition(32).write.mode("append").parquet(idxDir)
     val batch = docs.filter(col("doc_id") % 17 === 3)
       .withColumn("doc_id", col("doc_id") + 3000000L)
       .withColumn("text", concat(lit("qv "), col("text")))

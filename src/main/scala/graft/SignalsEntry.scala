@@ -508,7 +508,13 @@ object SignalsEntry {
       scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"))
     val cum = graft.quality.RankTests.cumulativeCounts(
       withLang, "lang", lit(false), "avg_logprob")
-    val n = cum.groupBy("g").agg(sum("ca").as("nl"))
+    // per-language totals straight off the barrier'd scored slice:
+    // Σ ca over cum's (g, v) rows IS the per-g row count (isB is
+    // const false, so ca counts every row) — the r13 form re-planned
+    // the whole two-phase prefix chain just to add its counts back
+    // up (r14, guide §2.4: one shallow groupBy instead).
+    val n = withLang.groupBy(col("lang").as("g"))
+      .agg(count(lit(1)).as("nl"))
     val cdf = (lit(2) * col("cuma") - col("ca")).cast("double") /
       (lit(2) * col("nl")).cast("double")
     val bands = cum.join(broadcast(n), "g")

@@ -151,8 +151,15 @@ object PcaPower {
     val dims = cov.select(col("i").as("d")).distinct()
     var v = dims.select(col("d"),
       lit(0.125).cast("decimal(20,9)").as("x"))
+    // broadcast(v) in every iterate: v is d rows (bounded by the
+    // embedding width, never the corpus), but the barrier'd iterate
+    // carries no stats, so the planner shuffled the d²-row cov table
+    // per round (r14 plan diff: SortMergeJoin+Exchange per iteration
+    // → BroadcastHashJoin; one exchange per round — the groupBy —
+    // instead of two).
     for (_ <- 1 to iters) {
-      val w = cov.join(v.select(col("d").as("j"), col("x")), Seq("j"))
+      val w = cov.join(broadcast(v.select(col("d").as("j"), col("x"))),
+          Seq("j"))
         .select(col("i"),
           round(col("c").cast("double") * col("x").cast("double"), 12)
             .cast("decimal(26,12)").as("t"))
@@ -171,13 +178,14 @@ object PcaPower {
               round(col("w").cast("double") / col("nrm"), 9))
               .otherwise(0d).cast("decimal(20,9)").as("x")))
     }
-    // Rayleigh quotient λ = vᵀCv and trace share
-    val cv = cov.join(v.select(col("d").as("j"), col("x")), Seq("j"))
+    // Rayleigh quotient λ = vᵀCv and trace share (v broadcast — d rows)
+    val cv = cov.join(broadcast(v.select(col("d").as("j"), col("x"))),
+        Seq("j"))
       .select(col("i"),
         round(col("c").cast("double") * col("x").cast("double"), 12)
           .cast("decimal(26,12)").as("t"))
       .groupBy("i").agg(sum(col("t")).as("w"))
-      .join(v.select(col("d").as("i"), col("x")), Seq("i"))
+      .join(broadcast(v.select(col("d").as("i"), col("x"))), Seq("i"))
       .agg(sum(round(col("w").cast("double") * col("x").cast("double"),
         12).cast("decimal(26,12)")).as("lam"))
     val trace = cov.filter(col("i") === col("j"))

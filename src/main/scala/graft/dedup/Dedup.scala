@@ -69,9 +69,16 @@ object Dedup {
 
   /** Exact Jaccard between two hashed sets (unrounded — threshold
     * filters must compare against this; round only for display).
+    *
+    * Native one-merge-pass since r14 (every caller passes the
+    * SORTED-DISTINCT arrays [[hashedSet]]/wordShingleHashes emit):
+    * the array_intersect/array_union form built two hash sets per
+    * candidate pair — the dominant task time of the threshold-sweep
+    * and pair-verify steps. |∩|/|∪| value-identical (|∪| =
+    * |A|+|B|−|∩| on distinct inputs, 0/0 stays NaN).
     */
   def setJaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.TextHashes.sortedJaccard(a, b)
 
   /** MinHash signature over a hashed feature set — HOF REFERENCE
     * IMPLEMENTATION, kept for the measured comparison in SURVEY §4
@@ -419,15 +426,18 @@ object Dedup {
     val base = barrier(docs.select(col(idCol).as("doc_id"),
       featurize(col(textCol)).as("hs")))
     val exploded = base.select(col("doc_id"), explode(col("hs")).as("gram"))
-    // document frequency via two-phase SALTED count + join-back: a
-    // window over partitionBy(gram) would serialize the Zipf-head
-    // gram's rows through one reducer (the named 100× straggler);
-    // salted partials spread the hot gram over 16 reducers with
-    // map-side combine, and the join-back is a shuffle join AQE can
-    // skew-split. `exploded` re-derives from the barrier'd sketch, so
-    // the gram extraction still runs once.
-    val gramDf = graft.ops.Skew.saltedAgg(exploded, Seq("gram"), salt = 16,
-      Seq(("df", lit(1), "count")))
+    // document frequency via ONE partial-aggregated groupBy + join-
+    // back: a window over partitionBy(gram) would serialize the
+    // Zipf-head gram's rows through one reducer (the named 100×
+    // straggler), but a count groupBy is decomposable — map-side
+    // partial aggregation already collapses the hot gram to ≤ one
+    // row per map task before the exchange, so the r13 salted
+    // two-phase variant's second shuffle bought no additional skew
+    // safety (guide §2.3 "aggregate before you shuffle"; measured
+    // −1 Exchange on the whole q25 chain, r14). The join-back is a
+    // shuffle join AQE can skew-split. `exploded` re-derives from
+    // the barrier'd sketch, so the gram extraction still runs once.
+    val gramDf = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
     val withDf = exploded.join(gramDf, "gram")
     // rebuild each doc's set sorted by (df asc, gram) — the global
     // order — and re-derive the hash-sorted set from the same rows,
@@ -648,7 +658,11 @@ object Dedup {
     def symmetric(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
 
-    // every neighbor v > u links to m = min(Γ(u) ∪ {u})
+    // every neighbor v > u links to m = min(Γ(u) ∪ {u}). No distinct
+    // here (r14, guide §2.4): smallStar immediately re-aggregates and
+    // ends the round with its own distinct, so the mid-round exchange
+    // bought nothing — duplicate multiplicity is degree-bounded for
+    // one round and min/groupBy results are multiplicity-blind.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = symmetric(e)
       val mins = nbrs.groupBy("a").agg(min(col("b")).as("mb"))
@@ -656,7 +670,6 @@ object Dedup {
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), least(col("a"), col("mb")).as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
     }
 
     // u and its smaller neighbors link to m = min(Γ⁻(u) ∪ {u})
@@ -671,8 +684,18 @@ object Dedup {
     }
 
     def signature(e: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent and overflow-free under ANSI mode
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      // bit_xor: order-independent and overflow-free under ANSI mode.
+      // CANONICAL (undirected) edge hash since r14: both star ops
+      // symmetrize their input first, so the next iterate is a
+      // deterministic function of the UNDIRECTED edge set — when only
+      // edge orientation flips between rounds (the star-forest
+      // steady state), the directed signature needed one more
+      // confirming round (≈7 stages) to observe the identical set.
+      // Undirected equality implies the current iterate already IS
+      // the directed fixpoint, so exiting here returns the same
+      // edges the extra round would.
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(least(a, b), greatest(a, b)))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 

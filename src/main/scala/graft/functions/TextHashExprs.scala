@@ -289,6 +289,95 @@ object TextHashExprs {
     best.toLong
   }
 
+  /** Word n-grams with multiplicity in ONE fused loop — the native
+    * form of the HOF chain
+    *   `transform(sequence(...), i => concat(element_at(toks, i), ...))`
+    * over `filter(split(lower(text), "\\s+"), t => t <> '')`, which
+    * evaluates the whole split+filter subtree once PER OUTPUT ELEMENT
+    * (interpreted, CodegenFallback) — O(tokens²) regex work per row.
+    * This loop tokenizes once and joins spans — O(tokens·n).
+    *
+    * Tokenization contract (must equal the HOF form bit-for-bit):
+    * lowercase, then maximal runs of non-`\s` chars where `\s` is the
+    * JAVA REGEX class [ \t\n\x0B\f\r] — NOT Character.isWhitespace,
+    * which is wider and would drift from split(lower(c), "\\s+") and
+    * from DuckDB's string_split_regex('\s+').
+    *
+    * `joinFallback` pins the under-n-tokens rule the two HOF families
+    * use: false → empty array (LmFilter.bigrams/trigrams, Rouge);
+    * true → one gram = all tokens joined by ' ' (Dsir's
+    * array(array_join(toks, ' ')) — [""] on a token-free document).
+    */
+  def wordNgramsEval(s: UTF8String, n: Int, joinFallback: Boolean): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val len = str.length
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val st = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val nTok = starts.length
+    val m = nTok - n + 1
+    if (m <= 0) {
+      if (!joinFallback) return new GenericArrayData(Array.empty[AnyRef])
+      val sb = new java.lang.StringBuilder
+      var t = 0
+      while (t < nTok) {
+        if (t > 0) sb.append(' ')
+        sb.append(str, starts(t), ends(t))
+        t += 1
+      }
+      return new GenericArrayData(
+        Array[AnyRef](UTF8String.fromString(sb.toString)))
+    }
+    val out = new Array[AnyRef](m)
+    var g = 0
+    while (g < m) {
+      val sb = new java.lang.StringBuilder(ends(g + n - 1) - starts(g) + n)
+      var t = g
+      while (t < g + n) {
+        if (t > g) sb.append(' ')
+        sb.append(str, starts(t), ends(t))
+        t += 1
+      }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact Jaccard of two SORTED-DISTINCT long arrays in one merge
+    * pass — the native form of
+    * `size(array_intersect(a,b)) / size(array_union(a,b))`, which
+    * builds two hash sets per evaluated pair (the dedup family's
+    * verify step runs this once per candidate pair — the dominant
+    * task time of the q316-style threshold sweeps). |∪| derives as
+    * |A|+|B|−|∩| (valid because inputs are distinct); 0/0 stays NaN
+    * like the int/int division it replaces.
+    */
+  def sortedJaccardEval(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i)
+      val y = ys(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = xs.length + ys.length - inter
+    if (union == 0) Double.NaN else inter.toDouble / union
+  }
+
   private def sortedDistinct(a: Array[Long]): Array[Long] = {
     if (a.length <= 1) return a
     Arrays.sort(a)
@@ -335,6 +424,47 @@ object TextHashExprs {
 
     override protected def withNewChildInternal(c: Expression): WordBigrams =
       copy(child = c)
+  }
+
+  /** Word n-grams with multiplicity (see [[wordNgramsEval]]) — the
+    * codegen'd replacement for the interpreted HOF n-gram chains in
+    * LmFilter/Dsir/Rouge, whose per-element lambda re-evaluated the
+    * token split per output gram (O(tokens²) per row).
+    */
+  case class WordNgrams(child: Expression, n: Int, joinFallback: Boolean)
+      extends UnaryExpression {
+    require(n >= 1, "n-gram size must be >= 1")
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "graft_word_ngrams"
+
+    override protected def nullSafeEval(input: Any): Any =
+      wordNgramsEval(input.asInstanceOf[UTF8String], n, joinFallback)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Helper.wordNgramsEval($c, $n, $joinFallback)")
+
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
+  /** Exact Jaccard of two sorted-distinct long arrays (see
+    * [[sortedJaccardEval]]) — the fused verify step of the dedup
+    * family's candidate pairs.
+    */
+  case class SortedJaccard(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "graft_sorted_jaccard"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sortedJaccardEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Helper.sortedJaccardEval($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SortedJaccard = copy(left = l, right = r)
   }
 
   /** Sorted distinct 64-bit hashes of word k-shingles — the hashed
@@ -467,6 +597,18 @@ object TextHashes {
 
   def wordBigrams(text: Column): Column =
     column(TextHashExprs.WordBigrams(expression(text)))
+
+  /** Word n-grams with multiplicity over `\s+`-run tokens;
+    * `joinFallback` picks the under-n rule (false → empty array,
+    * true → all tokens joined as one gram — the Dsir fallback). */
+  def wordNgrams(text: Column, n: Int, joinFallback: Boolean = false): Column =
+    column(TextHashExprs.WordNgrams(expression(text), n, joinFallback))
+
+  /** Exact Jaccard of two sorted-distinct long arrays (one merge
+    * pass; equals size(array_intersect)/size(array_union) on such
+    * inputs). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    column(TextHashExprs.SortedJaccard(expression(a), expression(b)))
 
   def langPredict(text: Column): Column =
     column(TextHashExprs.LangPredict(expression(text)))

@@ -24,15 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Rouge {
 
-  private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
-
-  private def ngrams(c: Column, n: Int): Column = {
-    val t = toks(c)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
-  }
+  // native codegen'd n-gram loop (TextHashExprs.WordNgrams) — the
+  // HOF transform/element_at form re-evaluated the token split per
+  // output gram × per slot (O(tokens²·n) per row, interpreted).
+  // Identical contract: `\s+`-run tokens of lower(text), under-n
+  // docs yield an empty array (pair drops out, stated not imputed).
+  private def ngrams(c: Column, n: Int): Column =
+    graft.functions.TextHashes.wordNgrams(c, n)
 
   /** The gram-key convention, reconciled (VERDICT r10 item 5 — one
     * documented answer instead of LmFilter/Rouge-text vs Dsir-hash):
@@ -68,26 +66,39 @@ object Rouge {
 
   /** The clipped-count scoring tail over prepared count tables
     * `c(pair_id, gram, c_cand)` / `r(pair_id, gram, c_ref)` — both
-    * the fresh path and the persisted-index probe end here. */
+    * the fresh path and the persisted-index probe end here.
+    *
+    * ONE full-outer join + ONE per-pair rollup (r14, guide §2.4):
+    * both count tables are unique on (pair_id, gram) post-groupBy,
+    * so the full-outer join is 1:1 and a single pass yields the
+    * totals (sum over every own-side row), the clipped matches
+    * (rows present on both sides), and the either-side-empty drop
+    * (null total) — the previous shape re-read each count table for
+    * a separate totals rollup + a second join, forcing callers to
+    * barrier the count tables (2 extra exchanges + 2 localCheckpoint
+    * materializations per score). least() must be guarded: Spark's
+    * least SKIPS nulls, so a bare least(c_cand, c_ref) would count
+    * unmatched reference grams as matches.
+    */
   private def scoreFromCounts(c: DataFrame, r: DataFrame,
-      pairCol: String): DataFrame = {
-    val totals = c.groupBy("pair_id").agg(sum(col("c_cand")).as("tc"))
-      .join(r.groupBy("pair_id").agg(sum(col("c_ref")).as("tr")),
-        "pair_id")
-    c.join(r, Seq("pair_id", "gram"))
+      pairCol: String): DataFrame =
+    c.join(r, Seq("pair_id", "gram"), "full_outer")
       .groupBy("pair_id")
-      .agg(sum(least(col("c_cand"), col("c_ref"))).as("n_match"))
-      .join(totals, Seq("pair_id"), "right")
+      .agg(sum(col("c_cand")).as("tc"), sum(col("c_ref")).as("tr"),
+        sum(when(col("c_cand").isNotNull && col("c_ref").isNotNull,
+          least(col("c_cand"), col("c_ref")))).as("m"))
+      // a pair missing either side has no score (undefined, stated
+      // not imputed) — exactly the previous inner totals join
+      .filter(col("tc").isNotNull && col("tr").isNotNull)
       .select(col("pair_id").as(pairCol),
         col("tc").as("n_cand"), col("tr").as("n_ref"),
-        coalesce(col("n_match"), lit(0L)).as("n_match"),
-        round(coalesce(col("n_match"), lit(0L)).cast("double") /
+        coalesce(col("m"), lit(0L)).as("n_match"),
+        round(coalesce(col("m"), lit(0L)).cast("double") /
           col("tc").cast("double"), 9).as("precision"),
-        round(coalesce(col("n_match"), lit(0L)).cast("double") /
+        round(coalesce(col("m"), lit(0L)).cast("double") /
           col("tr").cast("double"), 9).as("recall"),
-        round(coalesce(col("n_match"), lit(0L)).cast("double") * 2 /
+        round(coalesce(col("m"), lit(0L)).cast("double") * 2 /
           (col("tc") + col("tr")).cast("double"), 9).as("f1"))
-  }
 
   /** Score candidate rows against reference rows joined on
     * `pairCol`. Returns (pairCol, n_cand, n_ref, n_match, precision,
@@ -101,13 +112,11 @@ object Rouge {
       textCol: String,
       n: Int = 2,
       hashKeys: Boolean = false): DataFrame = {
-    // barrier: each count table feeds BOTH the match join and its
-    // totals rollup — without the cut the tokenize+count runs twice
-    val c = graft.plans.Plans.barrier(
-      gramCounts(cand, pairCol, textCol, n, "c_cand", hashKeys))
-    val r = graft.plans.Plans.barrier(
-      gramCounts(ref, pairCol, textCol, n, "c_ref", hashKeys))
-    scoreFromCounts(c, r, pairCol)
+    // no barrier needed since r14: the one-pass scoreFromCounts
+    // consumes each count table exactly once
+    scoreFromCounts(
+      gramCounts(cand, pairCol, textCol, n, "c_cand", hashKeys),
+      gramCounts(ref, pairCol, textCol, n, "c_ref", hashKeys), pairCol)
   }
 
   /** Metadata every [[refCountIndex]] row carries and the probe
@@ -168,12 +177,11 @@ object Rouge {
       case other => throw new IllegalArgumentException(
         s"rouge_keys = '$other' names no gram-key convention")
     }
-    val c = graft.plans.Plans.barrier(
-      gramCounts(cand, pairCol, textCol, n, "c_cand", hashKeys))
-    // the index side re-reads the (count-table-sized) parquet for its
-    // totals instead of barriering — a second pruned scan is cheaper
-    // than materializing the artifact into executor memory
-    scoreFromCounts(c, index.select("pair_id", "gram", "c_ref"), pairCol)
+    // no barrier needed since r14: the one-pass scoreFromCounts
+    // consumes the candidate counts and the index scan exactly once
+    scoreFromCounts(
+      gramCounts(cand, pairCol, textCol, n, "c_cand", hashKeys),
+      index.select("pair_id", "gram", "c_ref"), pairCol)
   }
 
   /** Build-or-reuse the persisted reference counts at `path`, then

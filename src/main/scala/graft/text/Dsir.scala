@@ -40,13 +40,12 @@ object Dsir {
     * distinct: DSIR weights occurrence mass. Docs under 2 tokens
     * contribute their whole text as one gram (family fallback rule).
     */
-  private[graft] def bigramsWithMultiplicity(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
-    when(size(toks) < 2, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat(element_at(toks, i + 1), lit(" "),
-          element_at(toks, i + 2))))
-  }
+  private[graft] def bigramsWithMultiplicity(text: Column): Column =
+    // native codegen'd loop (TextHashExprs.WordNgrams) — the HOF
+    // transform/element_at form re-evaluated the token split per
+    // output gram (O(tokens²) per row, interpreted). joinFallback
+    // pins the family fallback: < 2 tokens → [array_join(toks, ' ')].
+    graft.functions.TextHashes.wordNgrams(text, 2, joinFallback = true)
 
   /** @param target the exemplar docs (same schema); must be small —
     *                its gram table broadcasts.

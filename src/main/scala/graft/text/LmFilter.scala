@@ -159,23 +159,21 @@ object LmFilter {
     scoreDocs(docs, idCol, textCol, uni, bi, smoothing, hashKeys)
   }
 
+  // native codegen'd n-gram loops (graft.functions.TextHashExprs
+  // .WordNgrams) — the HOF transform/element_at forms they replace
+  // re-evaluated the token split once per OUTPUT GRAM (interpreted
+  // CodegenFallback): O(tokens²) regex work per row, measured as the
+  // dominant serial stage of every LM query at sf0.1 (r14 profile).
+  // Identical output contract: `\s+`-run tokens of lower(text);
+  // under-n documents yield an empty gram array.
   private def toks(c: org.apache.spark.sql.Column) =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+    graft.functions.TextHashes.wordNgrams(c, 1)
 
-  private def bigrams(c: org.apache.spark.sql.Column) = {
-    val t = toks(c)
-    when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-  }
+  private def bigrams(c: org.apache.spark.sql.Column) =
+    graft.functions.TextHashes.wordNgrams(c, 2)
 
-  private def trigrams(c: org.apache.spark.sql.Column) = {
-    val t = toks(c)
-    when(size(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 2),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1),
-          lit(" "), element_at(t, i + 2))))
-  }
+  private def trigrams(c: org.apache.spark.sql.Column) =
+    graft.functions.TextHashes.wordNgrams(c, 3)
 
   /** Shared scoring chain over prepared count tables `uni(w, c_a)` /
     * `bi(ab, c_ab)` — the batch-probe leg both [[bigramLogprob]]
@@ -218,6 +216,21 @@ object LmFilter {
         graft.plans.Plans.barrier(bi.select("ab", "c_ab"))
       case _ => bi.select("ab", "c_ab")
     }
+    // the KN scorer's N1+(a) table pre-joins INTO the unigram count
+    // table here (both keyed on the first token; every bigram prefix
+    // is a reference unigram, so the left join keeps all n1p rows):
+    // one count-table-sized join replaces a second doc-occurrence-
+    // sized shuffle join (guide §2.4 — two operations keyed the same
+    // way share one exchange; r14 plan diff: 4 doc-side joins → 3).
+    val uniSide = smoothing match {
+      case KneserNey(_) =>
+        val n1p = biEff.select(split(col("ab"), " ").getItem(0).as("a"))
+          .groupBy("a").agg(count(lit(1)).as("n1p"))
+          .select(key(col("a")).as("ak"), col("n1p"))
+        uni.select(key(col("w")).as("ak"), col("c_a"))
+          .join(n1p, Seq("ak"), "left")
+      case _ => uni.select(key(col("w")).as("ak"), col("c_a"))
+    }
     val joined0 = docs
       .select(col(idCol), explode(bigrams(col(textCol))).as("ab"))
       .withColumn("a", split(col("ab"), " ").getItem(0))
@@ -225,8 +238,7 @@ object LmFilter {
       .withColumn("ak", key(col("a")))
       .join(biEff.select(key(col("ab")).as("abk"), col("c_ab")),
         Seq("abk"), "left")
-      .join(uni.select(key(col("w")).as("ak"), col("c_a")),
-        Seq("ak"), "left")
+      .join(uniSide, Seq("ak"), "left")
     val (joined, term) = smoothing match {
       case AddK(k) =>
         // exact-long numerator/denominator, then ONE double division
@@ -255,13 +267,11 @@ object LmFilter {
           .cast("decimal(28,6)"))
       case KneserNey(dp) =>
         // continuation statistics all derive from the SAME (barrier'd)
-        // bi table: N1+(a) distinct continuations per first token,
-        // N_ctx(b) distinct left contexts per second token, B the
-        // bigram-type total (1-row broadcast with V). Derivations
-        // split gram TEXT; only the join keys go through key().
-        val n1p = biEff.select(split(col("ab"), " ").getItem(0).as("a"))
-          .groupBy("a").agg(count(lit(1)).as("n1p"))
-          .select(key(col("a")).as("ak"), col("n1p"))
+        // bi table: N1+(a) distinct continuations per first token
+        // (pre-joined into the unigram table above), N_ctx(b) distinct
+        // left contexts per second token, B the bigram-type total
+        // (1-row broadcast with V). Derivations split gram TEXT; only
+        // the join keys go through key().
         val nctx = biEff.select(split(col("ab"), " ").getItem(1).as("b2"))
           .groupBy("b2").agg(count(lit(1)).as("nctx"))
           .select(key(col("b2")).as("b2k"), col("nctx"))
@@ -279,7 +289,6 @@ object LmFilter {
           .otherwise(pc)
         val j = joined0
           .withColumn("b2k", key(split(col("ab"), " ").getItem(1)))
-          .join(n1p, Seq("ak"), "left")
           .join(nctx, Seq("b2k"), "left")
           .crossJoin(broadcast(btypes))
         (j, F.round(log(p), 6).cast("decimal(28,6)"))
@@ -374,8 +383,15 @@ object LmFilter {
         concat(col("p").getItem(0), lit(" "), col("p").getItem(1)).as("ab"),
         concat(col("p").getItem(1), lit(" "), col("p").getItem(2)).as("bc"),
         col("p").getItem(1).as("b"))
+    // N1+(ab·) pre-joins INTO the bigram count table (both keyed on
+    // the prefix bigram; every trigram prefix is a reference bigram,
+    // so the left join keeps all n1p3 rows) — one count-table-sized
+    // join replaces a doc-occurrence-sized shuffle join (guide §2.4;
+    // r14 plan diff: 6 doc-side joins → 5).
     val n1p3 = parts.groupBy("ab").agg(count(lit(1)).as("n1p3"))
       .select(key(col("ab")).as("abk"), col("n1p3"))
+    val abSide = biEff.select(key(col("ab")).as("abk"), col("c_ab"))
+      .join(n1p3, Seq("abk"), "left")
     val nctx3 = parts.groupBy("bc").agg(count(lit(1)).as("nctx3"))
       .select(key(col("bc")).as("bck"), col("nctx3"))
     val mid = parts.groupBy("b").agg(count(lit(1)).as("nmid"),
@@ -399,9 +415,7 @@ object LmFilter {
       .drop("p")
       .join(triEff.select(key(col("abc")).as("abck"), col("c_abc")),
         Seq("abck"), "left")
-      .join(biEff.select(key(col("ab")).as("abk"), col("c_ab")),
-        Seq("abk"), "left")
-      .join(n1p3, Seq("abk"), "left")
+      .join(abSide, Seq("abk"), "left")
       .join(nctx3, Seq("bck"), "left")
       .join(mid, Seq("bk"), "left")
       .join(nctx2, Seq("ck"), "left")
