@@ -98,19 +98,22 @@ object PcaPower {
           .cast("decimal(24,9)").as("c"))
   }
 
-  /** Covariance-path switch point: at or below this width the
-    * decimal d²-explode is cheap; above it the exploded pair volume
-    * (rows × d²) dominates and the CovMoments one-pass moments path
-    * wins by an order of magnitude (d=256 at sf0.1, min-of-3 via
-    * graft.tools.WidthBench: 42.0s exact vs 2.9s moments, 14× with
-    * the split-moment exact plan — BASELINE.md r10 row). Both paths
-    * produce IDENTICAL covariance entries since the r11
-    * exact-integer CovMoments, so the switch is pure plan choice;
-    * the auto default removes the production foot-gun VERDICT r9
-    * named: a d=768 user no longer needs to know to pass
-    * `exact = false`.
+  /** Covariance-path switch point: at or below this width the auto
+    * default takes the decimal d²-explode; above it the CovMoments
+    * one-pass moments path. r14 re-measured the low end the r10
+    * cutoff assumed was explode-friendly: at d=64 (sf0.1, min-of-3)
+    * the moments path wins 1.0s vs 3.4s — the explode path's
+    * rows × d² decimal multiplies dominate at EVERY width we can
+    * measure (d=256: 42.0s vs 2.9s, WidthBench; BASELINE.md r10
+    * row), so the cutoff is now 0 and the auto default always takes
+    * the moments aggregate. Both paths produce IDENTICAL covariance
+    * entries since the r11 exact-integer CovMoments (re-verified
+    * r14: exceptAll diff 0 at d=64, q329's oracle gates d=256), so
+    * the switch is pure plan choice; `exact = Some(true)` keeps the
+    * decimal-explode twin reachable as the semantics oracle and for
+    * spec pins.
     */
-  val ExactWidthCutoff = 128
+  val ExactWidthCutoff = 0
 
   /** The covariance-path decision (seam for the switch-point spec):
     * an explicit `exact` wins; otherwise exact iff the width of the

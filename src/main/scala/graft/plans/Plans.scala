@@ -22,5 +22,16 @@ object Plans {
     * explode/self-join fan-out; the materialized slice should be the
     * compact sketch projection (ids + hashes), never raw documents.
     */
-  def barrier(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+  def barrier(df: DataFrame): DataFrame =
+    if (explainMode) df else df.localCheckpoint(eager = false)
+
+  /** DIAGNOSTIC ONLY (graft.tools.PlanDump): a localCheckpoint cuts
+    * `explain` at the barrier — the dumped plan shows `Scan
+    * ExistingRDD` instead of the upstream pipeline. Setting this
+    * makes [[barrier]] the identity so a plan dump shows the WHOLE
+    * operator shape (the barrier is semantics-neutral: it only pins
+    * shared materialization). Never set on an executing session —
+    * self-join branches would recompute their upstream.
+    */
+  @volatile private[graft] var explainMode: Boolean = false
 }

@@ -29,6 +29,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_NOBARRIER=1 dumps the FULL operator shape:
+    // barriers (localCheckpoint) otherwise cut explain at `Scan
+    // ExistingRDD`, hiding everything upstream of the cut. The
+    // barrier is semantics-neutral, so the no-barrier plan is the
+    // executed plan with the cuts inlined.
+    if (sys.env.get("SPARK_GRAFT_PLAN_NOBARRIER").contains("1"))
+      graft.plans.Plans.explainMode = true
     val prefixes = args.flatMap(_.split("[,\\s]+")).filter(_.nonEmpty).toSeq
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
